@@ -1,1 +1,8 @@
 """Model registry package. Models/architectures are registered on import."""
+
+from .base import EncoderOut, Model, reorder_encoder_out  # noqa: F401
+from .transformer_decoder import (  # noqa: F401
+    TransformerDecoder,
+    TransformerDecoderConfig,
+)
+from . import conv_transformer  # noqa: F401

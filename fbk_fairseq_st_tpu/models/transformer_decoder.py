@@ -1,0 +1,232 @@
+"""TransformerDecoder — the decoder reused by every FBK ST model.
+
+Functional counterpart of the reference TransformerDecoder
+(fairseq/models/transformer.py:517-882): scaled token embedding + positional
+embedding -> dropout -> N decoder layers (causal self-attn + encoder
+cross-attn + FFN, pre/post-norm) -> optional final LayerNorm -> output
+projection (tied to the input embedding when share_input_output_embed, else a
+separate N(0, d^-0.5) matrix, transformer.py:586-597).
+
+Two execution modes, both fixed-shape:
+  * ``__call__``: full-sequence teacher forcing with a causal mask (training
+    and scoring);
+  * ``step``: one token per call against preallocated per-layer KV caches —
+    the body of the jitted beam-search while_loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import causal_mask
+from ..ops.core import (
+    RngStream,
+    dropout,
+    embedding,
+    init_embedding,
+    init_layer_norm,
+    layer_norm,
+    normal_init,
+)
+from ..ops.positional import PositionalEmbedding
+from ..ops.transformer_layer import (
+    TransformerLayerConfig,
+    decoder_layer,
+    init_decoder_layer,
+    init_decoder_layer_cache,
+)
+
+
+class TransformerDecoderConfig(NamedTuple):
+    vocab_size: int
+    embed_dim: int = 256
+    ffn_dim: int = 768
+    layers: int = 6
+    heads: int = 4
+    dropout: float = 0.3
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    activation: str = "relu"
+    normalize_before: bool = True
+    learned_pos: bool = False
+    max_positions: int = 1024
+    padding_idx: int = 1
+    share_input_output_embed: bool = False
+    no_scale_embedding: bool = False
+    layernorm_embedding: bool = False
+    no_token_positional_embeddings: bool = False
+    no_encoder_attn: bool = False
+
+    @property
+    def layer_cfg(self) -> TransformerLayerConfig:
+        return TransformerLayerConfig(
+            embed_dim=self.embed_dim,
+            ffn_dim=self.ffn_dim,
+            num_heads=self.heads,
+            dropout=self.dropout,
+            attention_dropout=self.attention_dropout,
+            activation_dropout=self.activation_dropout,
+            activation=self.activation,
+            normalize_before=self.normalize_before,
+        )
+
+
+class TransformerDecoder:
+    def __init__(self, cfg: TransformerDecoderConfig):
+        self.cfg = cfg
+        self.embed_scale = (
+            1.0 if cfg.no_scale_embedding else cfg.embed_dim ** 0.5
+        )
+        self.pos = (
+            None
+            if cfg.no_token_positional_embeddings
+            else PositionalEmbedding(
+                cfg.max_positions, cfg.embed_dim, cfg.padding_idx, cfg.learned_pos
+            )
+        )
+
+    def init(self, key) -> Dict[str, Any]:
+        cfg = self.cfg
+        ks = jax.random.split(key, cfg.layers + 3)
+        p: Dict[str, Any] = {
+            "embed_tokens": init_embedding(
+                ks[0], cfg.vocab_size, cfg.embed_dim, cfg.padding_idx
+            ),
+            "layers": [
+                init_decoder_layer(ks[1 + i], cfg.layer_cfg, cfg.no_encoder_attn)
+                for i in range(cfg.layers)
+            ],
+        }
+        if self.pos is not None and cfg.learned_pos:
+            p["embed_positions"] = self.pos.init(ks[-2])
+        if cfg.normalize_before:
+            p["final_ln"] = init_layer_norm(cfg.embed_dim)
+        if cfg.layernorm_embedding:
+            p["layernorm_embedding"] = init_layer_norm(cfg.embed_dim)
+        if not cfg.share_input_output_embed:
+            p["embed_out"] = normal_init(
+                ks[-1], (cfg.vocab_size, cfg.embed_dim), std=cfg.embed_dim ** -0.5
+            )
+        return p
+
+    # -- shared embedding/entry ---------------------------------------------
+
+    def _embed(self, params, tokens, dtype, rng, deterministic, step=None):
+        cfg = self.cfg
+        x = self.embed_scale * embedding(params["embed_tokens"], tokens, dtype)
+        if self.pos is not None:
+            pos_params = params.get("embed_positions", {})
+            x = x + self.pos.from_ids(pos_params, tokens, dtype, step=step)
+        if cfg.layernorm_embedding:
+            x = layer_norm(params["layernorm_embedding"], x)
+        x = dropout(x, cfg.dropout, rng, deterministic)
+        return x
+
+    def output_layer(self, params, x):
+        if self.cfg.share_input_output_embed:
+            w = params["embed_tokens"]["w"]
+        else:
+            w = params["embed_out"]
+        return x @ w.T.astype(x.dtype)
+
+    # -- full-sequence (training / scoring) ----------------------------------
+
+    def __call__(
+        self,
+        params,
+        prev_output_tokens,
+        encoder_out=None,
+        encoder_padding_mask=None,
+        rng: Optional[RngStream] = None,
+        deterministic: bool = True,
+        features_only: bool = False,
+        need_attn: bool = False,
+    ):
+        """prev_output_tokens: (B, T) -> logits (B, T, V).
+
+        Returns (logits_or_features, {'attn': cross-attn of last layer|None}).
+        """
+        rng = rng or RngStream(None)
+        dtype = encoder_out.dtype if encoder_out is not None else jnp.float32
+        x = self._embed(params, prev_output_tokens, dtype, rng, deterministic)
+        mask = causal_mask(x.shape[1])
+        attn = None
+        n = len(params["layers"])
+        for i, lp in enumerate(params["layers"]):
+            x, a, _ = decoder_layer(
+                lp,
+                self.cfg.layer_cfg,
+                x,
+                encoder_out=encoder_out,
+                encoder_padding_mask=encoder_padding_mask,
+                self_attn_mask=mask,
+                rng=rng,
+                deterministic=deterministic,
+                need_attn=need_attn and i == n - 1,
+            )
+            if a is not None:
+                attn = a
+        if "final_ln" in params:
+            x = layer_norm(params["final_ln"], x)
+        if features_only:
+            return x, {"attn": attn}
+        return self.output_layer(params, x), {"attn": attn}
+
+    # -- incremental decoding -------------------------------------------------
+
+    def init_cache(
+        self, params, batch: int, max_len: int, encoder_out=None, dtype=jnp.float32
+    ):
+        """Preallocated per-layer KV caches + precomputed cross K/V."""
+        return [
+            init_decoder_layer_cache(
+                lp, self.cfg.layer_cfg, batch, max_len, encoder_out, dtype
+            )
+            for lp in params["layers"]
+        ]
+
+    def step(
+        self,
+        params,
+        tokens,
+        cache,
+        step_index,
+        encoder_padding_mask=None,
+        need_attn: bool = False,
+    ):
+        """One decode step.
+
+        tokens: (B, 1) current input token; step_index: traced int32 scalar.
+        Returns (logits (B, V), new_cache, attn|None).
+        """
+        dtype = cache[0]["self"]["k"].dtype
+        rng = RngStream(None)
+        x = self._embed(params, tokens, dtype, rng, True, step=step_index)
+        new_cache = []
+        attn = None
+        n = len(params["layers"])
+        for i, (lp, lc) in enumerate(zip(params["layers"], cache)):
+            x, a, nc = decoder_layer(
+                lp,
+                self.cfg.layer_cfg,
+                x,
+                encoder_padding_mask=encoder_padding_mask,
+                rng=rng,
+                deterministic=True,
+                cache=lc,
+                cache_index=step_index,
+                need_attn=need_attn and i == n - 1,
+            )
+            new_cache.append(nc)
+            if a is not None:
+                attn = a
+        if "final_ln" in params:
+            x = layer_norm(params["final_ln"], x)
+        logits = self.output_layer(params, x)[:, 0, :]
+        return logits, new_cache, attn
+
+    def max_positions(self) -> int:
+        return self.cfg.max_positions

@@ -1,0 +1,199 @@
+"""Multi-head attention with a fixed-shape incremental KV cache.
+
+Functional counterpart of the reference MultiheadAttention
+(fairseq/modules/multihead_attention.py:19-471) and LocalAttention with
+distance penalties (examples/speech_recognition/modules/local_attention.py,
+conv_transformer_layer.py PENALTIES).
+
+TPU-native cache design: instead of the reference's grow-by-concat
+``prev_key/prev_value`` dict (incremental_decoding_utils.py), the cache is a
+preallocated ``(B, H, T_max, Dh)`` buffer written with
+``lax.dynamic_update_slice_in_dim`` at the current step — static shapes keep
+the decode loop a single compiled ``lax.while_loop``. Beam reorder
+(reference ``reorder_incremental_state``) is a gather on the batch axis,
+done by the generator.
+
+All tensors are batch-first (B, T, D): XLA/TPU prefers the batch dimension
+leading for sharding; the reference's (T, B, C) layout is a cuDNN-era
+convention with no benefit on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .core import NEG_INF, RngStream, dropout, init_linear, linear
+
+
+class MHAConfig(NamedTuple):
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    bias: bool = True
+    # 'log' | 'gauss' | None — encoder LocalAttention distance penalties
+    penalty: Optional[str] = None
+    init_variance: float = 1.0
+
+
+def init_mha(key, cfg: MHAConfig):
+    """Separate q/k/v/out projections.
+
+    The reference packs qkv into one in_proj weight initialized with
+    xavier_uniform over the packed (3E, E) matrix — equivalent fan to
+    per-projection xavier with gain 1/sqrt(2), which newer fairseq uses
+    explicitly. We keep plain xavier per projection: initialization scheme
+    is not part of the parity surface (checkpoint converters map weights
+    either way).
+    """
+    ks = jax.random.split(key, 5)
+    p = {
+        "q": init_linear(ks[0], cfg.embed_dim, cfg.embed_dim, cfg.bias),
+        "k": init_linear(ks[1], cfg.embed_dim, cfg.embed_dim, cfg.bias),
+        "v": init_linear(ks[2], cfg.embed_dim, cfg.embed_dim, cfg.bias),
+        "out": init_linear(ks[3], cfg.embed_dim, cfg.embed_dim, cfg.bias),
+    }
+    if cfg.penalty == "gauss":
+        p["penalty_variance"] = jnp.full((cfg.num_heads,), cfg.init_variance, jnp.float32)
+    return p
+
+
+def init_cache(batch: int, max_len: int, cfg: MHAConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    """Preallocated self-attention KV cache for incremental decoding."""
+    head_dim = cfg.embed_dim // cfg.num_heads
+    shape = (batch, cfg.num_heads, max_len, head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _split_heads(x, num_heads: int):
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def _distance_penalty(params, cfg: MHAConfig, tgt_len: int, src_len: int):
+    """Additive penalty subtracted from attention logits (Di Gangi 2019;
+    reference conv_transformer_layer.py:22-44, local_attention.py)."""
+    t_pos = jnp.arange(tgt_len, dtype=jnp.float32)[:, None]
+    s_pos = jnp.arange(src_len, dtype=jnp.float32)[None, :]
+    dist = jnp.abs(t_pos - s_pos)
+    if cfg.penalty == "log":
+        pen = jnp.maximum(0.0, jnp.log(jnp.maximum(dist, 1e-9)))
+        return pen[None, None, :, :]  # (1, 1, T, S) broadcast over B, H
+    elif cfg.penalty == "gauss":
+        var = params["penalty_variance"]
+        pen = (dist * dist)[None, None, :, :] / (2.0 * var * var)[None, :, None, None]
+        return pen
+    return None
+
+
+def mha(
+    params,
+    cfg: MHAConfig,
+    query,
+    key=None,
+    value=None,
+    key_padding_mask=None,
+    attn_mask=None,
+    rng: Optional[RngStream] = None,
+    deterministic: bool = True,
+    cache: Optional[Dict[str, Any]] = None,
+    cache_index=None,
+    static_kv: bool = False,
+    need_weights: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[Dict[str, Any]]]:
+    """Scaled dot-product MHA.
+
+    Args:
+      query: (B, Tq, D). key/value default to query (self-attention).
+      key_padding_mask: (B, S) bool, True at pads (reference convention).
+      attn_mask: (Tq, S) additive fp32 mask (e.g. causal future mask).
+      cache/cache_index: incremental decoding. For self-attention the new
+        K/V rows are written at ``cache_index`` and attention runs over the
+        full buffer with positions > cache_index masked. For cross-attention
+        (static_kv=True) the cache holds precomputed encoder K/V and no
+        projection of key/value happens per step.
+
+    Returns (output (B, Tq, D), attn_weights (B, H, Tq, S) or None, new_cache).
+    """
+    if key is None:
+        key = query
+    if value is None:
+        value = key
+
+    head_dim = cfg.embed_dim // cfg.num_heads
+    scaling = head_dim ** -0.5
+
+    q = _split_heads(linear(params["q"], query) * scaling, cfg.num_heads)
+
+    new_cache = None
+    if cache is not None and static_kv:
+        # cross-attention: cached encoder K/V, computed once by the generator
+        k, v = cache["k"].astype(q.dtype), cache["v"].astype(q.dtype)
+        new_cache = cache
+    else:
+        k = _split_heads(linear(params["k"], key), cfg.num_heads)
+        v = _split_heads(linear(params["v"], value), cfg.num_heads)
+        if cache is not None:
+            # write this step's K/V into the preallocated buffer
+            k = jax.lax.dynamic_update_slice_in_dim(
+                cache["k"].astype(q.dtype), k, cache_index, axis=2
+            )
+            v = jax.lax.dynamic_update_slice_in_dim(
+                cache["v"].astype(q.dtype), v, cache_index, axis=2
+            )
+            new_cache = {"k": k, "v": v}
+
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+
+    if cfg.penalty is not None:
+        pen = _distance_penalty(params, cfg, q.shape[2], k.shape[2])
+        if pen is not None:
+            logits = logits - pen
+
+    if attn_mask is not None:
+        logits = logits + attn_mask[None, None, :, :].astype(jnp.float32)
+
+    if cache is not None and not static_kv:
+        # mask cache positions not yet written (>= cache_index + q_len)
+        valid = jnp.arange(k.shape[2]) < (cache_index + q.shape[2])
+        logits = jnp.where(valid[None, None, None, :], logits, NEG_INF)
+
+    if key_padding_mask is not None:
+        logits = jnp.where(
+            key_padding_mask[:, None, None, :], NEG_INF, logits
+        )
+
+    weights_f32 = jax.nn.softmax(logits, axis=-1)
+    weights = weights_f32.astype(q.dtype)
+    if rng is not None:
+        weights = dropout(weights, cfg.dropout, rng, deterministic)
+
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    out = linear(params["out"], _merge_heads(out))
+
+    # head-averaged weights for alignment extraction (reference
+    # multihead_attention.py need_weights path)
+    attn = weights_f32.mean(axis=1) if need_weights else None
+    return out, attn, new_cache
+
+
+def precompute_cross_cache(params, cfg: MHAConfig, encoder_out) -> Dict[str, Any]:
+    """Project encoder output to K/V once before the decode loop
+    (the reference's static_kv prev_key/prev_value fast path)."""
+    k = _split_heads(linear(params["k"], encoder_out), cfg.num_heads)
+    v = _split_heads(linear(params["v"], encoder_out), cfg.num_heads)
+    return {"k": k, "v": v}
+
+
+def causal_mask(size: int, dtype=jnp.float32):
+    """Additive future mask (reference buffered_future_mask)."""
+    return jnp.triu(jnp.full((size, size), NEG_INF, dtype), k=1)

@@ -1,0 +1,278 @@
+"""Convolutional audio frontend: strided 2-D convs + 2-D conv attention.
+
+Functional counterpart of the reference encoder frontend
+(examples/speech_recognition/models/conv_transformer.py:204-222 and
+modules/conv_attention_2d.py). Layout is NHWC — (B, T, F, C) — the
+TPU-native convolution layout, vs the reference's NCHW.
+
+Semantics preserved:
+  * each conv has stride 2 on both time and freq; odd kernels get symmetric
+    k//2 padding (so T' = ceil(T/2) for k=3);
+  * activation BEFORE BatchNorm (conv_transformer.py:212 —
+    ``bn(activation(x))``), then dropout with rate max(dropout, 0.1);
+  * source lengths update as ceil(len/2) per conv (conv_transformer.py:213);
+  * ConvAttention2D: q/k/v from one 3x3 conv (embed_dim -> 3*heads
+    channels), BN+relu each, time-attention (contract F) with padding mask
+    and freq-attention (contract T), concatenated over heads and fused by a
+    3x3 output conv + BN + relu; q scaled by embed_dim**-0.5 (the reference
+    keeps head_dim == embed_dim, conv_attention_2d.py:22-24).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .core import (
+    NEG_INF,
+    RngStream,
+    batch_norm,
+    dropout,
+    get_activation,
+    init_batch_norm,
+    init_batch_norm_state,
+    normal_init,
+)
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+class ConvFrontendConfig(NamedTuple):
+    # ((out_channels, k_time, k_freq), ...) — reference encoder_convolutions
+    convolutions: Tuple[Tuple[int, int, int], ...] = ((64, 3, 3), (64, 3, 3))
+    audio_features: int = 40
+    dropout: float = 0.3
+    activation: str = "relu"
+    attn_2d: bool = True
+    attn_2d_heads: int = 4
+    stride: int = 2
+
+    @property
+    def out_channels(self) -> int:
+        return self.convolutions[-1][0]
+
+    @property
+    def flat_dim(self) -> int:
+        """C * ceil(F / stride^n) — input dim of the fc3 projection."""
+        f = self.audio_features
+        for _ in self.convolutions:
+            f = math.ceil(f / self.stride)
+        return f * self.out_channels
+
+    def out_length(self, t: int) -> int:
+        for _ in self.convolutions:
+            t = math.ceil(t / self.stride)
+        return t
+
+
+def _init_conv2d(key, k_t: int, k_f: int, c_in: int, c_out: int, dropout_p: float):
+    """Reference Conv2D init: N(0, sqrt(4*(1-dropout)/(k_t*c_in)))
+    (conv_transformer.py:348-355)."""
+    std = math.sqrt((4.0 * (1.0 - dropout_p)) / (k_t * c_in))
+    return {
+        "w": normal_init(key, (k_t, k_f, c_in, c_out), std=std),
+        "b": jnp.zeros((c_out,), jnp.float32),
+    }
+
+
+def init_conv_frontend(key, cfg: ConvFrontendConfig):
+    ks = jax.random.split(key, len(cfg.convolutions) + 2)
+    params: Dict[str, Any] = {"convs": [], "bns": []}
+    state: Dict[str, Any] = {"bns": []}
+    c_in = 1
+    for i, (c_out, k_t, k_f) in enumerate(cfg.convolutions):
+        params["convs"].append(_init_conv2d(ks[i], k_t, k_f, c_in, c_out, cfg.dropout))
+        params["bns"].append(init_batch_norm(c_out))
+        state["bns"].append(init_batch_norm_state(c_out))
+        c_in = c_out
+    if cfg.attn_2d:
+        a1, a2 = jax.random.split(ks[-1])
+        params["attn_2d"] = [
+            init_conv_attention_2d(a1, c_in, cfg.attn_2d_heads),
+            init_conv_attention_2d(a2, c_in, cfg.attn_2d_heads),
+        ]
+        state["attn_2d"] = [
+            init_conv_attention_2d_state(cfg.attn_2d_heads, c_in),
+            init_conv_attention_2d_state(cfg.attn_2d_heads, c_in),
+        ]
+    return params, state
+
+
+def conv_frontend(
+    params,
+    state,
+    cfg: ConvFrontendConfig,
+    x,
+    lengths,
+    rng: Optional[RngStream] = None,
+    deterministic: bool = True,
+    training: bool = False,
+):
+    """x: (B, T, F) fbank -> (B, T', flat_dim), new lengths, new state.
+
+    T' is the statically known ceil(T / stride^n): fixed input shapes give
+    fixed output shapes, keeping the whole encoder one compiled graph.
+    """
+    act = get_activation(cfg.activation)
+    rng = rng or RngStream(None)
+    new_state: Dict[str, Any] = {"bns": []}
+
+    x = x[..., None]  # (B, T, F, 1)
+    for i, (c_out, k_t, k_f) in enumerate(cfg.convolutions):
+        if k_t % 2 == 1:
+            pad_t = (k_t // 2, k_t // 2)
+        else:
+            pad_t = ((k_t - 1) // 2, k_t // 2)
+        if k_f % 2 == 1:
+            pad_f = (k_f // 2, k_f // 2)
+        else:
+            pad_f = ((k_f - 1) // 2, k_f // 2)
+        p = params["convs"][i]
+        x = jax.lax.conv_general_dilated(
+            x,
+            p["w"].astype(x.dtype),
+            window_strides=(cfg.stride, cfg.stride),
+            padding=(pad_t, pad_f),
+            dimension_numbers=_DIMNUMS,
+        ) + p["b"].astype(x.dtype)
+        x, bn_state = batch_norm(
+            params["bns"][i], state["bns"][i], act(x), axis=(0, 1, 2), training=training
+        )
+        new_state["bns"].append(bn_state)
+        lengths = jnp.ceil(lengths.astype(jnp.float32) / cfg.stride).astype(jnp.int32)
+        x = dropout(x, max(cfg.dropout, 0.1), rng, deterministic)
+
+    if cfg.attn_2d:
+        new_state["attn_2d"] = []
+        t_now = x.shape[1]
+        pad_mask = jnp.arange(t_now)[None, :] >= lengths[:, None]
+        for blk_params, blk_state in zip(params["attn_2d"], state["attn_2d"]):
+            residual = x
+            x, s = conv_attention_2d(
+                blk_params,
+                blk_state,
+                cfg.attn_2d_heads,
+                x,
+                key_padding_mask=pad_mask,
+                dropout_p=cfg.dropout,
+                rng=rng,
+                deterministic=deterministic,
+                training=training,
+            )
+            x = x + residual
+            new_state["attn_2d"].append(s)
+
+    b, t, f, c = x.shape
+    # (B, T, F, C) -> (B, T, C, F) -> (B, T, C*F): channels-major flattening,
+    # matching the reference's view of its (B, C, T, F) tensor.
+    x = x.transpose(0, 1, 3, 2).reshape(b, t, c * f)
+    return x, lengths, new_state
+
+
+# ---------------------------------------------------------------------------
+# ConvAttention2D
+# ---------------------------------------------------------------------------
+
+def init_conv_attention_2d(key, embed_dim: int, num_heads: int, bias: bool = True):
+    k1, k2 = jax.random.split(key)
+    from .core import xavier_uniform
+
+    p = {
+        # one packed conv producing q|k|v head channels
+        "in_proj_w": xavier_uniform(k1, (3, 3, embed_dim, 3 * num_heads)),
+        "out_proj_w": xavier_uniform(k2, (3, 3, 2 * num_heads, embed_dim)),
+        "bn_q": init_batch_norm(num_heads),
+        "bn_k": init_batch_norm(num_heads),
+        "bn_v": init_batch_norm(num_heads),
+        "bn_out": init_batch_norm(embed_dim),
+    }
+    if bias:
+        p["in_proj_b"] = jnp.zeros((3 * num_heads,), jnp.float32)
+        p["out_proj_b"] = jnp.zeros((embed_dim,), jnp.float32)
+    return p
+
+
+def init_conv_attention_2d_state(num_heads: int, embed_dim: int):
+    return {
+        "bn_q": init_batch_norm_state(num_heads),
+        "bn_k": init_batch_norm_state(num_heads),
+        "bn_v": init_batch_norm_state(num_heads),
+        "bn_out": init_batch_norm_state(embed_dim),
+    }
+
+
+def conv_attention_2d(
+    params,
+    state,
+    num_heads: int,
+    x,
+    key_padding_mask=None,
+    dropout_p: float = 0.0,
+    rng: Optional[RngStream] = None,
+    deterministic: bool = True,
+    training: bool = False,
+):
+    """x: (B, T, F, C). Self-attention over time and over frequency.
+
+    Returns (out (B, T, F, C), new_state).
+    """
+    rng = rng or RngStream(None)
+    b, t, f, c = x.shape
+    scaling = float(c) ** -0.5
+
+    qkv = jax.lax.conv_general_dilated(
+        x,
+        params["in_proj_w"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=_DIMNUMS,
+    )
+    if "in_proj_b" in params:
+        qkv = qkv + params["in_proj_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)  # each (B, T, F, H)
+    q = q * scaling
+
+    new_state = dict(state)
+    outs = {}
+    for name, z in (("bn_q", q), ("bn_k", k), ("bn_v", v)):
+        z, s = batch_norm(params[name], state[name], z, axis=(0, 1, 2), training=training)
+        outs[name] = jax.nn.relu(z)
+        new_state[name] = s
+    # (B, T, F, H) -> (B, H, T, F)
+    q = outs["bn_q"].transpose(0, 3, 1, 2)
+    k = outs["bn_k"].transpose(0, 3, 1, 2)
+    v = outs["bn_v"].transpose(0, 3, 1, 2)
+
+    # time attention: contract over frequency -> (B, H, T, T)
+    wt = jnp.einsum("bhtf,bhsf->bhts", q, k, preferred_element_type=jnp.float32)
+    if key_padding_mask is not None:
+        wt = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, wt)
+    wt = jax.nn.softmax(wt, axis=-1).astype(x.dtype)
+    wt = dropout(wt, dropout_p, rng, deterministic)
+    attn_t = jnp.einsum("bhts,bhsf->bhtf", wt, v)
+
+    # frequency attention: contract over time -> (B, H, F, F)
+    wf = jnp.einsum("bhtf,bhtg->bhfg", q, k, preferred_element_type=jnp.float32)
+    wf = jax.nn.softmax(wf, axis=-1).astype(x.dtype)
+    wf = dropout(wf, dropout_p, rng, deterministic)
+    attn_f = jnp.einsum("bhfg,bhtg->bhtf", wf, v)
+
+    # concat over heads -> (B, T, F, 2H), fuse with 3x3 conv
+    attn = jnp.concatenate([attn_t, attn_f], axis=1).transpose(0, 2, 3, 1)
+    out = jax.lax.conv_general_dilated(
+        attn,
+        params["out_proj_w"].astype(x.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=_DIMNUMS,
+    )
+    if "out_proj_b" in params:
+        out = out + params["out_proj_b"].astype(x.dtype)
+    out, s = batch_norm(
+        params["bn_out"], state["bn_out"], out, axis=(0, 1, 2), training=training
+    )
+    new_state["bn_out"] = s
+    return jax.nn.relu(out), new_state

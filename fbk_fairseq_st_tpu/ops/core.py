@@ -1,0 +1,212 @@
+"""Functional building blocks: params-as-pytrees, explicit RNG, bf16 policy.
+
+Design: every module is an ``init_*(key, ...) -> params`` plus an
+``apply``-style pure function. Params are nested dicts of jnp arrays stored
+in fp32; compute runs in the caller-chosen dtype (bfloat16 on TPU for MXU
+throughput), with LayerNorm statistics and softmax always in fp32.
+
+Linear weights use the JAX (in, out) layout — ``y = x @ W + b`` — so matmuls
+map directly onto the MXU without transposes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# A large-but-finite negative for masked logits. Using -inf in bf16 softmax
+# can produce NaNs when an entire row is masked; this matches XLA best
+# practice and keeps fully-masked rows at uniform-after-softmax.
+NEG_INF = -1e9
+
+
+class RngStream:
+    """Hands out fresh PRNG keys from one root key.
+
+    Trace-time Python state: the fold-in counter advances deterministically
+    per call site order, so usage inside jit is reproducible.
+    """
+
+    def __init__(self, key: Optional[jax.Array]):
+        self._key = key
+        self._count = 0
+
+    def next(self) -> jax.Array:
+        assert self._key is not None, "RNG required but none provided"
+        k = jax.random.fold_in(self._key, self._count)
+        self._count += 1
+        return k
+
+    @property
+    def active(self) -> bool:
+        return self._key is not None
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32, gain: float = 1.0):
+    fan_in, fan_out = shape[-2], shape[-1]
+    if len(shape) > 2:  # conv kernels: receptive field multiplies fans
+        receptive = 1
+        for s in shape[:-2]:
+            receptive *= s
+        fan_in *= receptive
+        fan_out *= receptive
+    limit = gain * (6.0 / (fan_in + fan_out)) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def normal_init(key, shape, std, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype) * std
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+def init_linear(key, in_dim: int, out_dim: int, bias: bool = True):
+    """Xavier-uniform weight + zero bias (reference conv_transformer.py
+    Linear helper :371-376)."""
+    p = {"w": xavier_uniform(key, (in_dim, out_dim))}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def linear(p, x):
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm (stats in fp32 regardless of compute dtype)
+# ---------------------------------------------------------------------------
+
+def init_layer_norm(dim: int):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Embedding
+# ---------------------------------------------------------------------------
+
+def init_embedding(key, num_embeddings: int, dim: int, padding_idx: Optional[int] = None):
+    """N(0, d^-0.5) with zeroed padding row (reference Embedding helper)."""
+    w = normal_init(key, (num_embeddings, dim), std=dim ** -0.5)
+    if padding_idx is not None:
+        w = w.at[padding_idx].set(0.0)
+    return {"w": w}
+
+
+def embedding(p, ids, dtype=None):
+    w = p["w"]
+    if dtype is not None:
+        w = w.astype(dtype)
+    return jnp.take(w, ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Dropout
+# ---------------------------------------------------------------------------
+
+def dropout(x, rate: float, rng: RngStream, deterministic: bool):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng.next(), keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "gelu": jax.nn.gelu,
+    "gelu_accurate": lambda x: jax.nn.gelu(x, approximate=True),
+    "tanh": jnp.tanh,
+    "linear": lambda x: x,
+    "glu": lambda x: jax.nn.glu(x, axis=-1),
+}
+
+
+def get_activation(name: str):
+    if name not in ACTIVATIONS:
+        raise KeyError(f"unknown activation {name!r}")
+    return ACTIVATIONS[name]
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm (stateful running stats, threaded functionally)
+# ---------------------------------------------------------------------------
+
+def init_batch_norm(dim: int):
+    return {
+        "scale": jnp.ones((dim,), jnp.float32),
+        "bias": jnp.zeros((dim,), jnp.float32),
+    }
+
+
+def init_batch_norm_state(dim: int):
+    return {
+        "mean": jnp.zeros((dim,), jnp.float32),
+        "var": jnp.ones((dim,), jnp.float32),
+    }
+
+
+def batch_norm(
+    p,
+    state,
+    x,
+    axis: Tuple[int, ...],
+    training: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+):
+    """BatchNorm over *axis* (channel axis excluded). Returns (y, new_state).
+
+    Matches torch.nn.BatchNorm2d semantics: biased variance for
+    normalization, unbiased for the running estimate, running stats updated
+    with ``(1-momentum)*old + momentum*batch``.
+    """
+    xf = x.astype(jnp.float32)
+    if training:
+        mean = jnp.mean(xf, axis=axis)
+        var = jnp.mean(jnp.square(xf - jnp.expand_dims(mean, axis)), axis=axis)
+        n = 1
+        for a in axis:
+            n *= x.shape[a]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    shape = [1] * x.ndim
+    caxis = [a for a in range(x.ndim) if a not in axis]
+    assert len(caxis) == 1
+    shape[caxis[0]] = -1
+    y = (xf - mean.reshape(shape)) * jax.lax.rsqrt(var.reshape(shape) + eps)
+    y = y * p["scale"].reshape(shape) + p["bias"].reshape(shape)
+    return y.astype(x.dtype), new_state
+
+
+def lengths_to_padding_mask(lengths, max_len: int):
+    """True at padded positions — the reference's encoder_padding_mask
+    convention (conv_transformer.py:293-300)."""
+    positions = jnp.arange(max_len)[None, :]
+    return positions >= lengths[:, None]

@@ -1,0 +1,236 @@
+"""Transformer encoder/decoder layers (pre- or post-norm).
+
+Functional counterparts of the reference layers
+(fairseq/modules/transformer_layer.py): residual -> [LN] -> attn -> dropout
+-> add -> [LN], then the same around the fc1/activation/fc2 FFN; LN placement
+controlled by ``normalize_before``. The encoder layer optionally swaps
+self-attention for LocalAttention with a distance penalty
+(examples/speech_recognition/modules/conv_transformer_layer.py) — in this
+build the penalty is a flag on the same fused MHA rather than a separate
+module, so XLA sees one attention kernel either way.
+
+Decoder layers carry two fixed-shape caches per layer: ``self`` (grown by
+dynamic_update_slice each step) and ``cross`` (encoder K/V, precomputed).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .attention import MHAConfig, init_mha, mha, precompute_cross_cache
+from .core import (
+    RngStream,
+    dropout,
+    get_activation,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+)
+
+
+class TransformerLayerConfig(NamedTuple):
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    activation: str = "relu"
+    normalize_before: bool = True
+    # encoder self-attention distance penalty ('log' | 'gauss' | None)
+    distance_penalty: Optional[str] = None
+    init_variance: float = 1.0
+
+    @property
+    def self_attn_cfg(self) -> MHAConfig:
+        return MHAConfig(
+            self.embed_dim,
+            self.num_heads,
+            dropout=self.attention_dropout,
+            penalty=self.distance_penalty,
+            init_variance=self.init_variance,
+        )
+
+    @property
+    def cross_attn_cfg(self) -> MHAConfig:
+        return MHAConfig(self.embed_dim, self.num_heads, dropout=self.attention_dropout)
+
+
+# ---------------------------------------------------------------------------
+# Encoder layer
+# ---------------------------------------------------------------------------
+
+def init_encoder_layer(key, cfg: TransformerLayerConfig):
+    ks = jax.random.split(key, 3)
+    return {
+        "self_attn": init_mha(ks[0], cfg.self_attn_cfg),
+        "self_attn_ln": init_layer_norm(cfg.embed_dim),
+        "fc1": init_linear(ks[1], cfg.embed_dim, cfg.ffn_dim),
+        "fc2": init_linear(ks[2], cfg.ffn_dim, cfg.embed_dim),
+        "final_ln": init_layer_norm(cfg.embed_dim),
+    }
+
+
+def encoder_layer(
+    params,
+    cfg: TransformerLayerConfig,
+    x,
+    key_padding_mask=None,
+    rng: Optional[RngStream] = None,
+    deterministic: bool = True,
+):
+    """x: (B, T, D) -> (B, T, D)."""
+    act = get_activation(cfg.activation)
+    rng = rng or RngStream(None)
+
+    residual = x
+    if cfg.normalize_before:
+        x = layer_norm(params["self_attn_ln"], x)
+    x, _, _ = mha(
+        params["self_attn"],
+        cfg.self_attn_cfg,
+        x,
+        key_padding_mask=key_padding_mask,
+        rng=rng,
+        deterministic=deterministic,
+    )
+    x = dropout(x, cfg.dropout, rng, deterministic)
+    x = residual + x
+    if not cfg.normalize_before:
+        x = layer_norm(params["self_attn_ln"], x)
+
+    residual = x
+    if cfg.normalize_before:
+        x = layer_norm(params["final_ln"], x)
+    x = act(linear(params["fc1"], x))
+    x = dropout(x, cfg.activation_dropout, rng, deterministic)
+    x = linear(params["fc2"], x)
+    x = dropout(x, cfg.dropout, rng, deterministic)
+    x = residual + x
+    if not cfg.normalize_before:
+        x = layer_norm(params["final_ln"], x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer
+# ---------------------------------------------------------------------------
+
+def init_decoder_layer(key, cfg: TransformerLayerConfig, no_encoder_attn: bool = False):
+    ks = jax.random.split(key, 4)
+    p = {
+        "self_attn": init_mha(ks[0], cfg.self_attn_cfg),
+        "self_attn_ln": init_layer_norm(cfg.embed_dim),
+        "fc1": init_linear(ks[1], cfg.embed_dim, cfg.ffn_dim),
+        "fc2": init_linear(ks[2], cfg.ffn_dim, cfg.embed_dim),
+        "final_ln": init_layer_norm(cfg.embed_dim),
+    }
+    if not no_encoder_attn:
+        p["encoder_attn"] = init_mha(ks[3], cfg.cross_attn_cfg)
+        p["encoder_attn_ln"] = init_layer_norm(cfg.embed_dim)
+    return p
+
+
+def init_decoder_layer_cache(
+    params, cfg: TransformerLayerConfig, batch: int, max_len: int, encoder_out=None,
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    from .attention import init_cache
+
+    cache = {"self": init_cache(batch, max_len, cfg.self_attn_cfg, dtype)}
+    if encoder_out is not None and "encoder_attn" in params:
+        cache["cross"] = precompute_cross_cache(
+            params["encoder_attn"], cfg.cross_attn_cfg, encoder_out
+        )
+    return cache
+
+
+def decoder_layer(
+    params,
+    cfg: TransformerLayerConfig,
+    x,
+    encoder_out=None,
+    encoder_padding_mask=None,
+    self_attn_mask=None,
+    rng: Optional[RngStream] = None,
+    deterministic: bool = True,
+    cache: Optional[Dict[str, Any]] = None,
+    cache_index=None,
+    need_attn: bool = False,
+):
+    """x: (B, T, D). Returns (x, cross_attn_weights|None, new_cache|None)."""
+    act = get_activation(cfg.activation)
+    rng = rng or RngStream(None)
+    new_cache: Optional[Dict[str, Any]] = {} if cache is not None else None
+
+    residual = x
+    if cfg.normalize_before:
+        x = layer_norm(params["self_attn_ln"], x)
+    x, _, self_cache = mha(
+        params["self_attn"],
+        cfg.self_attn_cfg,
+        x,
+        attn_mask=self_attn_mask,
+        rng=rng,
+        deterministic=deterministic,
+        cache=cache.get("self") if cache is not None else None,
+        cache_index=cache_index,
+    )
+    if new_cache is not None:
+        new_cache["self"] = self_cache
+    x = dropout(x, cfg.dropout, rng, deterministic)
+    x = residual + x
+    if not cfg.normalize_before:
+        x = layer_norm(params["self_attn_ln"], x)
+
+    attn = None
+    if "encoder_attn" in params:
+        residual = x
+        if cfg.normalize_before:
+            x = layer_norm(params["encoder_attn_ln"], x)
+        cross_cache = cache.get("cross") if cache is not None else None
+        if cross_cache is not None:
+            x, attn, _ = mha(
+                params["encoder_attn"],
+                cfg.cross_attn_cfg,
+                x,
+                key_padding_mask=encoder_padding_mask,
+                rng=rng,
+                deterministic=deterministic,
+                cache=cross_cache,
+                static_kv=True,
+                need_weights=need_attn,
+            )
+            if new_cache is not None:
+                new_cache["cross"] = cross_cache
+        else:
+            x, attn, _ = mha(
+                params["encoder_attn"],
+                cfg.cross_attn_cfg,
+                x,
+                key=encoder_out,
+                key_padding_mask=encoder_padding_mask,
+                rng=rng,
+                deterministic=deterministic,
+                need_weights=need_attn,
+            )
+        x = dropout(x, cfg.dropout, rng, deterministic)
+        x = residual + x
+        if not cfg.normalize_before:
+            x = layer_norm(params["encoder_attn_ln"], x)
+
+    residual = x
+    if cfg.normalize_before:
+        x = layer_norm(params["final_ln"], x)
+    x = act(linear(params["fc1"], x))
+    x = dropout(x, cfg.activation_dropout, rng, deterministic)
+    x = linear(params["fc2"], x)
+    x = dropout(x, cfg.dropout, rng, deterministic)
+    x = residual + x
+    if not cfg.normalize_before:
+        x = layer_norm(params["final_ln"], x)
+    return x, attn, new_cache
