@@ -1,0 +1,204 @@
+"""Generate CLI: batched decode + S/T/H/D/P records + corpus BLEU.
+
+Counterpart of fairseq_cli/generate.py:23-269: loads the model ensemble from
+checkpointed args, iterates the gen subset in fixed order, decodes with the
+task's generator and prints the fork's record format (T-/H-/D-/P- lines; S-
+only when a source dictionary exists — audio sources have none) and the
+final "Generate ... BLEU" line so outputs diff cleanly against the fork.
+"""
+
+from __future__ import annotations
+
+import ast
+import logging
+import math
+import os
+import sys
+
+import numpy as np
+
+from .. import options
+from ..data.dictionary import post_process
+from ..registry import TASKS
+from ..scoring import bleu
+from ..train import checkpoint as checkpoint_utils
+from ..train.meters import StopwatchMeter, TimeMeter
+from ..train.progress import progress_bar
+from ..utils.user_dir import import_user_module
+
+
+def main(args):
+    assert args.path is not None, "--path required for generation!"
+    assert (
+        not args.sampling or args.nbest == args.beam
+    ), "--sampling requires --nbest to be equal to --beam"
+
+    if args.results_path is not None:
+        os.makedirs(args.results_path, exist_ok=True)
+        output_path = os.path.join(
+            args.results_path, "generate-{}.txt".format(args.gen_subset)
+        )
+        with open(output_path, "w", buffering=1, encoding="utf-8") as h:
+            return _main(args, h)
+    return _main(args, sys.stdout)
+
+
+def _main(args, output_file):
+    logging.basicConfig(
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+        level=logging.INFO,
+        stream=output_file if output_file is not sys.stdout else sys.stdout,
+    )
+    logger = logging.getLogger("fbk_fairseq_st_tpu.cli.generate")
+
+    import_user_module(args)
+    if args.max_tokens is None and args.max_sentences is None:
+        args.max_tokens = 12000
+
+    # load ensemble from checkpointed args
+    logger.info("loading model(s) from {}".format(args.path))
+    overrides = ast.literal_eval(args.model_overrides)
+    # the task is set up from CLI args (needs `data` positional)
+    task = TASKS[args.task].setup_task(args)
+    task.load_dataset(args.gen_subset)
+    models, _model_args = checkpoint_utils.load_model_ensemble(
+        args.path.split(":"), arg_overrides=overrides, task=task
+    )
+
+    src_dict = getattr(task, "source_dictionary", None)
+    tgt_dict = task.target_dictionary
+
+    itr = task.get_batch_iterator(
+        dataset=task.dataset(args.gen_subset),
+        max_tokens=args.max_tokens,
+        max_sentences=args.max_sentences,
+        max_positions=task.max_positions(),
+        ignore_invalid_inputs=args.skip_invalid_size_inputs_valid_test,
+        required_batch_size_multiple=args.required_batch_size_multiple,
+        num_shards=args.num_shards,
+        shard_id=args.shard_id,
+    ).next_epoch_itr(shuffle=False)
+    progress = progress_bar(
+        itr,
+        log_format=args.log_format,
+        log_interval=args.log_interval,
+        default_log_format="none",
+    )
+
+    gen_timer = StopwatchMeter()
+    generator = task.build_generator(models, args)
+
+    if args.sacrebleu:
+        scorer = bleu.SacrebleuScorer()
+    else:
+        scorer = bleu.Scorer(tgt_dict.pad(), tgt_dict.eos(), tgt_dict.unk())
+
+    num_sentences = 0
+    wps_meter = TimeMeter()
+    for sample in progress:
+        if len(sample) == 0:
+            continue
+        prefix_tokens = None
+        if args.prefix_size > 0:
+            prefix_tokens = sample["target"][:, : args.prefix_size]
+
+        gen_timer.start()
+        hypos = task.inference_step(generator, models, sample, prefix_tokens)
+        num_generated_tokens = sum(len(h[0]["tokens"]) for h in hypos if h)
+        gen_timer.stop(num_generated_tokens)
+
+        for i, sample_id in enumerate(np.asarray(sample["id"])):
+            sample_id = int(sample_id)
+            if sample_id < 0:  # fixed-shape batch padding rows
+                continue
+            has_target = sample["target"] is not None
+            target_tokens = None
+            if has_target:
+                target_tokens = np.asarray(sample["target"][i])
+                target_tokens = target_tokens[target_tokens != tgt_dict.pad()]
+
+            src_str = ""
+            if src_dict is not None and "src_tokens" in sample["net_input"]:
+                src = np.asarray(sample["net_input"]["src_tokens"][i])
+                if src.ndim == 1:
+                    src_str = src_dict.string(src, args.remove_bpe)
+            target_str = (
+                tgt_dict.string(
+                    target_tokens, args.remove_bpe, escape_unk=True
+                )
+                if has_target
+                else None
+            )
+
+            if not args.quiet:
+                if src_str:
+                    print(f"S-{sample_id}\t{src_str}", file=output_file)
+                if has_target:
+                    print(f"T-{sample_id}\t{target_str}", file=output_file)
+
+            for j, hypo in enumerate(hypos[i][: args.nbest]):
+                hypo_tokens = hypo["tokens"]
+                hypo_str = tgt_dict.string(hypo_tokens, args.remove_bpe)
+                if not args.quiet:
+                    score = hypo["score"] / math.log(2)  # convert to base 2
+                    print(f"H-{sample_id}\t{score}\t{hypo_str}", file=output_file)
+                    print(f"D-{sample_id}\t{score}\t{hypo_str}", file=output_file)
+                    print(
+                        "P-{}\t{}".format(
+                            sample_id,
+                            " ".join(
+                                f"{x:.4f}"
+                                for x in (
+                                    hypo["positional_scores"] / math.log(2)
+                                ).tolist()
+                            ),
+                        ),
+                        file=output_file,
+                    )
+
+                if has_target and j == 0:
+                    if args.sacrebleu:
+                        scorer.add_string(target_str, hypo_str)
+                    else:
+                        scorer.add(
+                            target_tokens.astype(np.int32),
+                            np.concatenate(
+                                [hypo_tokens, []]
+                            ).astype(np.int32),
+                        )
+
+            num_sentences += 1
+        wps_meter.update(num_generated_tokens)
+        progress.log({"wps": round(wps_meter.avg)})
+
+    logger.info(
+        "NOTE: hypothesis and token scores are output in base 2"
+    )
+    logger.info(
+        "Translated {} sentences ({} tokens) in {:.1f}s ({:.2f} sentences/s, "
+        "{:.2f} tokens/s)".format(
+            num_sentences,
+            gen_timer.n,
+            gen_timer.sum,
+            num_sentences / max(gen_timer.sum, 1e-6),
+            1.0 / max(gen_timer.avg, 1e-9),
+        )
+    )
+    if num_sentences > 0:
+        logger.info(
+            "Generate {} with beam={}: {}".format(
+                args.gen_subset, args.beam, scorer.result_string()
+            )
+        )
+    return scorer
+
+
+def cli_main(input_args=None):
+    parser = options.get_generation_parser()
+    args = options.parse_args_and_arch(parser, input_args)
+    return main(args)
+
+
+if __name__ == "__main__":
+    cli_main()

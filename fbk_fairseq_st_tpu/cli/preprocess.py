@@ -1,0 +1,111 @@
+"""Text preprocessing: dictionary build + binarization.
+
+Counterpart of fairseq_cli/preprocess.py for the ST data pipeline: builds
+``dict.<lang>.txt`` (thresholds, nwords, padding_factor=8 — reference
+Dictionary.finalize) and binarizes ``<pref>.<lang>`` text into
+``<split>.<lang>.{bin,idx}`` indexed datasets — the exact inputs
+the speech tasks load (tasks/speech_recognition.py:73-84).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+from ..data.dictionary import Dictionary
+from ..data.indexed_dataset import make_builder
+from .. import options
+
+logging.basicConfig(
+    format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+    datefmt="%Y-%m-%d %H:%M:%S",
+    level=logging.INFO,
+    stream=sys.stdout,
+)
+logger = logging.getLogger("fbk_fairseq_st_tpu.cli.preprocess")
+
+
+def build_dictionary(filenames, threshold=-1, nwords=-1, padding_factor=8):
+    d = Dictionary()
+    for filename in filenames:
+        with open(filename, "r", encoding="utf-8") as f:
+            for line in f:
+                for word in line.split():
+                    d.add_symbol(word)
+                d.add_symbol(d.eos_word)
+    d.finalize(threshold=threshold, nwords=nwords, padding_factor=padding_factor)
+    return d
+
+
+def binarize(input_file, dictionary, output_prefix, impl="mmap", append_eos=True):
+    builder = make_builder(
+        output_prefix + ".bin", impl=impl, vocab_size=len(dictionary)
+    )
+    nseq, ntok, nunk = 0, 0, 0
+    with open(input_file, "r", encoding="utf-8") as f:
+        for line in f:
+            ids = dictionary.encode_line(
+                line, add_if_not_exist=False, append_eos=append_eos
+            )
+            nseq += 1
+            ntok += len(ids)
+            nunk += int((ids == dictionary.unk()).sum())
+            builder.add_item(ids)
+    builder.finalize(output_prefix + ".idx")
+    return nseq, ntok, nunk
+
+
+def main(args):
+    os.makedirs(args.destdir, exist_ok=True)
+    langs = [l for l in [args.source_lang, args.target_lang] if l is not None]
+    assert langs, "specify --source-lang and/or --target-lang"
+
+    for lang in langs:
+        dict_path = os.path.join(args.destdir, f"dict.{lang}.txt")
+        existing = args.srcdict if lang == args.source_lang else args.tgtdict
+        if existing:
+            d = Dictionary.load(existing)
+        else:
+            assert args.trainpref, "--trainpref required to build a dictionary"
+            threshold = (
+                args.thresholdsrc if lang == args.source_lang else args.thresholdtgt
+            )
+            nwords = args.nwordssrc if lang == args.source_lang else args.nwordstgt
+            d = build_dictionary(
+                [f"{args.trainpref}.{lang}"],
+                threshold=threshold,
+                nwords=nwords,
+                padding_factor=args.padding_factor,
+            )
+        d.save(dict_path)
+        logger.info(f"[{lang}] dictionary: {len(d)} types")
+
+        for pref, split in [
+            (args.trainpref, "train"),
+            (args.validpref, "valid"),
+            (args.testpref, "test"),
+        ]:
+            if pref is None:
+                continue
+            out_prefix = os.path.join(args.destdir, f"{split}.{lang}")
+            nseq, ntok, nunk = binarize(
+                f"{pref}.{lang}", d, out_prefix, impl=args.dataset_impl
+            )
+            logger.info(
+                "[{}] {}: {} sents, {} tokens, {:.3}% replaced by {}".format(
+                    lang, f"{pref}.{lang}", nseq, ntok,
+                    100.0 * nunk / max(ntok, 1), d.unk_word,
+                )
+            )
+    logger.info(f"Wrote preprocessed data to {args.destdir}")
+
+
+def cli_main(input_args=None):
+    parser = options.get_preprocessing_parser()
+    args = parser.parse_args(input_args)
+    main(args)
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -1,0 +1,263 @@
+"""Train CLI: epoch loop, validate-and-save policy, early stopping.
+
+Counterpart of fairseq_cli/train.py: main (:42), train (:157),
+validate_and_save (:214), should_stop_early (:133 — --patience), stop
+conditions on --max-epoch/--max-update and lr < --min-lr (:117).
+The multi-process spawn path disappears: one process drives the whole TPU
+mesh via pjit.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import sys
+
+import numpy as np
+
+from .. import options
+from ..data.iterators import GroupedIterator
+from ..registry import TASKS
+from ..train import checkpoint as checkpoint_utils
+from ..train import metrics
+from ..train.progress import progress_bar
+from ..train.trainer import Trainer
+from ..utils.user_dir import import_user_module
+
+logging.basicConfig(
+    format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+    datefmt="%Y-%m-%d %H:%M:%S",
+    level=logging.INFO,
+    stream=sys.stdout,
+)
+logger = logging.getLogger("fbk_fairseq_st_tpu.cli.train")
+
+
+def main(args):
+    import_user_module(args)
+    assert (
+        getattr(args, "max_tokens", None) is not None
+        or getattr(args, "max_sentences", None) is not None
+    ), "Must specify batch size either with --max-tokens or --max-sentences"
+
+    np.random.seed(args.seed)
+    checkpoint_utils.verify_checkpoint_directory(args.save_dir)
+
+    task = TASKS[args.task].setup_task(args)
+
+    # load datasets
+    for valid_sub_split in args.valid_subset.split(","):
+        if not getattr(args, "disable_validation", False):
+            task.load_dataset(valid_sub_split, combine=False, epoch=0)
+    task.load_dataset(args.train_subset, combine=True, epoch=0)
+
+    model = task.build_model(args)
+    criterion = task.build_criterion(args)
+    logger.info(f"model {args.arch}, criterion {criterion.__class__.__name__}")
+
+    trainer = Trainer(args, task, model, criterion)
+    n_params = sum(
+        int(np.prod(p.shape))
+        for p in _tree_leaves(trainer.params)
+    )
+    logger.info(f"num. model params: {n_params}")
+    logger.info(
+        "training on {} devices (mesh {})".format(
+            trainer.mesh.devices.size, dict(trainer.mesh.shape)
+        )
+    )
+
+    extra_state, epoch_itr = checkpoint_utils.load_checkpoint(args, trainer, task)
+
+    lr = trainer.get_lr()
+    max_epoch = args.max_epoch or math.inf
+    max_update = args.max_update or math.inf
+    valid_losses = [None]
+    valid_subsets = args.valid_subset.split(",")
+
+    while (
+        lr > args.min_lr
+        and epoch_itr.epoch < max_epoch
+        and trainer.get_num_updates() < max_update
+    ):
+        valid_losses = train(args, trainer, task, epoch_itr, max_update)
+        if should_stop_early(args, valid_losses[0]):
+            logger.info(
+                f"early stop since valid performance hasn't improved for "
+                f"last {args.patience} runs"
+            )
+            break
+        lr = trainer.lr_step(epoch_itr.epoch, valid_losses[0])
+        if trainer.get_num_updates() >= max_update:
+            break
+
+    logger.info("done training")
+
+
+def _tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def should_stop_early(args, valid_loss) -> bool:
+    if valid_loss is None or getattr(args, "patience", -1) <= 0:
+        return False
+
+    def is_better(a, b):
+        return a > b if args.maximize_best_checkpoint_metric else a < b
+
+    prev_best = getattr(should_stop_early, "best", None)
+    if prev_best is None or is_better(valid_loss, prev_best):
+        should_stop_early.best = valid_loss
+        should_stop_early.num_runs = 0
+        return False
+    should_stop_early.num_runs = getattr(should_stop_early, "num_runs", 0) + 1
+    return should_stop_early.num_runs >= args.patience
+
+
+def train(args, trainer, task, epoch_itr, max_update):
+    """Train for one epoch (reference fairseq_cli/train.py:157-212)."""
+    itr = epoch_itr.next_epoch_itr(
+        shuffle=(epoch_itr.epoch > args.curriculum),
+    )
+    update_freq = (
+        args.update_freq[epoch_itr.epoch - 1]
+        if epoch_itr.epoch <= len(args.update_freq)
+        else args.update_freq[-1]
+    )
+    itr = GroupedIterator(itr, update_freq)
+    progress = progress_bar(
+        itr,
+        log_format=args.log_format,
+        log_interval=args.log_interval,
+        epoch=epoch_itr.epoch,
+        tensorboard_logdir=getattr(args, "tensorboard_logdir", None),
+        default_log_format="simple",
+    )
+
+    valid_subsets = args.valid_subset.split(",")
+    valid_losses = [None]
+    with metrics.aggregate("train") as agg:
+        for samples in progress:
+            with metrics.aggregate("train_inner"):
+                log_output = trainer.train_step(samples)
+                if log_output is None:
+                    continue
+            num_updates = trainer.get_num_updates()
+            if num_updates % args.log_interval == 0:
+                stats = get_training_stats(
+                    metrics.get_smoothed_values("train_inner")
+                )
+                progress.log(stats, tag="train_inner", step=num_updates)
+                metrics.reset_meters("train_inner")
+
+            valid_losses = validate_and_save(
+                args, trainer, task, epoch_itr, valid_subsets, end_of_epoch=False
+            )
+            if trainer.get_num_updates() >= max_update:
+                break
+
+    valid_losses = validate_and_save(
+        args, trainer, task, epoch_itr, valid_subsets, end_of_epoch=True
+    )
+    stats = get_training_stats(metrics.get_smoothed_values("train"))
+    progress.print(stats, tag="train", step=trainer.get_num_updates())
+    metrics.reset_meters("train")
+    return valid_losses
+
+
+def validate_and_save(args, trainer, task, epoch_itr, valid_subsets, end_of_epoch):
+    """Reference fairseq_cli/train.py:214-253."""
+    num_updates = trainer.get_num_updates()
+    do_save = (
+        (
+            end_of_epoch
+            and epoch_itr.epoch % args.save_interval == 0
+        )
+        or (
+            args.save_interval_updates > 0
+            and num_updates > 0
+            and num_updates % args.save_interval_updates == 0
+        )
+    )
+    do_validate = (
+        (
+            (not end_of_epoch and do_save)
+            or (end_of_epoch and epoch_itr.epoch % args.validate_interval == 0)
+        )
+        and not getattr(args, "disable_validation", False)
+    )
+
+    valid_losses = [None]
+    if do_validate:
+        valid_losses = validate(args, trainer, task, epoch_itr, valid_subsets)
+    if do_save:
+        checkpoint_utils.save_checkpoint(args, trainer, epoch_itr, valid_losses[0])
+    return valid_losses
+
+
+def validate(args, trainer, task, epoch_itr, subsets):
+    """Reference fairseq_cli/train.py:255-294."""
+    valid_losses = []
+    for subset in subsets:
+        itr = task.get_batch_iterator(
+            dataset=task.dataset(subset),
+            max_tokens=getattr(args, "max_tokens_valid", None) or args.max_tokens,
+            max_sentences=getattr(args, "max_sentences_valid", None)
+            or args.max_sentences,
+            max_positions=task.max_positions(),
+            ignore_invalid_inputs=True,
+            required_batch_size_multiple=args.required_batch_size_multiple,
+            seed=args.seed,
+        ).next_epoch_itr(shuffle=False)
+        progress = progress_bar(
+            itr,
+            log_format=args.log_format,
+            log_interval=args.log_interval,
+            epoch=epoch_itr.epoch,
+            prefix=f"valid on '{subset}' subset",
+            tensorboard_logdir=getattr(args, "tensorboard_logdir", None),
+            default_log_format="simple",
+        )
+        with metrics.aggregate(new_root=True) as agg:
+            for sample in progress:
+                trainer.valid_step(sample)
+        stats = get_valid_stats(args, trainer, agg.get_smoothed_values())
+        progress.print(stats, tag=subset, step=trainer.get_num_updates())
+        valid_losses.append(stats[args.best_checkpoint_metric])
+    return valid_losses
+
+
+def get_training_stats(stats):
+    if "nll_loss" in stats and "ppl" not in stats:
+        from ..criterions.base import get_perplexity
+
+        stats["ppl"] = get_perplexity(stats["nll_loss"])
+    stats["wall"] = round(metrics.get_meter("default", "wall").elapsed_time, 0)
+    return stats
+
+
+def get_valid_stats(args, trainer, stats):
+    if "nll_loss" in stats and "ppl" not in stats:
+        from ..criterions.base import get_perplexity
+
+        stats["ppl"] = get_perplexity(stats["nll_loss"])
+    stats["num_updates"] = trainer.get_num_updates()
+    key = "best_" + args.best_checkpoint_metric
+    if hasattr(checkpoint_utils._manager, "best") and checkpoint_utils._manager.best is not None:
+        best_function = max if args.maximize_best_checkpoint_metric else min
+        stats[key] = best_function(
+            checkpoint_utils._manager.best, stats[args.best_checkpoint_metric]
+        )
+    return stats
+
+
+def cli_main(input_args=None):
+    parser = options.get_training_parser()
+    args = options.parse_args_and_arch(parser, input_args)
+    main(args)
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -1,0 +1,135 @@
+"""Token-budget batch packing + TPU shape bucketing.
+
+``batch_by_size`` reproduces the reference algorithm exactly
+(fairseq/data/data_utils_fast.pyx:27-68: grow the batch while
+(len+1)*max_len <= max_tokens, respect max_sentences, split at the largest
+multiple of bsz_mult) so batch composition — and therefore training curves —
+match the fork.
+
+``shape_bucket`` is the TPU layer on top: given a batch's raw (src_len,
+tgt_len, bsz), pick padded targets from a geometric grid so the number of
+distinct compiled shapes is O(log(max_len)^2) instead of O(#batches).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+def _is_batch_full(batch_len: int, num_tokens: int, max_tokens: int, max_sentences: int) -> bool:
+    if batch_len == 0:
+        return False
+    if max_sentences > 0 and batch_len == max_sentences:
+        return True
+    if max_tokens > 0 and num_tokens > max_tokens:
+        return True
+    return False
+
+
+def batch_by_size(
+    indices: Sequence[int],
+    num_tokens_fn: Callable[[int], int],
+    max_tokens: Optional[int] = None,
+    max_sentences: Optional[int] = None,
+    required_batch_size_multiple: int = 1,
+) -> List[List[int]]:
+    max_tokens = max_tokens if max_tokens is not None else -1
+    max_sentences = max_sentences if max_sentences is not None else -1
+    bsz_mult = required_batch_size_multiple
+
+    sample_len = 0
+    sample_lens: List[int] = []
+    batch: List[int] = []
+    batches: List[List[int]] = []
+
+    for idx in indices:
+        idx = int(idx)
+        num_tokens = num_tokens_fn(idx)
+        sample_lens.append(num_tokens)
+        sample_len = max(sample_len, num_tokens)
+        assert max_tokens <= 0 or sample_len <= max_tokens, (
+            f"sentence at index {idx} of size {sample_len} exceeds max_tokens "
+            f"limit of {max_tokens}!"
+        )
+        num_tokens = (len(batch) + 1) * sample_len
+        if _is_batch_full(len(batch), num_tokens, max_tokens, max_sentences):
+            mod_len = max(
+                bsz_mult * (len(batch) // bsz_mult),
+                len(batch) % bsz_mult,
+            )
+            batches.append(batch[:mod_len])
+            batch = batch[mod_len:]
+            sample_lens = sample_lens[mod_len:]
+            sample_len = max(sample_lens) if sample_lens else 0
+        batch.append(idx)
+    if batch:
+        batches.append(batch)
+    return batches
+
+
+def filter_by_size(
+    indices: np.ndarray,
+    size_fn: Callable[[int], object],
+    max_positions,
+    raise_exception: bool = False,
+):
+    """Drop indices whose size exceeds max_positions (component-wise for
+    tuple sizes; reference fairseq/data/data_utils.py:163-198)."""
+
+    def check(idx) -> bool:
+        size = size_fn(idx)
+        if isinstance(size, (int, float, np.integer, np.floating)):
+            mp = (
+                max_positions
+                if isinstance(max_positions, (int, float))
+                else max_positions[0]
+            )
+            return size <= mp
+        if isinstance(max_positions, (int, float)):
+            return all(s <= max_positions for s in size)
+        return all(
+            s <= mp for s, mp in zip(size, max_positions) if mp is not None
+        )
+
+    keep, ignored = [], []
+    for idx in indices:
+        (keep if check(int(idx)) else ignored).append(int(idx))
+    if ignored and raise_exception:
+        raise Exception(
+            f"Size of sample #{ignored[0]} is invalid (={size_fn(ignored[0])}) "
+            f"since max_positions={max_positions}, skip this example with "
+            f"--skip-invalid-size-inputs-valid-test"
+        )
+    return np.array(keep, dtype=np.int64), ignored
+
+
+class ShapeBucketer:
+    """Round lengths up to a closed geometric grid of pad targets.
+
+    Grid: {min_size * growth^k} clipped to max_size, plus max_size itself.
+    growth=2^(1/2) keeps padding waste under ~30% worst case while bounding
+    the distinct-shape count (and thus XLA compilations).
+    """
+
+    def __init__(self, min_size: int = 8, max_size: int = 4096, growth: float = 2 ** 0.5):
+        sizes = []
+        s = float(min_size)
+        while s < max_size:
+            sizes.append(int(math.ceil(s)))
+            s *= growth
+        sizes.append(int(max_size))
+        # dedupe ascending
+        self.sizes = sorted(set(sizes))
+
+    def bucket(self, n: int) -> int:
+        for s in self.sizes:
+            if n <= s:
+                return s
+        return self.sizes[-1]
+
+
+def num_shapes_estimate(bucketer: ShapeBucketer) -> int:
+    return len(bucketer.sizes)

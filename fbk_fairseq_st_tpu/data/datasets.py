@@ -1,0 +1,304 @@
+"""Dataset ABC, collation, and speech<->text datasets (host-side NumPy).
+
+Mirrors the reference contracts:
+  * FairseqDataset (fairseq/data/fairseq_dataset.py): collater / num_tokens /
+    size / ordered_indices / set_epoch;
+  * collate_tokens (fairseq/data/data_utils.py:27-48) incl.
+    move_eos_to_beginning for prev_output_tokens;
+  * per-utterance CMVN (examples/speech_recognition/data/data_utils.py:9-24);
+  * Seq2SeqCollater batch layout (examples/speech_recognition/data/
+    collaters.py): {id, ntokens, nsentences, net_input:{src_tokens,
+    src_lengths, prev_output_tokens}, target, target_lengths}, samples
+    sorted by descending frame count within the batch.
+
+TPU addition: every collater takes optional fixed pad targets
+(``pad_to_src_len`` / ``pad_to_tgt_len`` / ``pad_to_bsz``) so the bucketized
+iterator can emit a small closed set of shapes — XLA compiles one graph per
+bucket instead of one per batch.
+"""
+
+from __future__ import annotations
+
+import bisect
+from typing import List, Optional
+
+import numpy as np
+
+
+class Dataset:
+    """Base dataset (reference FairseqDataset)."""
+
+    def __getitem__(self, index: int):
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def collater(self, samples):
+        raise NotImplementedError
+
+    def num_tokens(self, index: int) -> int:
+        raise NotImplementedError
+
+    def size(self, index: int):
+        raise NotImplementedError
+
+    def ordered_indices(self) -> np.ndarray:
+        return np.arange(len(self), dtype=np.int64)
+
+    @property
+    def supports_prefetch(self) -> bool:
+        return False
+
+    def prefetch(self, indices) -> None:
+        pass
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+
+def collate_tokens(
+    values: List[np.ndarray],
+    pad_idx: int,
+    eos_idx: Optional[int] = None,
+    left_pad: bool = False,
+    move_eos_to_beginning: bool = False,
+    pad_to_length: Optional[int] = None,
+) -> np.ndarray:
+    """Pad a list of 1-D token arrays into a 2-D batch
+    (reference fairseq/data/data_utils.py:27-48)."""
+    size = max(len(v) for v in values)
+    if pad_to_length is not None:
+        size = max(size, pad_to_length)
+    res = np.full((len(values), size), pad_idx, dtype=np.int64)
+
+    for i, v in enumerate(values):
+        v = np.asarray(v)
+        if move_eos_to_beginning:
+            assert v[-1] == eos_idx
+            dst = np.empty_like(v)
+            dst[0] = eos_idx
+            dst[1:] = v[:-1]
+        else:
+            dst = v
+        if left_pad:
+            res[i, size - len(v):] = dst
+        else:
+            res[i, : len(v)] = dst
+    return res
+
+
+def collate_frames(
+    frames: List[np.ndarray], pad_to_length: Optional[int] = None
+) -> np.ndarray:
+    """Pad (T_i, F) float arrays into (B, T_max, F) zero-filled."""
+    len_max = max(f.shape[0] for f in frames)
+    if pad_to_length is not None:
+        len_max = max(len_max, pad_to_length)
+    f_dim = frames[0].shape[1]
+    res = np.zeros((len(frames), len_max, f_dim), dtype=frames[0].dtype)
+    for i, v in enumerate(frames):
+        res[i, : v.shape[0]] = v
+    return res
+
+
+def apply_mv_norm(features: np.ndarray) -> np.ndarray:
+    """Per-utterance CMVN (reference examples/.../data/data_utils.py:9-24;
+    torch biased-var semantics with var ddof=1)."""
+    mean = features.mean(0)
+    var = features.var(0, ddof=1)
+    eps = 1e-8
+    if (var < eps).any():
+        inv = 1.0 / (np.sqrt(var) + eps)
+    else:
+        inv = 1.0 / np.sqrt(var)
+    return ((features - mean) * inv).astype(features.dtype)
+
+
+class Seq2SeqCollater:
+    """Speech->text batch assembly (reference collaters.py:21-140)."""
+
+    def __init__(
+        self,
+        pad_index: int = 1,
+        eos_index: int = 2,
+        move_eos_to_beginning: bool = True,
+    ):
+        self.pad_index = pad_index
+        self.eos_index = eos_index
+        self.move_eos_to_beginning = move_eos_to_beginning
+
+    def collate(
+        self,
+        samples,
+        pad_to_src_len: Optional[int] = None,
+        pad_to_tgt_len: Optional[int] = None,
+        pad_to_bsz: Optional[int] = None,
+    ):
+        samples = [s for s in samples if s.get("source") is not None]
+        if len(samples) == 0:
+            return {}
+
+        ids = np.array([s["id"] for s in samples], dtype=np.int64)
+        frames = collate_frames([s["source"] for s in samples], pad_to_src_len)
+        frames_lengths = np.array(
+            [s["source"].shape[0] for s in samples], dtype=np.int64
+        )
+        # sort by descending number of frames (reference collaters.py:88-92)
+        sort_order = np.argsort(-frames_lengths, kind="stable")
+        ids = ids[sort_order]
+        frames = frames[sort_order]
+        frames_lengths = frames_lengths[sort_order]
+
+        target = target_lengths = prev_output_tokens = None
+        if samples[0].get("target") is not None:
+            ntokens = sum(len(s["target"]) for s in samples)
+            target = collate_tokens(
+                [s["target"] for s in samples],
+                self.pad_index,
+                self.eos_index,
+                pad_to_length=pad_to_tgt_len,
+            )[sort_order]
+            target_lengths = np.array(
+                [len(s["target"]) for s in samples], dtype=np.int64
+            )[sort_order]
+            prev_output_tokens = collate_tokens(
+                [s["target"] for s in samples],
+                self.pad_index,
+                self.eos_index,
+                move_eos_to_beginning=self.move_eos_to_beginning,
+                pad_to_length=pad_to_tgt_len,
+            )[sort_order]
+        else:
+            ntokens = sum(s["source"].shape[0] for s in samples)
+
+        nsentences = len(samples)
+        if pad_to_bsz is not None and pad_to_bsz > nsentences:
+            extra = pad_to_bsz - nsentences
+
+            def pad_rows(a, fill):
+                if a is None:
+                    return None
+                pad_shape = (extra,) + a.shape[1:]
+                return np.concatenate(
+                    [a, np.full(pad_shape, fill, dtype=a.dtype)], axis=0
+                )
+
+            ids = pad_rows(ids, -1)
+            frames = pad_rows(frames, 0.0)
+            frames_lengths = pad_rows(frames_lengths, 0)
+            target = pad_rows(target, self.pad_index)
+            target_lengths = pad_rows(target_lengths, 0)
+            prev_output_tokens = pad_rows(prev_output_tokens, self.pad_index)
+
+        batch = {
+            "id": ids,
+            "ntokens": ntokens,
+            "nsentences": nsentences,
+            "net_input": {
+                "src_tokens": frames,
+                "src_lengths": frames_lengths,
+            },
+            "target": target,
+            "target_lengths": target_lengths,
+        }
+        if prev_output_tokens is not None:
+            batch["net_input"]["prev_output_tokens"] = prev_output_tokens
+        return batch
+
+
+class FilterBankToTextDataset(Dataset):
+    """Precomputed filterbanks + target text
+    (reference fbank_dataset.py:17-152)."""
+
+    def __init__(self, src_dataset, tgt_dataset, tgt_dict, skip_normalization=False):
+        if tgt_dataset is not None:
+            assert len(src_dataset) == len(tgt_dataset)
+        self.src_dataset = src_dataset
+        self.tgt_dataset = tgt_dataset
+        self.tgt_dict = tgt_dict
+        self.skip_normalization = skip_normalization
+        self.s2s_collater = Seq2SeqCollater(
+            pad_index=tgt_dict.pad(), eos_index=tgt_dict.eos()
+        )
+
+    def __getitem__(self, index):
+        src_item = np.asarray(self.src_dataset[index])
+        if not self.skip_normalization:
+            src_item = apply_mv_norm(src_item)
+        tgt_item = (
+            np.asarray(self.tgt_dataset[index])
+            if self.tgt_dataset is not None
+            else None
+        )
+        return {"id": index, "source": src_item, "target": tgt_item}
+
+    def __len__(self):
+        return len(self.src_dataset)
+
+    def collater(self, samples, **pad_kwargs):
+        return self.s2s_collater.collate(samples, **pad_kwargs)
+
+    def num_tokens(self, index):
+        return self.src_dataset.size(index)
+
+    def size(self, index):
+        return (
+            self.src_dataset.size(index),
+            self.tgt_dataset.size(index) if self.tgt_dataset is not None else 0,
+        )
+
+    @property
+    def sizes(self):
+        return (
+            self.tgt_dataset.sizes if self.tgt_dataset is not None else None
+        )
+
+    def src_sizes(self) -> np.ndarray:
+        return np.array(
+            [self.src_dataset.size(i) for i in range(len(self))], dtype=np.int64
+        )
+
+    def ordered_indices(self):
+        return np.arange(len(self), dtype=np.int64)
+
+
+class ConcatDataset(Dataset):
+    """Concatenation of datasets (reference fairseq/data/concat_dataset.py,
+    sample_ratios=1 case)."""
+
+    def __init__(self, datasets):
+        assert len(datasets) > 0
+        self.datasets = list(datasets)
+        self.cumulative_sizes = np.cumsum([len(d) for d in self.datasets])
+
+    def _index(self, idx):
+        ds_idx = bisect.bisect_right(self.cumulative_sizes, idx)
+        offset = self.cumulative_sizes[ds_idx - 1] if ds_idx > 0 else 0
+        return ds_idx, idx - offset
+
+    def __getitem__(self, idx):
+        ds_idx, sample_idx = self._index(idx)
+        return self.datasets[ds_idx][sample_idx]
+
+    def __len__(self):
+        return int(self.cumulative_sizes[-1])
+
+    def collater(self, samples, **kwargs):
+        return self.datasets[0].collater(samples, **kwargs)
+
+    def num_tokens(self, index):
+        ds_idx, sample_idx = self._index(index)
+        return self.datasets[ds_idx].num_tokens(sample_idx)
+
+    def size(self, index):
+        ds_idx, sample_idx = self._index(index)
+        return self.datasets[ds_idx].size(sample_idx)
+
+    @property
+    def sizes(self):
+        parts = [
+            d.sizes if hasattr(d, "sizes") else np.array([d.size(i) for i in range(len(d))])
+            for d in self.datasets
+        ]
+        return np.concatenate(parts)

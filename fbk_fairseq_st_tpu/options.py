@@ -1,0 +1,343 @@
+"""Grouped argparse parsers + the two-pass parse (reference
+fairseq/options.py).
+
+``parse_args_and_arch`` (:81-196 in the reference) parses once to learn
+--task/--arch/--criterion/--optimizer/--lr-scheduler, adds that component's
+flags, parses again, then applies the architecture preset so checkpointed
+args namespaces match the fork's.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+from . import registry
+
+
+def get_preprocessing_parser(default_task="translation"):
+    parser = get_parser("Preprocessing", default_task)
+    add_preprocess_args(parser)
+    return parser
+
+
+def get_training_parser(default_task="speech_recognition"):
+    parser = get_parser("Trainer", default_task)
+    add_dataset_args(parser, train=True)
+    add_distributed_training_args(parser)
+    add_model_args(parser)
+    add_optimization_args(parser)
+    add_checkpoint_args(parser)
+    return parser
+
+
+def get_generation_parser(interactive=False, default_task="speech_recognition"):
+    parser = get_parser("Generation", default_task)
+    add_dataset_args(parser, gen=True)
+    add_generation_args(parser)
+    if interactive:
+        add_interactive_args(parser)
+    return parser
+
+
+def get_validation_parser(default_task="speech_recognition"):
+    parser = get_parser("Validation", default_task)
+    add_dataset_args(parser, train=True)
+    group = parser.add_argument_group("Evaluation")
+    group.add_argument("--path", metavar="FILE", help="path(s) to model file(s)")
+    return parser
+
+
+def eval_str_list(x, type=float):
+    if x is None:
+        return None
+    if isinstance(x, str):
+        import ast
+
+        x = ast.literal_eval(x)
+    try:
+        return list(map(type, x))
+    except TypeError:
+        return [type(x)]
+
+
+def get_parser(desc: str, default_task: str = "speech_recognition"):
+    parser = argparse.ArgumentParser(allow_abbrev=False, description=desc)
+    # common args (reference options.py get_parser)
+    parser.add_argument("--no-progress-bar", action="store_true", help="disable progress bar")
+    parser.add_argument("--log-interval", type=int, default=100, metavar="N",
+                        help="log progress every N batches")
+    parser.add_argument("--log-format", default=None,
+                        choices=["json", "none", "simple", "tqdm"])
+    parser.add_argument("--tensorboard-logdir", metavar="DIR", default="",
+                        help="path to save logs for tensorboard")
+    parser.add_argument("--seed", default=1, type=int, metavar="N",
+                        help="pseudo random number generator seed")
+    parser.add_argument("--cpu", action="store_true", help="use CPU instead of TPU")
+    parser.add_argument("--fp16", action="store_true",
+                        help="use mixed precision (bfloat16 on TPU)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="use bfloat16 compute (params stay fp32)")
+    parser.add_argument("--user-dir", default=None,
+                        help="path to a python module containing custom "
+                        "extensions (tasks and/or architectures)")
+    parser.add_argument("--empty-cache-freq", default=0, type=int,
+                        help="how often to clear the XLA compilation cache (unused; parity flag)")
+    parser.add_argument("--task", metavar="TASK", default=default_task,
+                        help="task")
+    parser.add_argument("--criterion", default="cross_entropy",
+                        metavar="CRIT")
+    parser.add_argument("--optimizer", default="nag", metavar="OPT")
+    parser.add_argument("--lr-scheduler", default="fixed", metavar="SCHED")
+    return parser
+
+
+def add_preprocess_args(parser):
+    group = parser.add_argument_group("Preprocessing")
+    group.add_argument("-s", "--source-lang", default=None, metavar="SRC")
+    group.add_argument("-t", "--target-lang", default=None, metavar="TARGET")
+    group.add_argument("--trainpref", metavar="FP", default=None)
+    group.add_argument("--validpref", metavar="FP", default=None)
+    group.add_argument("--testpref", metavar="FP", default=None)
+    group.add_argument("--destdir", metavar="DIR", default="data-bin")
+    group.add_argument("--thresholdtgt", metavar="N", default=0, type=int)
+    group.add_argument("--thresholdsrc", metavar="N", default=0, type=int)
+    group.add_argument("--tgtdict", metavar="FP", default=None)
+    group.add_argument("--srcdict", metavar="FP", default=None)
+    group.add_argument("--nwordstgt", metavar="N", default=-1, type=int)
+    group.add_argument("--nwordssrc", metavar="N", default=-1, type=int)
+    group.add_argument("--only-source", action="store_true")
+    group.add_argument("--padding-factor", metavar="N", default=8, type=int)
+    group.add_argument("--dataset-impl", metavar="FORMAT", default="mmap",
+                       choices=["raw", "lazy", "cached", "mmap"])
+    group.add_argument("--joined-dictionary", action="store_true")
+    group.add_argument("--workers", metavar="N", default=1, type=int)
+    return group
+
+
+def add_dataset_args(parser, train=False, gen=False):
+    group = parser.add_argument_group("Dataset and data loading")
+    group.add_argument("--num-workers", default=1, type=int, metavar="N",
+                       help="how many subprocesses to use for data loading")
+    group.add_argument("--skip-invalid-size-inputs-valid-test", action="store_true",
+                       help="ignore too-long or too-short lines in valid and test set")
+    group.add_argument("--max-tokens", type=int, metavar="N",
+                       help="maximum number of tokens in a batch")
+    group.add_argument("--max-sentences", "--batch-size", type=int, metavar="N",
+                       help="maximum number of sentences in a batch")
+    group.add_argument("--required-batch-size-multiple", default=8, type=int, metavar="N",
+                       help="batch size will be a multiplier of this value")
+    group.add_argument("--dataset-impl", metavar="FORMAT",
+                       choices=["raw", "lazy", "cached", "mmap"],
+                       help="output dataset implementation")
+    group.add_argument("--data-buffer-size", default=2, type=int,
+                       help="number of batches to preload")
+    if train:
+        group.add_argument("--train-subset", default="train", metavar="SPLIT",
+                           help="data subset to use for training")
+        group.add_argument("--valid-subset", default="valid", metavar="SPLIT",
+                           help="comma separated list of data subsets to use for validation")
+        group.add_argument("--validate-interval", type=int, default=1, metavar="N",
+                           help="validate every N epochs")
+        group.add_argument("--fixed-validation-seed", default=None, type=int, metavar="N")
+        group.add_argument("--disable-validation", action="store_true")
+        group.add_argument("--max-tokens-valid", type=int, metavar="N")
+        group.add_argument("--max-sentences-valid", type=int, metavar="N")
+        group.add_argument("--curriculum", default=0, type=int, metavar="N")
+    if gen:
+        group.add_argument("--gen-subset", default="test", metavar="SPLIT",
+                           help="data subset to generate (train, valid, test)")
+        group.add_argument("--num-shards", default=1, type=int, metavar="N")
+        group.add_argument("--shard-id", default=0, type=int, metavar="ID")
+    return group
+
+
+def add_distributed_training_args(parser):
+    group = parser.add_argument_group("Distributed training")
+    group.add_argument("--distributed-world-size", type=int, metavar="N",
+                       default=None, help="total number of chips (default: all)")
+    group.add_argument("--distributed-rank", default=0, type=int)
+    group.add_argument("--model-parallel-size", type=int, metavar="N", default=1,
+                       help="size of the 'model' mesh axis (tensor parallelism)")
+    group.add_argument("--ddp-backend", default="pjit", help="parity flag; always pjit")
+    return group
+
+
+def add_optimization_args(parser):
+    group = parser.add_argument_group("Optimization")
+    group.add_argument("--max-epoch", "--me", default=0, type=int, metavar="N",
+                       help="force stop training at specified epoch")
+    group.add_argument("--max-update", "--mu", default=0, type=int, metavar="N",
+                       help="force stop training at specified update")
+    group.add_argument("--clip-norm", default=25, type=float, metavar="NORM",
+                       help="clip threshold of gradients")
+    group.add_argument("--sentence-avg", action="store_true",
+                       help="normalize gradients by the number of sentences in a batch"
+                       " (default is to normalize by number of tokens)")
+    group.add_argument("--update-freq", default="1", metavar="N1,N2,...,N_K",
+                       type=lambda uf: eval_str_list(uf, type=int),
+                       help="update parameters every N_i batches, when in epoch i")
+    group.add_argument("--lr", "--learning-rate", default="0.25", metavar="LR_1,LR_2,...,LR_N",
+                       type=lambda lr: eval_str_list(lr, type=float),
+                       help="learning rate for the first N epochs")
+    group.add_argument("--min-lr", default=-1, type=float, metavar="LR",
+                       help="stop training when the learning rate reaches this minimum")
+    group.add_argument("--use-bmuf", default=False, action="store_true")
+    return group
+
+
+def add_checkpoint_args(parser):
+    group = parser.add_argument_group("Checkpointing")
+    group.add_argument("--save-dir", metavar="DIR", default="checkpoints",
+                       help="path to save checkpoints")
+    group.add_argument("--restore-file", default="checkpoint_last.pt",
+                       help="filename from which to load checkpoint")
+    group.add_argument("--reset-dataloader", action="store_true")
+    group.add_argument("--reset-lr-scheduler", action="store_true")
+    group.add_argument("--reset-meters", action="store_true")
+    group.add_argument("--reset-optimizer", action="store_true")
+    group.add_argument("--optimizer-overrides", default="{}", type=str, metavar="DICT")
+    group.add_argument("--save-interval", type=int, default=1, metavar="N",
+                       help="save a checkpoint every N epochs")
+    group.add_argument("--save-interval-updates", type=int, default=0, metavar="N",
+                       help="save a checkpoint (and validate) every N updates")
+    group.add_argument("--keep-interval-updates", type=int, default=-1, metavar="N")
+    group.add_argument("--keep-last-epochs", type=int, default=-1, metavar="N")
+    group.add_argument("--keep-best-checkpoints", type=int, default=-1, metavar="N")
+    group.add_argument("--no-save", action="store_true")
+    group.add_argument("--no-epoch-checkpoints", action="store_true")
+    group.add_argument("--no-last-checkpoints", action="store_true")
+    group.add_argument("--no-save-optimizer-state", action="store_true")
+    group.add_argument("--best-checkpoint-metric", type=str, default="loss")
+    group.add_argument("--maximize-best-checkpoint-metric", action="store_true")
+    group.add_argument("--patience", type=int, default=-1, metavar="N",
+                       help="early stop training if valid performance doesn't "
+                       "improve for N consecutive validation runs")
+    return group
+
+
+def add_model_args(parser):
+    group = parser.add_argument_group("Model configuration")
+    group.add_argument("--arch", "-a", default="fconv", metavar="ARCH",
+                       help="model architecture")
+    return group
+
+
+def add_generation_args(parser):
+    group = parser.add_argument_group("Generation")
+    group.add_argument("--path", metavar="FILE",
+                       help="path(s) to model file(s), colon separated")
+    group.add_argument("--remove-bpe", "--post-process", nargs="?", const="@@ ",
+                       default=None, help="remove BPE tokens before scoring")
+    group.add_argument("--quiet", action="store_true",
+                       help="only print final scores")
+    group.add_argument("--model-overrides", default="{}", type=str, metavar="DICT")
+    group.add_argument("--results-path", metavar="RESDIR", type=str, default=None)
+    group.add_argument("--beam", default=5, type=int, metavar="N",
+                       help="beam size")
+    group.add_argument("--nbest", default=1, type=int, metavar="N",
+                       help="number of hypotheses to output")
+    group.add_argument("--max-len-a", default=0, type=float, metavar="N")
+    group.add_argument("--max-len-b", default=200, type=int, metavar="N",
+                       help="generate sequences of maximum length ax + b")
+    group.add_argument("--min-len", default=1, type=float, metavar="N")
+    group.add_argument("--match-source-len", default=False, action="store_true")
+    group.add_argument("--no-early-stop", action="store_true")
+    group.add_argument("--unnormalized", action="store_true",
+                       help="compare unnormalized hypothesis scores")
+    group.add_argument("--no-beamable-mm", action="store_true")
+    group.add_argument("--lenpen", default=1, type=float,
+                       help="length penalty: >1.0 favors longer sentences")
+    group.add_argument("--unkpen", default=0, type=float,
+                       help="unknown word penalty")
+    group.add_argument("--replace-unk", nargs="?", const=True, default=None)
+    group.add_argument("--sacrebleu", action="store_true",
+                       help="score with sacrebleu")
+    group.add_argument("--score-reference", action="store_true",
+                       help="just score the reference translation")
+    group.add_argument("--prefix-size", default=0, type=int, metavar="PS",
+                       help="initialize generation by target prefix of given length")
+    group.add_argument("--no-repeat-ngram-size", default=0, type=int, metavar="N",
+                       help="ngram blocking such that this size ngram cannot be repeated")
+    group.add_argument("--sampling", action="store_true",
+                       help="sample hypotheses instead of using beam search")
+    group.add_argument("--sampling-topk", default=-1, type=int, metavar="PS",
+                       help="sample from top K likely next words")
+    group.add_argument("--sampling-topp", default=-1.0, type=float, metavar="PS",
+                       help="sample from the smallest set of words whose cumulative "
+                       "probability mass exceeds p")
+    group.add_argument("--temperature", default=1.0, type=float, metavar="N",
+                       help="temperature for generation")
+    group.add_argument("--diverse-beam-groups", default=-1, type=int, metavar="N")
+    group.add_argument("--diverse-beam-strength", default=0.5, type=float, metavar="N")
+    group.add_argument("--diversity-rate", default=-1.0, type=float, metavar="N")
+    group.add_argument("--print-alignment", action="store_true")
+    group.add_argument("--print-step", action="store_true")
+    return group
+
+
+def add_interactive_args(parser):
+    group = parser.add_argument_group("Interactive")
+    group.add_argument("--buffer-size", default=0, type=int, metavar="N")
+    group.add_argument("--input", default="-", type=str, metavar="FILE")
+    return group
+
+
+def parse_args_and_arch(
+    parser: argparse.ArgumentParser,
+    input_args: Optional[List[str]] = None,
+    parse_known: bool = False,
+):
+    """Two-pass parse (reference options.py:81-196)."""
+    # eagerly import --user-dir components so their registrations exist
+    usr_parser = argparse.ArgumentParser(add_help=False, allow_abbrev=False)
+    usr_parser.add_argument("--user-dir", default=None)
+    usr_args, _ = usr_parser.parse_known_args(input_args)
+    from .utils.user_dir import import_user_module
+
+    import_user_module(usr_args)
+
+    # 1st pass: learn component choices
+    args, _ = parser.parse_known_args(input_args)
+
+    # add model-specific args into a SUPPRESS group: unset flags never enter
+    # the namespace, so arch presets' getattr back-fill works (reference
+    # options.py:134-141)
+    if hasattr(args, "arch") and (
+        args.arch in registry.ARCHITECTURES or args.arch in registry.MODELS
+    ):
+        model_specific_group = parser.add_argument_group(
+            "Model-specific configuration",
+            argument_default=argparse.SUPPRESS,
+        )
+        if args.arch in registry.ARCHITECTURES:
+            model_name, _ = registry.ARCHITECTURES[args.arch]
+        else:
+            model_name = args.arch
+        registry.MODELS[model_name].add_args(model_specific_group)
+
+    # add component args
+    for registry_obj, attr in [
+        (registry.TASKS, "task"),
+        (registry.CRITERIONS, "criterion"),
+        (registry.OPTIMIZERS, "optimizer"),
+        (registry.LR_SCHEDULERS, "lr_scheduler"),
+    ]:
+        name = getattr(args, attr, None)
+        if name is not None and name in registry_obj:
+            registry_obj.add_args(name, parser)
+
+    # 2nd pass
+    if parse_known:
+        args, extra = parser.parse_known_args(input_args)
+    else:
+        args = parser.parse_args(input_args)
+        extra = None
+
+    # apply arch defaults
+    if getattr(args, "arch", None) in registry.ARCHITECTURES:
+        registry.apply_architecture(args)
+
+    if parse_known:
+        return args, extra
+    return args

@@ -1,0 +1,2 @@
+from . import checkpoint, metrics  # noqa: F401
+from .trainer import Trainer  # noqa: F401
