@@ -1,4 +1,4 @@
 """Criterion registry package."""
 
 from .base import Criterion  # noqa: F401
-from . import label_smoothed_cross_entropy  # noqa: F401
+from . import ctc, label_smoothed_cross_entropy  # noqa: F401

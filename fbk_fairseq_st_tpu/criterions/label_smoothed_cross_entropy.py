@@ -89,14 +89,18 @@ class LabelSmoothedCrossEntropyCriterion(Criterion):
 class CrossEntropyCriterion(Criterion):
     """Plain NLL (fairseq/criterions/cross_entropy.py)."""
 
-    def __call__(self, model, variables, batch, rng=None, training=False):
-        net_output, new_state = model.forward(variables, batch, rng, training)
+    def compute_loss(self, model, net_output, batch):
         lprobs = model.get_normalized_probs(net_output, log_probs=True)
         lprobs = lprobs.reshape(-1, lprobs.shape[-1])
         target = batch["target"].reshape(-1)
         nll = -jnp.take_along_axis(lprobs, target[:, None], axis=-1)[:, 0]
         nll = nll * (target != self.padding_idx)
         loss = jnp.sum(nll)
+        return loss, loss
+
+    def __call__(self, model, variables, batch, rng=None, training=False):
+        net_output, new_state = model.forward(variables, batch, rng, training)
+        loss, _ = self.compute_loss(model, net_output, batch)
         ntokens = jnp.sum(batch["target"] != self.padding_idx)
         nsentences = batch["target"].shape[0]
         sample_size = jnp.asarray(nsentences) if self.sentence_avg else ntokens

@@ -263,6 +263,84 @@ class FilterBankToTextDataset(Dataset):
         return np.arange(len(self), dtype=np.int64)
 
 
+class TranscriptionWrapperDataset(Dataset):
+    """Adds transcript targets to each batch
+    (reference examples/speech_recognition/data/transcription_dataset.py):
+    batches gain ``transcript_target``, ``transcript_target_lengths`` and
+    ``net_input.transcript_prev_output_tokens``, row-aligned with the frame
+    sort order of the wrapped collater."""
+
+    def __init__(self, tgt_dataset, transcription_dataset, transcription_dict):
+        self.tgt_dataset = tgt_dataset
+        self.transcription_dataset = transcription_dataset
+        self.transcription_dict = transcription_dict
+
+    def __getitem__(self, index):
+        item = self.tgt_dataset[index]
+        item["transcript_target"] = np.asarray(self.transcription_dataset[index])
+        return item
+
+    def __len__(self):
+        return len(self.tgt_dataset)
+
+    def collater(self, samples, pad_to_src_len=None, pad_to_tgt_len=None, pad_to_bsz=None):
+        batch = self.tgt_dataset.collater(
+            samples,
+            pad_to_src_len=pad_to_src_len,
+            pad_to_tgt_len=pad_to_tgt_len,
+            pad_to_bsz=pad_to_bsz,
+        )
+        if len(batch) == 0:
+            return {}
+        # align transcript rows with the wrapped collater's sort order via ids
+        id_to_pos = {s["id"]: i for i, s in enumerate(samples)}
+        order = [
+            id_to_pos[int(i)] for i in batch["id"] if int(i) in id_to_pos
+        ]
+        transcripts = [samples[i]["transcript_target"] for i in order]
+        lens = np.array([len(t) for t in transcripts], dtype=np.int64)
+        tt = collate_tokens(
+            transcripts,
+            self.transcription_dict.pad(),
+            self.transcription_dict.eos(),
+            pad_to_length=pad_to_tgt_len,
+        )
+        prev = collate_tokens(
+            transcripts,
+            self.transcription_dict.pad(),
+            self.transcription_dict.eos(),
+            move_eos_to_beginning=True,
+            pad_to_length=pad_to_tgt_len,
+        )
+        n_rows = batch["target"].shape[0] if batch.get("target") is not None else len(order)
+        if n_rows > len(order):  # fixed-shape bsz padding rows
+            extra = n_rows - len(order)
+            tt = np.concatenate(
+                [tt, np.full((extra, tt.shape[1]), self.transcription_dict.pad(), tt.dtype)]
+            )
+            prev = np.concatenate(
+                [prev, np.full((extra, prev.shape[1]), self.transcription_dict.pad(), prev.dtype)]
+            )
+            lens = np.concatenate([lens, np.zeros(extra, lens.dtype)])
+        batch["transcript_target"] = tt
+        batch["transcript_target_lengths"] = lens
+        batch["net_input"]["transcript_prev_output_tokens"] = prev
+        return batch
+
+    def num_tokens(self, index):
+        return self.tgt_dataset.num_tokens(index)
+
+    def size(self, index):
+        return self.tgt_dataset.size(index)
+
+    @property
+    def sizes(self):
+        return self.tgt_dataset.sizes
+
+    def ordered_indices(self):
+        return self.tgt_dataset.ordered_indices()
+
+
 class ConcatDataset(Dataset):
     """Concatenation of datasets (reference fairseq/data/concat_dataset.py,
     sample_ratios=1 case)."""

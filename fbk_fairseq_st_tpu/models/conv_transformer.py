@@ -62,7 +62,8 @@ class ConvTransformerEncoderConfig(NamedTuple):
     layernorm_embedding: bool = False
     distance_penalty: Optional[str] = None  # 'log' | 'gauss'
     init_variance: float = 1.0
-    # CTC compression (EACL 2021)
+    # CTC auxiliary output + EACL-2021 compression
+    ctc_out_enabled: bool = False  # emit ctc logits at layer k (ctc_multi_loss)
     ctc_compress_out: bool = False
     ctc_encoder_layer: int = 4
     ctc_compress_strategy: str = "avg"
@@ -111,7 +112,7 @@ class ConvTransformerEncoder:
             p["final_ln"] = init_layer_norm(cfg.embed_dim)
         if cfg.layernorm_embedding:
             p["layernorm_embedding"] = init_layer_norm(cfg.embed_dim)
-        if cfg.ctc_compress_out:
+        if cfg.ctc_out_enabled:
             p["ctc_fc"] = init_linear(ks[-1], cfg.embed_dim, cfg.ctc_vocab_size)
         state = {"frontend": frontend_state}
         return p, state
@@ -162,15 +163,16 @@ class ConvTransformerEncoder:
                 rng=rng,
                 deterministic=deterministic,
             )
-            if cfg.ctc_compress_out and cfg.ctc_encoder_layer == i + 1:
+            if cfg.ctc_out_enabled and cfg.ctc_encoder_layer == i + 1:
                 ctc_logits = linear(params["ctc_fc"], x)
                 ctc_out = ctc_logits
                 ctc_padding_mask = padding_mask
                 ctc_lengths = lengths
-                x, lengths = ctc_compress(
-                    x, ctc_logits, lengths, cfg.ctc_compress_strategy
-                )
-                padding_mask = lengths_to_padding_mask(lengths, x.shape[1])
+                if cfg.ctc_compress_out:
+                    x, lengths = ctc_compress(
+                        x, ctc_logits, lengths, cfg.ctc_compress_strategy
+                    )
+                    padding_mask = lengths_to_padding_mask(lengths, x.shape[1])
 
         if "final_ln" in params:
             x = layer_norm(params["final_ln"], x)
@@ -374,6 +376,13 @@ def configs_from_args(args, task):
         layernorm_embedding=getattr(args, "layernorm_embedding", False),
         distance_penalty=distance_penalty,
         init_variance=getattr(args, "init_variance", 1.0),
+        # ctc_fc lives in the model both for compression and for plain
+        # ctc_multi_loss (the layout raw_state_dict_upgrade migrates to,
+        # reference conv_transformer.py:105-112)
+        ctc_out_enabled=(
+            getattr(args, "ctc_compress_out", False)
+            or getattr(args, "criterion", None) == "ctc_multi_loss"
+        ),
         ctc_compress_out=getattr(args, "ctc_compress_out", False),
         ctc_encoder_layer=getattr(args, "ctc_encoder_layer", 4),
         ctc_compress_strategy=getattr(args, "ctc_compress_strategy", "avg"),

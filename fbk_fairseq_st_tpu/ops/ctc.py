@@ -148,8 +148,18 @@ def ctc_loss(
         label_paddings,
         blank_id=blank_id,
     )
-    # zero_infinity semantics: infeasible alignments contribute 0
-    per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
+    # zero_infinity semantics (torch F.ctc_loss): infeasible alignments
+    # contribute 0. A CTC alignment is infeasible iff
+    # T < L + #consecutive-duplicate-pairs (optax returns a large
+    # log_epsilon-scaled penalty rather than inf, so detect structurally).
+    valid_lab = jnp.arange(l)[None, :] < label_lengths[:, None]
+    repeats = jnp.sum(
+        (labels[:, 1:] == labels[:, :-1]) & valid_lab[:, 1:], axis=1
+    )
+    feasible = logit_lengths >= (label_lengths + repeats)
+    per_seq = jnp.where(
+        feasible & jnp.isfinite(per_seq), per_seq, 0.0
+    )
     return jnp.sum(per_seq)
 
 

@@ -327,6 +327,20 @@ def parse_args_and_arch(
         if name is not None and name in registry_obj:
             registry_obj.add_args(name, parser)
 
+    # composite criterions (ctc_multi_loss) delegate to an underlying
+    # criterion whose flags must also be parseable
+    args2, _ = parser.parse_known_args(input_args)
+    underlying = getattr(args2, "underlying_criterion", None)
+    if underlying and underlying in registry.CRITERIONS:
+        group = parser.add_argument_group(
+            "Underlying criterion configuration",
+            argument_default=argparse.SUPPRESS,
+        )
+        try:
+            registry.CRITERIONS.add_args(underlying, group)
+        except argparse.ArgumentError:
+            pass  # flag already registered by the outer criterion
+
     # 2nd pass
     if parse_known:
         args, extra = parser.parse_known_args(input_args)

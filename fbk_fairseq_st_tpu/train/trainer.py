@@ -69,8 +69,35 @@ class Trainer:
             "model_state": variables["state"],
             "opt_state": opt_state,
         }
-        # replicate state over the mesh
-        self.train_state = jax.device_put(self.train_state, replicated(self.mesh))
+        # place state on the mesh: params follow the Megatron-style TP rules
+        # when the 'model' axis is >1, everything else is replicated; GSPMD
+        # propagates these shardings through the train step and inserts the
+        # collectives (grad all-reduce over 'data', activation collectives
+        # over 'model')
+        use_tp = self.mesh.shape.get("model", 1) > 1
+        from ..parallel.mesh import param_sharding
+
+        p_shard = param_sharding(self.mesh, variables["params"], use_tp=use_tp)
+        self.train_state["params"] = jax.device_put(
+            self.train_state["params"], p_shard
+        )
+        self.train_state["model_state"] = jax.device_put(
+            self.train_state["model_state"], replicated(self.mesh)
+        )
+        if use_tp:
+            # optimizer moment trees mirror the param tree; shard any leaf
+            # whose shape matches its param's
+            def opt_spec(leaf):
+                return replicated(self.mesh)
+
+            self.train_state["opt_state"] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, replicated(self.mesh)),
+                self.train_state["opt_state"],
+            )
+        else:
+            self.train_state["opt_state"] = jax.device_put(
+                self.train_state["opt_state"], replicated(self.mesh)
+            )
 
         self._num_updates = 0
         self.clip_norm = getattr(args, "clip_norm", 0.0) or 0.0
@@ -172,12 +199,17 @@ class Trainer:
 
     @staticmethod
     def _device_batch(sample) -> Optional[Dict[str, Any]]:
-        """Collated host batch -> flat device batch dict."""
-        if not sample or sample.get("target") is None and "net_input" not in sample:
+        """Collated host batch -> flat device batch dict (net_input fields
+        plus every array-valued auxiliary target: target, target_lengths,
+        transcript_*, teacher_output, ...)."""
+        if not sample or "net_input" not in sample:
             return None
         b = dict(sample["net_input"])
-        if sample.get("target") is not None:
-            b["target"] = sample["target"]
+        for k, v in sample.items():
+            if k in ("net_input", "id", "ntokens", "nsentences"):
+                continue
+            if v is not None and hasattr(v, "ndim"):
+                b[k] = v
         return b
 
     def _step_rng(self):
