@@ -1,4 +1,8 @@
 """Criterion registry package."""
 
 from .base import Criterion  # noqa: F401
-from . import ctc, label_smoothed_cross_entropy  # noqa: F401
+from . import (  # noqa: F401
+    cross_entropy_dualdecoder,
+    ctc,
+    label_smoothed_cross_entropy,
+)

@@ -59,12 +59,16 @@ class EnsembleModel:
             for (model, variables), enc in zip(self.models, encoder_outs)
         ]
 
-    def forward_decoder(self, tokens, encoder_outs, caches, step, temperature=1.0):
+    def forward_decoder(
+        self, tokens, encoder_outs, caches, step, temperature=1.0, **decode_kwargs
+    ):
         """tokens: (BK, 1). Returns (avg lprobs (BK, V), new caches)."""
         lprobs_all = []
         new_caches = []
         for (model, variables), enc, cache in zip(self.models, encoder_outs, caches):
-            logits, new_cache, _ = model.decode_step(variables, tokens, cache, step, enc)
+            logits, new_cache, _ = model.decode_step(
+                variables, tokens, cache, step, enc, **decode_kwargs
+            )
             logits = logits.astype(jnp.float32)
             if temperature != 1.0:
                 logits = logits / temperature
@@ -178,18 +182,44 @@ class SequenceGenerator:
             return jax.device_get(self._jit_cache[key](batch, prefix_tokens))
         return jax.device_get(self._jit_cache[key](batch))
 
-    def _generate_impl(self, ensemble, batch, max_len: int, prefix_tokens):
+    def _generate_impl(
+        self,
+        ensemble,
+        batch,
+        max_len: int,
+        prefix_tokens,
+        init_scores=None,
+        beam_ctx=None,
+        encoder_outs=None,
+        caches=None,
+    ):
+        """Core fixed-shape beam loop.
+
+        Extensions for hierarchical (two-phase) decoding:
+          * init_scores (B, K): per-beam step-0 cumulative score offsets
+            (the transcript scores of HierarchicalBeamSearch,
+            twophase_sequence_generator.py:22-50) — beams are NOT collapsed
+            to beam 0 at step 0 when given;
+          * beam_ctx: dict of (B*K, ...) per-beam tensors (e.g. the aux
+            padding mask) threaded through the loop and reordered with the
+            beams; passed to decode_step as keyword args;
+          * caches/encoder_outs may be precomputed by the caller.
+        The finalized output carries ``fin_origin``: the initial-beam index
+        each hypothesis descends from (which transcript produced it).
+        """
         bsz = batch["src_tokens"].shape[0]
         K = self.beam_size
         T = max_len + 2
         V = self.vocab_size
 
-        encoder_outs = ensemble.forward_encoder(batch)
-        # replicate each sentence K times: order [s0 x K, s1 x K, ...]
-        new_order = jnp.repeat(jnp.arange(bsz), K)
-        encoder_outs = [reorder_encoder_out(e, new_order) for e in encoder_outs]
+        if encoder_outs is None:
+            encoder_outs = ensemble.forward_encoder(batch)
+            # replicate each sentence K times: order [s0 x K, s1 x K, ...]
+            new_order = jnp.repeat(jnp.arange(bsz), K)
+            encoder_outs = [reorder_encoder_out(e, new_order) for e in encoder_outs]
         dtype = encoder_outs[0].encoder_out.dtype
-        caches = ensemble.init_caches(encoder_outs, bsz * K, T, dtype)
+        if caches is None:
+            caches = ensemble.init_caches(encoder_outs, bsz * K, T, dtype)
 
         tokens = jnp.full((bsz, K, T), self.pad, jnp.int32)
         tokens = tokens.at[:, :, 0].set(self.eos)
@@ -199,8 +229,10 @@ class SequenceGenerator:
         fin_cum = jnp.zeros((bsz, K, T), jnp.float32)
         fin_score = jnp.full((bsz, K), -jnp.inf, jnp.float32)
         fin_len = jnp.zeros((bsz, K), jnp.int32)
+        fin_origin = jnp.zeros((bsz, K), jnp.int32)
         fin_count = jnp.zeros((bsz,), jnp.int32)
         finished = jnp.zeros((bsz,), bool)
+        origin = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :], (bsz, 1))
 
         rng0 = jax.random.PRNGKey(self.seed)
 
@@ -211,8 +243,10 @@ class SequenceGenerator:
             step = state["step"]
             flat_tokens = state["tokens"].reshape(bsz * K, T)
             cur = jax.lax.dynamic_slice_in_dim(flat_tokens, step, 1, axis=1)
+            decode_kwargs = dict(state["beam_ctx"]) if beam_ctx is not None else {}
             lprobs, new_caches = ensemble.forward_decoder(
-                cur, encoder_outs, state["caches"], step, self.temperature
+                cur, encoder_outs, state["caches"], step, self.temperature,
+                **decode_kwargs,
             )
             lprobs = lprobs.reshape(bsz, K, V)
 
@@ -270,10 +304,17 @@ class SequenceGenerator:
             prev_cum = jax.lax.dynamic_slice_in_dim(
                 state["scores"], jnp.maximum(step - 1, 0), 1, axis=2
             )[:, :, 0]
-            prev_cum = jnp.where(step == 0, jnp.zeros_like(prev_cum), prev_cum)
+            if init_scores is not None:
+                # hierarchical step 0: every beam active, seeded with its
+                # transcript score (HierarchicalBeamSearch.step)
+                prev_cum = jnp.where(step == 0, init_scores, prev_cum)
+                search_step = jnp.maximum(step, 1)
+            else:
+                prev_cum = jnp.where(step == 0, jnp.zeros_like(prev_cum), prev_cum)
+                search_step = step
 
             rng = jax.random.fold_in(rng0, step)
-            out: SearchOutput = self.search.step(step, lprobs, prev_cum, rng)
+            out: SearchOutput = self.search.step(search_step, lprobs, prev_cum, rng)
             cand_scores, cand_tokens, cand_beams = out
 
             # ---- finalization (reference :316-350, :483-545) ----
@@ -319,6 +360,10 @@ class SequenceGenerator:
                 jnp.full_like(slot_safe, step + 2),
                 slot_safe,
             )
+            cand_origin = jnp.take_along_axis(state["origin"], cand_beams, axis=1)
+            fin_origin = jax.vmap(lambda b, r, s: b.at[s].set(r, mode="drop"))(
+                state["fin_origin"], cand_origin, slot_safe
+            )
             fin_count = state["fin_count"] + jnp.sum(
                 valid_fin.astype(jnp.int32), axis=1
             )
@@ -357,12 +402,17 @@ class SequenceGenerator:
                 step_pos == step, sel_scores[:, :, None], new_scores
             )
 
+            new_origin = jnp.take_along_axis(state["origin"], sel_beams, axis=1)
+
             # frozen rows for finished sentences
             fmask = state["finished"][:, None, None]
             new_tokens = jnp.where(fmask, state["tokens"], new_tokens)
             new_scores = jnp.where(fmask, state["scores"], new_scores)
             new_blacklist = jnp.where(
                 state["finished"][:, None], state["blacklist"], new_blacklist
+            )
+            new_origin = jnp.where(
+                state["finished"][:, None], state["origin"], new_origin
             )
 
             # reorder incremental caches: flat (B*K) gather
@@ -377,19 +427,27 @@ class SequenceGenerator:
             new_caches = jax.tree_util.tree_map(
                 lambda x: jnp.take(x, flat_order, axis=0), new_caches
             )
+            new_beam_ctx = state["beam_ctx"]
+            if beam_ctx is not None:
+                new_beam_ctx = jax.tree_util.tree_map(
+                    lambda x: jnp.take(x, flat_order, axis=0), state["beam_ctx"]
+                )
 
             return {
                 "step": step + 1,
                 "tokens": new_tokens,
                 "scores": new_scores,
                 "blacklist": new_blacklist,
+                "origin": new_origin,
                 "fin_tokens": fin_tokens,
                 "fin_cum": fin_cum,
                 "fin_score": fin_score,
                 "fin_len": fin_len,
+                "fin_origin": fin_origin,
                 "fin_count": fin_count,
                 "finished": finished,
                 "caches": new_caches,
+                "beam_ctx": new_beam_ctx,
             }
 
         state = {
@@ -397,18 +455,24 @@ class SequenceGenerator:
             "tokens": tokens,
             "scores": scores,
             "blacklist": blacklist,
+            "origin": origin,
             "fin_tokens": fin_tokens,
             "fin_cum": fin_cum,
             "fin_score": fin_score,
             "fin_len": fin_len,
+            "fin_origin": fin_origin,
             "fin_count": fin_count,
             "finished": finished,
             "caches": caches,
+            "beam_ctx": beam_ctx if beam_ctx is not None else {},
         }
         state = jax.lax.while_loop(cond, body, state)
         return {
             k: state[k]
-            for k in ("fin_tokens", "fin_cum", "fin_score", "fin_len", "fin_count")
+            for k in (
+                "fin_tokens", "fin_cum", "fin_score", "fin_len",
+                "fin_origin", "fin_count",
+            )
         }
 
     # ------------------------------------------------------------------
@@ -425,15 +489,16 @@ class SequenceGenerator:
                 toks = fin["fin_tokens"][b, k, 1:length]  # drop initial eos
                 cum = fin["fin_cum"][b, k, : length - 1]
                 pos_scores = np.diff(np.concatenate([[0.0], cum]))
-                hypos.append(
-                    {
-                        "tokens": np.asarray(toks),
-                        "score": float(fin["fin_score"][b, k]),
-                        "positional_scores": pos_scores.astype(np.float32),
-                        "alignment": None,
-                        "attention": None,
-                    }
-                )
+                hypo = {
+                    "tokens": np.asarray(toks),
+                    "score": float(fin["fin_score"][b, k]),
+                    "positional_scores": pos_scores.astype(np.float32),
+                    "alignment": None,
+                    "attention": None,
+                }
+                if "fin_origin" in fin:
+                    hypo["origin"] = int(fin["fin_origin"][b, k])
+                hypos.append(hypo)
             hypos.sort(key=lambda h: -h["score"])
             results.append(hypos)
         return results

@@ -4,5 +4,6 @@ from .base import EncoderOut, Model, reorder_encoder_out  # noqa: F401
 from .transformer_decoder import (  # noqa: F401
     TransformerDecoder,
     TransformerDecoderConfig,
+    TriangleTransformerDecoder,
 )
-from . import conv_transformer  # noqa: F401
+from . import conv_transformer, multi_task  # noqa: F401

@@ -230,3 +230,111 @@ class TransformerDecoder:
 
     def max_positions(self) -> int:
         return self.cfg.max_positions
+
+
+class TriangleTransformerDecoder(TransformerDecoder):
+    """Decoder whose layers add a second cross-attention over the auxiliary
+    (transcript) decoder states (reference conv_transformer_triangle.py
+    TriangleTransformerDecoder + modules/triangle_transformer_layer.py)."""
+
+    def init(self, key) -> Dict[str, Any]:
+        from ..ops.transformer_layer import init_triangle_decoder_layer
+
+        p = super().init(key)
+        cfg = self.cfg
+        ks = jax.random.split(jax.random.fold_in(key, 777), cfg.layers)
+        p["layers"] = [
+            init_triangle_decoder_layer(ks[i], cfg.layer_cfg)
+            for i in range(cfg.layers)
+        ]
+        return p
+
+    def __call__(
+        self,
+        params,
+        prev_output_tokens,
+        encoder_out=None,
+        encoder_padding_mask=None,
+        aux_decoder_out=None,
+        aux_decoder_padding_mask=None,
+        rng: Optional[RngStream] = None,
+        deterministic: bool = True,
+        features_only: bool = False,
+        need_attn: bool = False,
+    ):
+        from ..ops.transformer_layer import triangle_decoder_layer
+
+        rng = rng or RngStream(None)
+        dtype = encoder_out.dtype if encoder_out is not None else jnp.float32
+        x = self._embed(params, prev_output_tokens, dtype, rng, deterministic)
+        mask = causal_mask(x.shape[1])
+        for lp in params["layers"]:
+            x, _, _ = triangle_decoder_layer(
+                lp,
+                self.cfg.layer_cfg,
+                x,
+                encoder_out=encoder_out,
+                encoder_padding_mask=encoder_padding_mask,
+                aux_decoder_out=aux_decoder_out,
+                aux_decoder_padding_mask=aux_decoder_padding_mask,
+                self_attn_mask=mask,
+                rng=rng,
+                deterministic=deterministic,
+            )
+        if "final_ln" in params:
+            x = layer_norm(params["final_ln"], x)
+        if features_only:
+            return x, {"attn": None}
+        return self.output_layer(params, x), {"attn": None}
+
+    def init_cache(
+        self,
+        params,
+        batch: int,
+        max_len: int,
+        encoder_out=None,
+        dtype=jnp.float32,
+        aux_out=None,
+    ):
+        from ..ops.transformer_layer import init_triangle_decoder_layer_cache
+
+        return [
+            init_triangle_decoder_layer_cache(
+                lp, self.cfg.layer_cfg, batch, max_len, encoder_out, aux_out, dtype
+            )
+            for lp in params["layers"]
+        ]
+
+    def step(
+        self,
+        params,
+        tokens,
+        cache,
+        step_index,
+        encoder_padding_mask=None,
+        aux_decoder_padding_mask=None,
+        need_attn: bool = False,
+    ):
+        from ..ops.transformer_layer import triangle_decoder_layer
+
+        dtype = cache[0]["self"]["k"].dtype
+        rng = RngStream(None)
+        x = self._embed(params, tokens, dtype, rng, True, step=step_index)
+        new_cache = []
+        for lp, lc in zip(params["layers"], cache):
+            x, _, nc = triangle_decoder_layer(
+                lp,
+                self.cfg.layer_cfg,
+                x,
+                encoder_padding_mask=encoder_padding_mask,
+                aux_decoder_padding_mask=aux_decoder_padding_mask,
+                rng=rng,
+                deterministic=True,
+                cache=lc,
+                cache_index=step_index,
+            )
+            new_cache.append(nc)
+        if "final_ln" in params:
+            x = layer_norm(params["final_ln"], x)
+        logits = self.output_layer(params, x)[:, 0, :]
+        return logits, new_cache, None

@@ -149,6 +149,132 @@ def init_decoder_layer_cache(
     return cache
 
 
+def init_triangle_decoder_layer(key, cfg: TransformerLayerConfig):
+    """Triangle decoder layer (IWSLT 2021; reference modules/
+    triangle_transformer_layer.py:16-51): a second cross-attention over the
+    auxiliary-decoder states, fused with encoder cross-attention output by
+    fc_concat."""
+    k1, k2 = jax.random.split(key)
+    p = init_decoder_layer(k1, cfg, no_encoder_attn=False)
+    ka, kf = jax.random.split(k2)
+    p["aux_decoder_attn"] = init_mha(ka, cfg.cross_attn_cfg)
+    p["aux_decoder_attn_ln"] = init_layer_norm(cfg.embed_dim)
+    p["fc_concat"] = init_linear(kf, cfg.embed_dim * 2, cfg.embed_dim)
+    return p
+
+
+def init_triangle_decoder_layer_cache(
+    params, cfg: TransformerLayerConfig, batch: int, max_len: int,
+    encoder_out=None, aux_out=None, dtype=jnp.float32,
+):
+    cache = init_decoder_layer_cache(params, cfg, batch, max_len, encoder_out, dtype)
+    if aux_out is not None:
+        cache["aux"] = precompute_cross_cache(
+            params["aux_decoder_attn"], cfg.cross_attn_cfg, aux_out
+        )
+    return cache
+
+
+def triangle_decoder_layer(
+    params,
+    cfg: TransformerLayerConfig,
+    x,
+    encoder_out=None,
+    encoder_padding_mask=None,
+    aux_decoder_out=None,
+    aux_decoder_padding_mask=None,
+    self_attn_mask=None,
+    rng: Optional[RngStream] = None,
+    deterministic: bool = True,
+    cache: Optional[Dict[str, Any]] = None,
+    cache_index=None,
+):
+    """Triangle layer forward (reference triangle_transformer_layer.py
+    :52-210): self-attn, then parallel encoder + aux-decoder cross-attns
+    (each dropout'd) concatenated and fused by fc_concat, then FFN.
+    Pre-norm uses encoder_attn_ln before the pair; post-norm applies
+    aux_decoder_attn_ln after the fused residual."""
+    act = get_activation(cfg.activation)
+    rng = rng or RngStream(None)
+    new_cache: Optional[Dict[str, Any]] = {} if cache is not None else None
+
+    residual = x
+    if cfg.normalize_before:
+        x = layer_norm(params["self_attn_ln"], x)
+    x, _, self_cache = mha(
+        params["self_attn"],
+        cfg.self_attn_cfg,
+        x,
+        attn_mask=self_attn_mask,
+        rng=rng,
+        deterministic=deterministic,
+        cache=cache.get("self") if cache is not None else None,
+        cache_index=cache_index,
+    )
+    if new_cache is not None:
+        new_cache["self"] = self_cache
+    x = dropout(x, cfg.dropout, rng, deterministic)
+    x = residual + x
+    if not cfg.normalize_before:
+        x = layer_norm(params["self_attn_ln"], x)
+
+    residual = x
+    if cfg.normalize_before:
+        x = layer_norm(params["encoder_attn_ln"], x)
+    cross_cache = cache.get("cross") if cache is not None else None
+    if cross_cache is not None:
+        x1, _, _ = mha(
+            params["encoder_attn"], cfg.cross_attn_cfg, x,
+            key_padding_mask=encoder_padding_mask,
+            rng=rng, deterministic=deterministic,
+            cache=cross_cache, static_kv=True,
+        )
+        if new_cache is not None:
+            new_cache["cross"] = cross_cache
+    else:
+        x1, _, _ = mha(
+            params["encoder_attn"], cfg.cross_attn_cfg, x,
+            key=encoder_out, key_padding_mask=encoder_padding_mask,
+            rng=rng, deterministic=deterministic,
+        )
+    x1 = dropout(x1, cfg.dropout, rng, deterministic)
+
+    aux_cache = cache.get("aux") if cache is not None else None
+    if aux_cache is not None:
+        x2, _, _ = mha(
+            params["aux_decoder_attn"], cfg.cross_attn_cfg, x,
+            key_padding_mask=aux_decoder_padding_mask,
+            rng=rng, deterministic=deterministic,
+            cache=aux_cache, static_kv=True,
+        )
+        if new_cache is not None:
+            new_cache["aux"] = aux_cache
+    else:
+        x2, _, _ = mha(
+            params["aux_decoder_attn"], cfg.cross_attn_cfg, x,
+            key=aux_decoder_out, key_padding_mask=aux_decoder_padding_mask,
+            rng=rng, deterministic=deterministic,
+        )
+    x2 = dropout(x2, cfg.dropout, rng, deterministic)
+
+    x = linear(params["fc_concat"], jnp.concatenate([x1, x2], axis=-1))
+    x = residual + x
+    if not cfg.normalize_before:
+        x = layer_norm(params["aux_decoder_attn_ln"], x)
+
+    residual = x
+    if cfg.normalize_before:
+        x = layer_norm(params["final_ln"], x)
+    x = act(linear(params["fc1"], x))
+    x = dropout(x, cfg.activation_dropout, rng, deterministic)
+    x = linear(params["fc2"], x)
+    x = dropout(x, cfg.dropout, rng, deterministic)
+    x = residual + x
+    if not cfg.normalize_before:
+        x = layer_norm(params["final_ln"], x)
+    return x, None, new_cache
+
+
 def decoder_layer(
     params,
     cfg: TransformerLayerConfig,

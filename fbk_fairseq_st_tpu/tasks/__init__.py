@@ -1,4 +1,8 @@
 """Task registry package. Tasks are registered on import."""
 
 from .base import Task  # noqa: F401
-from . import speech_recognition, speech_translation_ctc  # noqa: F401
+from . import (  # noqa: F401
+    speech_recognition,
+    speech_translation_ctc,
+    speech_translation_dualdecoding,
+)
