@@ -43,6 +43,14 @@ def main(args):
     np.random.seed(args.seed)
     checkpoint_utils.verify_checkpoint_directory(args.save_dir)
 
+    # fresh global state per run (the reference gets this from one process
+    # per run; here several CLI runs may share a process, e.g. in tests)
+    metrics.reset()
+    checkpoint_utils._manager.best = None
+    for attr in ("best", "num_runs"):
+        if hasattr(should_stop_early, attr):
+            delattr(should_stop_early, attr)
+
     task = TASKS[args.task].setup_task(args)
 
     # load datasets

@@ -61,6 +61,8 @@ class Criterion:
 
 
 def get_perplexity(loss_base2) -> float:
+    if loss_base2 is None:
+        return 0.0
     try:
         return float(round(2 ** loss_base2, 2))
     except OverflowError:
