@@ -5,4 +5,5 @@ from . import (  # noqa: F401
     cross_entropy_dualdecoder,
     ctc,
     label_smoothed_cross_entropy,
+    label_smoothed_cross_entropy_ctx_reg,
 )

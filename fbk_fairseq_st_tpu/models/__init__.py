@@ -6,4 +6,4 @@ from .transformer_decoder import (  # noqa: F401
     TransformerDecoderConfig,
     TriangleTransformerDecoder,
 )
-from . import conv_transformer, multi_task  # noqa: F401
+from . import conv_transformer, conv_transformer_context, multi_task  # noqa: F401

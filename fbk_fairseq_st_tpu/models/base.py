@@ -28,6 +28,10 @@ class EncoderOut(NamedTuple):
     ctc_out: Optional[jax.Array] = None  # (B, T_ctc, V_src)
     ctc_padding_mask: Optional[jax.Array] = None  # (B, T_ctc)
     ctc_lengths: Optional[jax.Array] = None  # (B,)
+    # context-aware extras (INTERSPEECH 2020) — ride the EncoderOut so
+    # generators replicate/reorder them with the rest of the encoder state
+    context_out: Optional[jax.Array] = None  # (B, T_ctx, C)
+    context_padding_mask: Optional[jax.Array] = None  # (B, T_ctx)
 
 
 def reorder_encoder_out(encoder_out: EncoderOut, new_order) -> EncoderOut:

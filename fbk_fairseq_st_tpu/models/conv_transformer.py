@@ -212,7 +212,7 @@ class ConvolutionalTransformerModel(Model):
     # -- CLI glue -----------------------------------------------------------
 
     @staticmethod
-    def add_args(parser):
+    def add_args(parser, include_freeze_pretrained: bool = True):
         from .transformer_args import add_transformer_args
 
         parser.add_argument(
@@ -251,10 +251,11 @@ class ConvolutionalTransformerModel(Model):
             choices=["avg", "weighted", "softmax"],
             help="Strategy to use when compressing CTC output",
         )
-        parser.add_argument(
-            "--freeze-pretrained", action="store_true",
-            help="if set, all params loaded from the pretrained model are freezed",
-        )
+        if include_freeze_pretrained:
+            parser.add_argument(
+                "--freeze-pretrained", action="store_true",
+                help="if set, all params loaded from the pretrained model are freezed",
+            )
 
     @classmethod
     def build_model(cls, args, task):

@@ -3,6 +3,7 @@
 from .base import Task  # noqa: F401
 from . import (  # noqa: F401
     speech_recognition,
+    speech_recognition_context,
     speech_translation_ctc,
     speech_translation_dualdecoding,
 )

@@ -103,6 +103,26 @@ class Trainer:
         self.clip_norm = getattr(args, "clip_norm", 0.0) or 0.0
         self._dummy_count = 0
 
+        # frozen-parameter mask (models loading pretrained components expose
+        # frozen_param_filter; reference freeze semantics
+        # conv_transformer.py:114-121, conv_transformer_context.py:88-96)
+        self._grad_mask = None
+        if hasattr(model, "frozen_param_filter"):
+            from ..parallel.mesh import _path_str
+
+            def mask_leaf(path, leaf):
+                frozen = model.frozen_param_filter(_path_str(path))
+                return jnp.zeros_like(leaf) if frozen else jnp.ones_like(leaf)
+
+            mask = jax.tree_util.tree_map_with_path(
+                mask_leaf, self.train_state["params"]
+            )
+            if any(
+                float(jnp.min(m)) == 0.0
+                for m in jax.tree_util.tree_leaves(mask)
+            ):
+                self._grad_mask = mask
+
         self._fused_step = jax.jit(
             self._fused_step_impl, donate_argnums=(0,),
         )
@@ -140,6 +160,8 @@ class Trainer:
         return grads, loss, sample_size, logging_output, new_model_state
 
     def _apply_grads(self, train_state, grads, sample_size, lr, new_model_state):
+        if self._grad_mask is not None:
+            grads = jax.tree_util.tree_map(jnp.multiply, grads, self._grad_mask)
         # normalize by global sample_size (trainer.py:423-433)
         denom = jnp.maximum(sample_size.astype(jnp.float32), 1.0)
         grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
