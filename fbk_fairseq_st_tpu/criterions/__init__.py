@@ -3,7 +3,9 @@
 from .base import Criterion  # noqa: F401
 from . import (  # noqa: F401
     cross_entropy_dualdecoder,
+    cross_entropy_multi_task,
     ctc,
+    knowledge_distillation,
     label_smoothed_cross_entropy,
     label_smoothed_cross_entropy_ctx_reg,
 )

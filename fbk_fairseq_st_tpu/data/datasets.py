@@ -412,6 +412,167 @@ class ContextAwareDataset(Dataset):
         return self.dataset.ordered_indices()
 
 
+class MultiTaskDataset(Dataset):
+    """Adds a per-utterance auxiliary classification target
+    (reference examples/speech_recognition/data/multitask_dataset.py)."""
+
+    def __init__(self, base_dataset, auxiliary_targets):
+        self.base_dataset = base_dataset
+        self.auxiliary_targets = auxiliary_targets
+
+    def __getitem__(self, index):
+        item = self.base_dataset[index]
+        item["auxiliary_target"] = np.asarray(self.auxiliary_targets[index])
+        return item
+
+    def __len__(self):
+        return len(self.base_dataset)
+
+    def collater(self, samples, **pad_kwargs):
+        batch = self.base_dataset.collater(samples, **pad_kwargs)
+        if len(batch) == 0:
+            return {}
+        id_to_pos = {s["id"]: i for i, s in enumerate(samples)}
+        order = [id_to_pos[int(i)] for i in batch["id"] if int(i) in id_to_pos]
+        aux = np.stack([samples[i]["auxiliary_target"] for i in order])
+        n_rows = batch["net_input"]["src_tokens"].shape[0]
+        if n_rows > len(order):
+            aux = np.concatenate(
+                [aux, np.zeros((n_rows - len(order),) + aux.shape[1:], aux.dtype)]
+            )
+        batch["auxiliary_target"] = aux
+        return batch
+
+    def num_tokens(self, index):
+        return self.base_dataset.num_tokens(index)
+
+    def size(self, index):
+        return self.base_dataset.size(index)
+
+    @property
+    def sizes(self):
+        return self.base_dataset.sizes
+
+    def ordered_indices(self):
+        return self.base_dataset.ordered_indices()
+
+
+class LangtokFilterBanksToTextDataset(Dataset):
+    """Language-token wrapper (reference examples/speech_recognition/data/
+    langtok_fbank_dataset.py): tags batches with the encoder langtok name
+    and rewrites the decoder's first prev token to the target langtok id."""
+
+    def __init__(self, wrapped_ds, lang_for_token=None, tgt_bos=None, tgt_langtok=None):
+        self.wrapped_ds = wrapped_ds
+        self.lang_for_token = lang_for_token
+        self.tgt_bos = tgt_bos
+        self.tgt_langtok = tgt_langtok
+
+    def __getitem__(self, index):
+        return self.wrapped_ds[index]
+
+    def __len__(self):
+        return len(self.wrapped_ds)
+
+    def collater(self, samples, **pad_kwargs):
+        batch = self.wrapped_ds.collater(samples, **pad_kwargs)
+        if len(batch) == 0:
+            return {}
+        batch["net_input"]["langtok"] = self.lang_for_token
+        if (
+            self.tgt_langtok is not None
+            and "prev_output_tokens" in batch["net_input"]
+        ):
+            prev = batch["net_input"]["prev_output_tokens"]
+            # fixed-shape bsz padding rows keep pad at position 0
+            is_real = prev[:, 0] == self.tgt_bos
+            assert ((prev[:, 0] == self.tgt_bos) | (prev[:, 0] == 1)).all()
+            prev[is_real, 0] = self.tgt_langtok
+        return batch
+
+    def num_tokens(self, index):
+        return self.wrapped_ds.num_tokens(index)
+
+    def size(self, index):
+        return self.wrapped_ds.size(index)
+
+    @property
+    def sizes(self):
+        return self.wrapped_ds.sizes
+
+    def ordered_indices(self):
+        return self.wrapped_ds.ordered_indices()
+
+
+class RoundRobinZipDatasets(Dataset):
+    """Zip multiple datasets, round-robin over the shorter ones
+    (reference fairseq/data/round_robin_zip_datasets.py): item i is an
+    OrderedDict {key: dataset[i % len(dataset)]}; the collater returns a
+    dict of per-key batches."""
+
+    def __init__(self, datasets, eval_key=None):
+        assert isinstance(datasets, dict) and len(datasets) > 0
+        self.datasets = datasets
+        self.eval_key = eval_key
+        self.longest_dataset_key = max(datasets, key=lambda k: len(datasets[k]))
+        self.longest_dataset = datasets[self.longest_dataset_key]
+
+    def _map_index(self, key, index):
+        return index % len(self.datasets[key])
+
+    def __getitem__(self, index):
+        if self.eval_key is None:
+            return {
+                key: ds[self._map_index(key, index)]
+                for key, ds in self.datasets.items()
+            }
+        return self.datasets[self.eval_key][
+            self._map_index(self.eval_key, index)
+        ]
+
+    def __len__(self):
+        return len(self.longest_dataset)
+
+    def collater(self, samples, **pad_kwargs):
+        if len(samples) == 0:
+            return {}
+        if self.eval_key is None:
+            return {
+                key: ds.collater([s[key] for s in samples], **pad_kwargs)
+                for key, ds in self.datasets.items()
+            }
+        return self.datasets[self.eval_key].collater(samples, **pad_kwargs)
+
+    def num_tokens(self, index):
+        return max(
+            ds.num_tokens(self._map_index(key, index))
+            for key, ds in self.datasets.items()
+        )
+
+    def size(self, index):
+        if self.eval_key is None:
+            return {
+                key: ds.size(self._map_index(key, index))
+                for key, ds in self.datasets.items()
+            }
+        return self.datasets[self.eval_key].size(
+            self._map_index(self.eval_key, index)
+        )
+
+    def max_component_size(self, index):
+        """Component-wise max size for filtering."""
+        sizes = [
+            ds.size(self._map_index(key, index))
+            for key, ds in self.datasets.items()
+        ]
+        if isinstance(sizes[0], tuple):
+            return tuple(max(s[i] for s in sizes) for i in range(len(sizes[0])))
+        return max(sizes)
+
+    def ordered_indices(self):
+        return np.arange(len(self), dtype=np.int64)
+
+
 class ConcatDataset(Dataset):
     """Concatenation of datasets (reference fairseq/data/concat_dataset.py,
     sample_ratios=1 case)."""

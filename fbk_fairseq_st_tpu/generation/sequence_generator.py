@@ -122,7 +122,7 @@ class SequenceGenerator:
     # public API
     # ------------------------------------------------------------------
 
-    def generate(self, models, sample, prefix_tokens=None, **kwargs):
+    def generate(self, models, sample, prefix_tokens=None, bos_token=None, **kwargs):
         """models: list of (model, variables); sample: collated host batch.
 
         Returns, per sentence, a list of up to beam hypo dicts sorted by
@@ -154,28 +154,33 @@ class SequenceGenerator:
         if getattr(self.search, "src_lengths", "absent") is None:
             self.search.src_lengths = batch["src_lengths"]
 
-        fin = self._run(ensemble, batch, max_len, prefix_tokens)
+        fin = self._run(ensemble, batch, max_len, prefix_tokens, bos_token)
         return self._collect(fin, bsz, max_len)
 
     # ------------------------------------------------------------------
     # device loop
     # ------------------------------------------------------------------
 
-    def _run(self, ensemble, batch, max_len: int, prefix_tokens):
+    def _run(self, ensemble, batch, max_len: int, prefix_tokens, bos_token=None):
         has_prefix = prefix_tokens is not None
         key = (
             id(ensemble.models[0][0]),
             max_len,
             has_prefix and tuple(prefix_tokens.shape),
+            bos_token,
         )
         if key not in self._jit_cache:
             if has_prefix:
                 fn = jax.jit(
-                    lambda b, p: self._generate_impl(ensemble, b, max_len, p)
+                    lambda b, p: self._generate_impl(
+                        ensemble, b, max_len, p, bos_token=bos_token
+                    )
                 )
             else:
                 fn = jax.jit(
-                    lambda b: self._generate_impl(ensemble, b, max_len, None)
+                    lambda b: self._generate_impl(
+                        ensemble, b, max_len, None, bos_token=bos_token
+                    )
                 )
             self._jit_cache[key] = fn
         if has_prefix:
@@ -192,6 +197,7 @@ class SequenceGenerator:
         beam_ctx=None,
         encoder_outs=None,
         caches=None,
+        bos_token=None,
     ):
         """Core fixed-shape beam loop.
 
@@ -222,7 +228,9 @@ class SequenceGenerator:
             caches = ensemble.init_caches(encoder_outs, bsz * K, T, dtype)
 
         tokens = jnp.full((bsz, K, T), self.pad, jnp.int32)
-        tokens = tokens.at[:, :, 0].set(self.eos)
+        tokens = tokens.at[:, :, 0].set(
+            self.eos if bos_token is None else bos_token
+        )
         scores = jnp.zeros((bsz, K, T), jnp.float32)
         blacklist = jnp.zeros((bsz, K), bool)
         fin_tokens = jnp.full((bsz, K, T), self.pad, jnp.int32)

@@ -6,4 +6,10 @@ from .transformer_decoder import (  # noqa: F401
     TransformerDecoderConfig,
     TriangleTransformerDecoder,
 )
-from . import conv_transformer, conv_transformer_context, multi_task  # noqa: F401
+from . import (  # noqa: F401
+    conv_transformer,
+    conv_transformer_context,
+    multi_task,
+    multilingual_conv_transformer,
+    multitask_conv_transformer,
+)

@@ -2,8 +2,11 @@
 
 from .base import Task  # noqa: F401
 from . import (  # noqa: F401
+    multilingual_speech_translation,
+    multitask_speech_translation,
     speech_recognition,
     speech_recognition_context,
     speech_translation_ctc,
+    speech_translation_ctc_kd,
     speech_translation_dualdecoding,
 )

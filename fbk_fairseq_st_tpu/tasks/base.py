@@ -66,10 +66,13 @@ class Task:
         with _numpy_seed(seed):
             indices = dataset.ordered_indices()
 
+        # RoundRobinZip datasets report dict sizes; filter on the
+        # component-wise max instead
+        size_fn = getattr(dataset, "max_component_size", dataset.size)
         if max_positions is not None:
             indices, _ = filter_by_size(
                 indices,
-                dataset.size,
+                size_fn,
                 max_positions,
                 raise_exception=not ignore_invalid_inputs,
             )
@@ -89,7 +92,7 @@ class Task:
             bsz_bucketer = ShapeBucketer(min_size=8, max_size=4096, growth=2.0)
 
             def collate_pad_fn(batch_indices: List[int]) -> dict:
-                sizes = [dataset.size(i) for i in batch_indices]
+                sizes = [size_fn(i) for i in batch_indices]
                 if isinstance(sizes[0], tuple):
                     src_max = max(s[0] for s in sizes)
                     tgt_max = max(s[1] for s in sizes)

@@ -137,10 +137,17 @@ class Trainer:
     # jitted bodies
     # ------------------------------------------------------------------
 
+    def _cast_batch(self, batch):
+        if "src_tokens" in batch:
+            batch = dict(batch)
+            batch["src_tokens"] = batch["src_tokens"].astype(self.compute_dtype)
+            return batch
+        # nested multilingual batch
+        return {k: self._cast_batch(v) for k, v in batch.items()}
+
     def _loss_fn(self, params, model_state, batch, rng_key, update_seed):
         rng = RngStream(rng_key)
-        batch = dict(batch)
-        batch["src_tokens"] = batch["src_tokens"].astype(self.compute_dtype)
+        batch = self._cast_batch(batch)
         batch = self.task.augment_batch(batch, rng)
         variables = {"params": params, "state": model_state}
         loss, sample_size, logging_output, new_state = self.criterion(
@@ -204,8 +211,7 @@ class Trainer:
 
     def _valid_impl(self, train_state, batch, rng_key):
         rng = RngStream(rng_key)
-        batch = dict(batch)
-        batch["src_tokens"] = batch["src_tokens"].astype(self.compute_dtype)
+        batch = self._cast_batch(batch)
         variables = {
             "params": train_state["params"],
             "state": train_state["model_state"],
@@ -224,9 +230,23 @@ class Trainer:
         """Collated host batch -> flat device batch dict (net_input fields
         plus every array-valued auxiliary target: target, target_lengths,
         transcript_*, teacher_output, ...)."""
-        if not sample or "net_input" not in sample:
+        if not sample:
             return None
-        b = dict(sample["net_input"])
+        if "net_input" not in sample:
+            # multilingual: dict of per-pair sub-batches
+            if all(isinstance(v, dict) for v in sample.values()):
+                nested = {
+                    k: Trainer._device_batch(v) for k, v in sample.items()
+                }
+                nested = {k: v for k, v in nested.items() if v is not None}
+                return nested or None
+            return None
+        # keep only array-valued fields (drops e.g. the langtok string tag)
+        b = {
+            k: v
+            for k, v in sample["net_input"].items()
+            if v is not None and hasattr(v, "ndim")
+        }
         for k, v in sample.items():
             if k in ("net_input", "id", "ntokens", "nsentences"):
                 continue
@@ -250,8 +270,13 @@ class Trainer:
             b = self._device_batch(sample)
             if b is None:
                 continue
-            logging_meta["ntokens"] += sample.get("ntokens", 0)
-            logging_meta["nsentences"] += sample.get("nsentences", 0)
+            if "net_input" not in sample:  # nested multilingual sample
+                for sub in sample.values():
+                    logging_meta["ntokens"] += sub.get("ntokens", 0)
+                    logging_meta["nsentences"] += sub.get("nsentences", 0)
+            else:
+                logging_meta["ntokens"] += sample.get("ntokens", 0)
+                logging_meta["nsentences"] += sample.get("nsentences", 0)
             batches.append(shard_batch(self.mesh, b))
         if not batches:
             return None
