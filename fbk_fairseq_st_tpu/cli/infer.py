@@ -1,0 +1,222 @@
+"""ASR inference CLI with sclite-format outputs.
+
+Counterpart of examples/speech_recognition/infer.py:26-273: decodes the gen
+subset and writes ``hypo.word-<ckpt>-<subset>.txt`` / ``hypo.units-...`` /
+``ref.word-...`` / ``ref.units-...`` files in sclite trn format
+("<sentence> (<utt_id>)"), with sentencepiece de-segmentation for the .word
+files; WER is scored offline with sclite as in the reference.
+"""
+
+from __future__ import annotations
+
+import ast
+import logging
+import os
+import sys
+
+import numpy as np
+
+from .. import options
+from ..data.dictionary import post_process
+from ..registry import TASKS
+from ..train import checkpoint as checkpoint_utils
+from ..train.meters import StopwatchMeter
+from ..utils.user_dir import import_user_module
+
+logging.basicConfig(
+    format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+    datefmt="%Y-%m-%d %H:%M:%S",
+    level=logging.INFO,
+    stream=sys.stdout,
+)
+logger = logging.getLogger("fbk_fairseq_st_tpu.cli.infer")
+
+
+def add_asr_eval_argument(parser):
+    parser.add_argument("--ctc-decoding", action="store_true",
+                        help="greedy CTC decoding for encoder-only models")
+    parser.add_argument("--lexicon", help="lexicon for w2l decoder (external)")
+    parser.add_argument("--kspmodel", default=None, help="sentence piece model")
+    parser.add_argument("--wfstlm", default=None, help="wfstlm on dictonary output units")
+    parser.add_argument("--rnnt_decoding_type", default="greedy")
+    parser.add_argument("--rnnt_len_penalty", default=-0.5)
+    parser.add_argument("--w2l-decoder", choices=["viterbi", "kenlm"],
+                        help="use a w2l decoder (requires external wav2letter "
+                        "bindings; documented external dependency)")
+    return parser
+
+
+def _sclite_line(sentence: str, utt_id) -> str:
+    return f"{sentence} ({utt_id}-{utt_id})\n"
+
+
+def process_predictions(args, hypos, tgt_dict, sample_id, res_files):
+    for hypo in hypos[: min(len(hypos), args.nbest)]:
+        hyp_pieces = tgt_dict.string(hypo["tokens"])
+        hyp_words = post_process(hyp_pieces, "sentencepiece")
+        res_files["hypo.units"].write(_sclite_line(hyp_pieces, sample_id))
+        res_files["hypo.word"].write(_sclite_line(hyp_words, sample_id))
+
+
+def process_references(args, target_tokens, tgt_dict, sample_id, res_files):
+    tgt_pieces = tgt_dict.string(target_tokens, escape_unk=True)
+    tgt_words = post_process(tgt_pieces, "sentencepiece")
+    res_files["ref.units"].write(_sclite_line(tgt_pieces, sample_id))
+    res_files["ref.word"].write(_sclite_line(tgt_words, sample_id))
+
+
+def prepare_result_files(args):
+    def get_res_file(file_prefix):
+        path = os.path.join(
+            args.results_path,
+            "{}-{}-{}.txt".format(
+                file_prefix, os.path.basename(args.path), args.gen_subset
+            ),
+        )
+        return open(path, "w", buffering=1, encoding="utf-8")
+
+    os.makedirs(args.results_path, exist_ok=True)
+    return {
+        "hypo.word": get_res_file("hypo.word"),
+        "hypo.units": get_res_file("hypo.units"),
+        "ref.word": get_res_file("ref.word"),
+        "ref.units": get_res_file("ref.units"),
+    }
+
+
+def main(args):
+    assert args.path is not None, "--path required for generation!"
+    assert args.results_path is not None, "--results-path required!"
+    import_user_module(args)
+    if args.max_tokens is None and args.max_sentences is None:
+        args.max_tokens = 30000
+    logger.info(args)
+
+    task = TASKS[args.task].setup_task(args)
+    task.load_dataset(args.gen_subset)
+    logger.info(
+        "| {} {} {} examples".format(
+            args.data, args.gen_subset, len(task.dataset(args.gen_subset))
+        )
+    )
+    models, _ = checkpoint_utils.load_model_ensemble(
+        args.path.split(":"),
+        arg_overrides=ast.literal_eval(args.model_overrides),
+        task=task,
+    )
+    tgt_dict = task.target_dictionary
+
+    if getattr(args, "w2l_decoder", None):
+        raise NotImplementedError(
+            "w2l decoders require external wav2letter bindings (documented "
+            "external dependency, reference w2l_decoder.py); use default "
+            "beam decoding or --ctc-decoding instead"
+        )
+
+    itr = task.get_batch_iterator(
+        dataset=task.dataset(args.gen_subset),
+        max_tokens=args.max_tokens,
+        max_sentences=args.max_sentences,
+        max_positions=task.max_positions(),
+        ignore_invalid_inputs=args.skip_invalid_size_inputs_valid_test,
+        required_batch_size_multiple=args.required_batch_size_multiple,
+    ).next_epoch_itr(shuffle=False)
+
+    gen_timer = StopwatchMeter()
+
+    def build_ctc_decoder():
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.ctc import ctc_greedy_decode
+
+        model, variables = models[0]
+        blank = tgt_dict.index("<ctc_blank>")
+
+        def generate(models_, sample, prefix_tokens=None, **kw):
+            enc, _ = model.encode(
+                variables,
+                jnp.asarray(sample["net_input"]["src_tokens"]),
+                jnp.asarray(sample["net_input"]["src_lengths"]),
+            )
+            logits = enc.ctc_out if enc.ctc_out is not None else enc.encoder_out
+            lengths = (
+                enc.ctc_lengths if enc.ctc_lengths is not None else enc.src_lengths
+            )
+            toks, counts = jax.device_get(
+                ctc_greedy_decode(logits, lengths, blank)
+            )
+            out = []
+            for i in range(toks.shape[0]):
+                out.append(
+                    [{
+                        "tokens": toks[i, : counts[i]],
+                        "score": 0.0,
+                        "positional_scores": np.zeros(int(counts[i]), np.float32),
+                        "alignment": None,
+                        "attention": None,
+                    }]
+                )
+            return out
+
+        class _G:
+            pass
+
+        g = _G()
+        g.generate = generate
+        return g
+
+    if getattr(args, "ctc_decoding", False):
+        generator = build_ctc_decoder()
+    else:
+        generator = task.build_generator(models, args)
+    res_files = prepare_result_files(args)
+
+    num_sentences = 0
+    for sample in itr:
+        if len(sample) == 0:
+            continue
+        prefix_tokens = None
+        if args.prefix_size > 0:
+            prefix_tokens = sample["target"][:, : args.prefix_size]
+        gen_timer.start()
+        hypos = task.inference_step(generator, models, sample, prefix_tokens)
+        num_generated_tokens = sum(len(h[0]["tokens"]) for h in hypos if h)
+        gen_timer.stop(num_generated_tokens)
+
+        for i, sample_id in enumerate(np.asarray(sample["id"])):
+            sample_id = int(sample_id)
+            if sample_id < 0:
+                continue
+            if sample["target"] is not None:
+                target_tokens = np.asarray(sample["target"][i])
+                target_tokens = target_tokens[target_tokens != tgt_dict.pad()]
+                process_references(args, target_tokens, tgt_dict, sample_id, res_files)
+            process_predictions(args, hypos[i], tgt_dict, sample_id, res_files)
+            num_sentences += 1
+
+    logger.info(
+        "| Processed {} sentences ({} tokens) in {:.1f}s ({:.2f} sentences/s, "
+        "{:.2f} tokens/s)".format(
+            num_sentences, gen_timer.n, gen_timer.sum,
+            num_sentences / max(gen_timer.sum, 1e-6),
+            1.0 / max(gen_timer.avg, 1e-9),
+        )
+    )
+    logger.info(
+        "| Score hypo.word against ref.word with sclite for WER "
+        "(offline, as in the reference)"
+    )
+    for f in res_files.values():
+        f.close()
+
+
+def cli_main(input_args=None):
+    parser = options.get_generation_parser(default_task="speech_recognition")
+    parser = add_asr_eval_argument(parser)
+    args = options.parse_args_and_arch(parser, input_args)
+    main(args)
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -3,6 +3,7 @@
 from .base import Criterion  # noqa: F401
 from . import (  # noqa: F401
     cross_entropy_dualdecoder,
+    cross_entropy_acc,
     cross_entropy_multi_task,
     ctc,
     knowledge_distillation,

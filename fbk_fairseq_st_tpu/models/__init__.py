@@ -12,4 +12,5 @@ from . import (  # noqa: F401
     multi_task,
     multilingual_conv_transformer,
     multitask_conv_transformer,
+    vggtransformer,
 )

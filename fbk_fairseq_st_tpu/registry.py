@@ -133,6 +133,8 @@ def apply_architecture(args: argparse.Namespace) -> None:
     if arch is None:
         return
     if arch not in ARCHITECTURES:
+        if arch in MODELS:  # bare model name: defaults applied in build_model
+            return
         raise KeyError(
             f"Unknown architecture: {arch!r}. Available: {sorted(ARCHITECTURES)}"
         )
