@@ -81,6 +81,7 @@ def main(args):
         d.save(dict_path)
         logger.info(f"[{lang}] dictionary: {len(d)} types")
 
+        both = args.source_lang is not None and args.target_lang is not None
         for pref, split in [
             (args.trainpref, "train"),
             (args.validpref, "valid"),
@@ -88,7 +89,14 @@ def main(args):
         ]:
             if pref is None:
                 continue
-            out_prefix = os.path.join(args.destdir, f"{split}.{lang}")
+            if both:
+                # fairseq-style paired naming for the translation task
+                out_prefix = os.path.join(
+                    args.destdir,
+                    f"{split}.{args.source_lang}-{args.target_lang}.{lang}",
+                )
+            else:
+                out_prefix = os.path.join(args.destdir, f"{split}.{lang}")
             nseq, ntok, nunk = binarize(
                 f"{pref}.{lang}", d, out_prefix, impl=args.dataset_impl
             )

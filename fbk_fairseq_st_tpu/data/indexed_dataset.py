@@ -73,8 +73,9 @@ def dtype_code(dtype) -> int:
 
 
 def best_fitting_dtype(vocab_size: Optional[int] = None):
-    if vocab_size is not None and vocab_size < 65500:
-        return np.uint16
+    # the reference picks uint16 for small vocabs (indexed_dataset.py:17-21)
+    # but uint16 has no code in its own dtype table, so any such file would
+    # be unreadable; int32 keeps files valid under the shared code table
     return np.int32
 
 

@@ -12,5 +12,6 @@ from . import (  # noqa: F401
     multi_task,
     multilingual_conv_transformer,
     multitask_conv_transformer,
+    transformer,
     vggtransformer,
 )

@@ -140,7 +140,9 @@ class Trainer:
     def _cast_batch(self, batch):
         if "src_tokens" in batch:
             batch = dict(batch)
-            batch["src_tokens"] = batch["src_tokens"].astype(self.compute_dtype)
+            # audio frontends take float features; text models take int ids
+            if jnp.issubdtype(batch["src_tokens"].dtype, jnp.floating):
+                batch["src_tokens"] = batch["src_tokens"].astype(self.compute_dtype)
             return batch
         # nested multilingual batch
         return {k: self._cast_batch(v) for k, v in batch.items()}

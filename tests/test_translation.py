@@ -1,0 +1,133 @@
+"""Text translation end-to-end: preprocess (paired naming) -> train
+transformer -> generate with BLEU (reference test_binaries.py transformer
+test role)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fbk_fairseq_st_tpu.cli import generate as generate_cli
+from fbk_fairseq_st_tpu.cli import preprocess as preprocess_cli
+from fbk_fairseq_st_tpu.cli import train as train_cli
+
+
+def create_translation_data(data_dir, n=20, vocab=12, seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(data_dir, exist_ok=True)
+    raw = os.path.join(data_dir, "raw")
+    os.makedirs(raw, exist_ok=True)
+    for split, count in [("train", n), ("valid", 4), ("test", 4)]:
+        for lang, pre in [("de", "d"), ("en", "e")]:
+            with open(os.path.join(raw, f"{split}.{lang}"), "w") as f:
+                for _ in range(count):
+                    length = rng.randint(2, 7)
+                    f.write(
+                        " ".join(
+                            f"{pre}{rng.randint(vocab)}" for _ in range(length)
+                        )
+                        + "\n"
+                    )
+    preprocess_cli.cli_main(
+        [
+            "--source-lang", "en", "--target-lang", "de",
+            "--trainpref", os.path.join(raw, "train"),
+            "--validpref", os.path.join(raw, "valid"),
+            "--testpref", os.path.join(raw, "test"),
+            "--destdir", data_dir,
+            "--dataset-impl", "mmap",
+        ]
+    )
+    assert os.path.exists(os.path.join(data_dir, "train.en-de.en.bin"))
+
+
+TRANSLATION_ARGS = [
+    "--task", "translation",
+    "-s", "en", "-t", "de",
+    "--arch", "transformer_iwslt_de_en",
+    "--criterion", "label_smoothed_cross_entropy",
+    "--label-smoothing", "0.1",
+    "--share-decoder-input-output-embed",
+    "--optimizer", "adam", "--lr", "0.001",
+    "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "4",
+    "--max-tokens", "200", "--max-epoch", "2",
+    "--encoder-layers", "2", "--decoder-layers", "2",
+    "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+    "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+    "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+    "--max-source-positions", "64", "--max-target-positions", "64",
+    "--log-format", "none",
+]
+
+
+@pytest.fixture(scope="module")
+def mt_trained(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mt")
+    data_dir, save_dir = str(root / "data"), str(root / "ckpt")
+    create_translation_data(data_dir)
+    train_cli.cli_main([data_dir, "--save-dir", save_dir] + TRANSLATION_ARGS)
+    return data_dir, save_dir
+
+
+def test_translation_train(mt_trained):
+    _, save_dir = mt_trained
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def test_translation_generate(mt_trained, capsys):
+    data_dir, save_dir = mt_trained
+    scorer = generate_cli.cli_main(
+        [
+            data_dir,
+            "--task", "translation",
+            "-s", "en", "-t", "de",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--beam", "3", "--max-tokens", "200",
+            "--gen-subset", "test", "--max-len-b", "10",
+            "--log-format", "none",
+        ]
+    )
+    out = capsys.readouterr().out
+    # text task prints S- lines (source dictionary exists)
+    assert any(line.startswith("S-") for line in out.splitlines())
+    assert any(line.startswith("H-") for line in out.splitlines())
+    assert scorer.stat.predlen > 0
+
+
+def test_share_all_embeddings(tmp_path):
+    """Tied embeddings: one shared leaf used by encoder, decoder input and
+    output projection."""
+    import jax
+
+    from fbk_fairseq_st_tpu import registry
+    from .utils import dummy_dictionary, model_args
+
+    d = dummy_dictionary(20)
+
+    class T:
+        source_dictionary = d
+        target_dictionary = d
+
+    args = model_args(
+        "transformer",
+        share_all_embeddings=True,
+        encoder_layers=1, decoder_layers=1,
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+    )
+    registry.apply_architecture(args)
+    m = registry.build_model(args, T())
+    v = m.init(jax.random.PRNGKey(0))
+    assert "shared_embed_tokens" in v["params"]
+    assert "embed_tokens" not in v["params"]["encoder"]
+    assert "embed_tokens" not in v["params"]["decoder"]
+    import jax.numpy as jnp
+
+    batch = {
+        "src_tokens": jnp.array([[4, 5, 2]]),
+        "src_lengths": jnp.array([3]),
+        "prev_output_tokens": jnp.array([[2, 4, 5]]),
+    }
+    (logits, _), _ = m.forward(v, batch)
+    assert logits.shape == (1, 3, len(d))
