@@ -1,0 +1,133 @@
+"""CLI tooling: average_checkpoints, validate, score, interactive, and the
+MuST-SHE / NE eval scripts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fbk_fairseq_st_tpu.cli import average_checkpoints as avg_cli
+from fbk_fairseq_st_tpu.cli import interactive as interactive_cli
+from fbk_fairseq_st_tpu.cli import score as score_cli
+from fbk_fairseq_st_tpu.cli import validate as validate_cli
+from fbk_fairseq_st_tpu.scripts.eval import mustshe_acc, ne_terms_accuracy
+from fbk_fairseq_st_tpu.train.checkpoint import load_checkpoint_to_cpu
+
+from .test_translation import TRANSLATION_ARGS, create_translation_data
+
+
+@pytest.fixture(scope="module")
+def mt(tmp_path_factory):
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    root = tmp_path_factory.mktemp("tools")
+    data_dir, save_dir = str(root / "data"), str(root / "ckpt")
+    create_translation_data(data_dir)
+    argv = [data_dir, "--save-dir", save_dir] + TRANSLATION_ARGS
+    argv[argv.index("--max-epoch") + 1] = "3"
+    train_cli.cli_main(argv)
+    return data_dir, save_dir
+
+
+def test_average_checkpoints(mt, tmp_path):
+    data_dir, save_dir = mt
+    out = str(tmp_path / "avg.pt")
+    avg_cli.cli_main(
+        ["--inputs", save_dir, "--num-epoch-checkpoints", "2", "--output", out]
+    )
+    avg = load_checkpoint_to_cpu(out)
+    c2 = load_checkpoint_to_cpu(os.path.join(save_dir, "checkpoint2.pt"))
+    c3 = load_checkpoint_to_cpu(os.path.join(save_dir, "checkpoint3.pt"))
+    import jax
+
+    def leaf0(state):
+        return jax.tree_util.tree_leaves(state["model"])[0]
+
+    np.testing.assert_allclose(
+        leaf0(avg), (leaf0(c2) + leaf0(c3)) / 2.0, rtol=1e-6
+    )
+
+
+def test_validate_cli(mt, capsys):
+    data_dir, save_dir = mt
+    validate_cli.cli_main(
+        [
+            data_dir,
+            "--task", "translation", "-s", "en", "-t", "de",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--criterion", "label_smoothed_cross_entropy",
+            "--label-smoothing", "0.1",
+            "--max-tokens", "200",
+            "--optimizer", "adam",
+            "--lr-scheduler", "fixed",
+        ]
+    )
+    # stats were printed for the valid subset
+    out = capsys.readouterr().out
+
+
+def test_score_cli(tmp_path, capsys):
+    sys_f, ref_f = str(tmp_path / "sys.txt"), str(tmp_path / "ref.txt")
+    with open(sys_f, "w") as f:
+        f.write("the cat sat on the mat\nhello world\n")
+    with open(ref_f, "w") as f:
+        f.write("the cat sat on the mat\nhello there world\n")
+    score_cli.cli_main(["--sys", sys_f, "--ref", ref_f])
+    out = capsys.readouterr().out
+    assert "BLEU4" in out
+
+
+def test_interactive_cli(mt, tmp_path, capsys):
+    data_dir, save_dir = mt
+    inp = str(tmp_path / "input.txt")
+    with open(inp, "w") as f:
+        f.write("e1 e2 e3\ne4 e5\n")
+    interactive_cli.cli_main(
+        [
+            data_dir,
+            "--task", "translation", "-s", "en", "-t", "de",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--beam", "2", "--max-len-b", "8",
+            "--buffer-size", "2",
+            "--input", inp,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert out.count("S-") == 2
+    assert out.count("H-") >= 2
+
+
+def test_mustshe_acc(tmp_path, capsys):
+    tsv = str(tmp_path / "def.tsv")
+    hyp = str(tmp_path / "hyp.txt")
+    with open(tsv, "w") as f:
+        f.write("CATEGORY\tGENDERTERMS\n")
+        f.write("1F\tamica amico;bella bello\n")
+        f.write("1M\tamico amica\n")
+    with open(hyp, "w") as f:
+        f.write("la mia amica bello\n")  # 1 correct, 1 wrong
+        f.write("il mio amico\n")  # 1 correct
+    scores = mustshe_acc.cli_main(["--input", hyp, "--tsv-definition", tsv])
+    assert scores["Global"]["term_coverage"] == 1.0
+    np.testing.assert_allclose(scores["Global"]["gender_accuracy"], 2 / 3)
+    assert scores["1F"]["gender_accuracy"] == 0.5
+    assert scores["1M"]["gender_accuracy"] == 1.0
+
+
+def test_ne_terms_accuracy(tmp_path, capsys):
+    ref = str(tmp_path / "ref.iob")
+    hyp = str(tmp_path / "hyp.txt")
+    with open(ref, "w") as f:
+        # sentence 1: "Moby Dick" PER entity
+        f.write("1\tMoby\tB-PER\n2\tDick\tI-PER\n\n")
+        # sentence 2: "Paris" LOC
+        f.write("1\tParis\tB-LOC\n\n")
+    with open(hyp, "w") as f:
+        f.write("I read moby dick yesterday\n")
+        f.write("I love Paris\n")
+    items, entities = ne_terms_accuracy.cli_main(
+        ["--input", hyp, "--ne-reference", ref]
+    )
+    assert entities["PER"]["found"] == 0  # case-sensitive miss
+    assert entities["PER"]["ci_found"] == 1  # case-insensitive hit
+    assert entities["LOC"]["found"] == 1
