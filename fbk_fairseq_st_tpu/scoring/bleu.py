@@ -18,6 +18,7 @@ integer counting, so outputs are bit-identical either way.
 
 from __future__ import annotations
 
+import ctypes
 import math
 from collections import Counter
 from typing import List, Sequence
@@ -55,16 +56,50 @@ def _ngrams(tokens: Sequence[int], n: int) -> Counter:
     )
 
 
+class _CBleuStat(ctypes.Structure):
+    _fields_ = [
+        ("reflen", ctypes.c_size_t),
+        ("predlen", ctypes.c_size_t),
+        ("match1", ctypes.c_size_t),
+        ("count1", ctypes.c_size_t),
+        ("match2", ctypes.c_size_t),
+        ("count2", ctypes.c_size_t),
+        ("match3", ctypes.c_size_t),
+        ("count3", ctypes.c_size_t),
+        ("match4", ctypes.c_size_t),
+        ("count4", ctypes.c_size_t),
+    ]
+
+
+def _load_native():
+    try:
+        from ..native import load_library
+
+        return load_library("libbleu")
+    except Exception:
+        return None
+
+
 class Scorer:
-    """fairseq/bleu.py:62-140 over the pure counting core."""
+    """fairseq/bleu.py:62-140. Counting runs in the native C++ core
+    (native/libbleu.cpp) when a toolchain is available, else the pure-Python
+    twin below — both integer-exact, so outputs are identical."""
 
     def __init__(self, pad: int, eos: int, unk: int):
         self.pad = pad
         self.eos = eos
         self.unk = unk
+        self._lib = _load_native()
         self.reset()
 
     def reset(self, one_init: bool = False) -> None:
+        if self._lib is not None:
+            self.stat = _CBleuStat()
+            if one_init:
+                self._lib.bleu_one_init(ctypes.byref(self.stat))
+            else:
+                self._lib.bleu_zero_init(ctypes.byref(self.stat))
+            return
         self.stat = BleuStat()
         if one_init:
             for f in ("count2", "count3", "count4", "match2", "match3", "match4"):
@@ -75,6 +110,20 @@ class Scorer:
         pred = np.asarray(pred).reshape(-1).astype(np.int64)
         assert not (ref < 0).any()
         ref = np.where(ref == self.unk, -999, ref)  # don't match unknowns
+
+        if self._lib is not None:
+            rref = np.ascontiguousarray(ref, dtype=np.int32)
+            rpred = np.ascontiguousarray(pred, dtype=np.int32)
+            self._lib.bleu_add(
+                ctypes.byref(self.stat),
+                ctypes.c_size_t(rref.size),
+                rref.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                ctypes.c_size_t(rpred.size),
+                rpred.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                ctypes.c_int(self.pad),
+                ctypes.c_int(self.eos),
+            )
+            return
 
         ref = _trim(ref, self.pad, self.eos)
         pred = _trim(pred, self.pad, self.eos)
