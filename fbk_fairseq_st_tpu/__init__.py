@@ -14,7 +14,7 @@ from . import registry  # noqa: F401
 
 def _register_all():
     """Import all component modules so their registry decorators run."""
-    from . import tasks, models, criterions, optim  # noqa: F401
+    from . import benchmark, criterions, models, optim, tasks  # noqa: F401
 
 
 _register_all()

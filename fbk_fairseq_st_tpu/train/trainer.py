@@ -314,9 +314,14 @@ class Trainer:
         }
         gnorm = float(np.asarray(gnorm))
         if not np.isfinite(gnorm):
+            # localize the blow-up by re-running the batch (reference
+            # NanDetector re-run contract, trainer.py:444-451)
+            from .nan_detector import analyze_failing_step
+
+            findings = analyze_failing_step(self, batches[-1])
             raise FloatingPointError(
-                "gradient norm is {}; NaN/Inf detected in gradients "
-                "(reference NanDetector contract)".format(gnorm)
+                "gradient norm is {}; NaN/Inf detected in gradients. "
+                "First findings: {}".format(gnorm, findings[:3])
             )
         self._log_training(logging_output, gnorm, logging_meta)
         metrics.log_stop_time("train_wall")
