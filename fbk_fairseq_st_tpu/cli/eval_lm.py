@@ -1,0 +1,93 @@
+"""Evaluate a language model's perplexity (reference fairseq_cli/eval_lm.py):
+teacher-forced NLL over the gen subset, loss in base 2 and perplexity."""
+
+from __future__ import annotations
+
+import logging
+import math
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import options
+from ..registry import TASKS
+from ..train import checkpoint as checkpoint_utils
+from ..utils.user_dir import import_user_module
+
+logging.basicConfig(
+    format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+    datefmt="%Y-%m-%d %H:%M:%S",
+    level=logging.INFO,
+    stream=sys.stdout,
+)
+logger = logging.getLogger("fbk_fairseq_st_tpu.cli.eval_lm")
+
+
+def main(args):
+    import_user_module(args)
+    assert args.path is not None, "--path required for evaluation"
+    if args.max_tokens is None and args.max_sentences is None:
+        args.max_tokens = 36000
+
+    task = TASKS[args.task].setup_task(args)
+    task.load_dataset(args.gen_subset)
+    models, _ = checkpoint_utils.load_model_ensemble(
+        args.path.split(":"), task=task
+    )
+    model, variables = models[0]
+    d = task.target_dictionary
+
+    itr = task.get_batch_iterator(
+        dataset=task.dataset(args.gen_subset),
+        max_tokens=args.max_tokens,
+        max_sentences=args.max_sentences,
+        max_positions=task.max_positions(),
+        ignore_invalid_inputs=True,
+        required_batch_size_multiple=args.required_batch_size_multiple,
+    ).next_epoch_itr(shuffle=False)
+
+    @jax.jit
+    def nll_batch(batch):
+        (logits, _), _ = model.forward(variables, batch, training=False)
+        lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        target = batch["target"]
+        nll = -jnp.take_along_axis(lprobs, target[..., None], axis=-1)[..., 0]
+        mask = target != d.pad()
+        return jnp.sum(nll * mask), jnp.sum(mask)
+
+    total_nll = 0.0
+    total_tokens = 0
+    for sample in itr:
+        if len(sample) == 0:
+            continue
+        batch = {
+            "src_tokens": jnp.asarray(sample["net_input"]["src_tokens"]),
+            "src_lengths": jnp.asarray(sample["net_input"]["src_lengths"]),
+            "target": jnp.asarray(sample["target"]),
+        }
+        nll, n = jax.device_get(nll_batch(batch))
+        total_nll += float(nll)
+        total_tokens += int(n)
+
+    avg_nll = total_nll / max(total_tokens, 1) / math.log(2)
+    logger.info(
+        "Evaluated {} tokens".format(total_tokens)
+    )
+    logger.info(
+        "Loss (base 2): {:.4f}, Perplexity: {:.2f}".format(
+            avg_nll, 2 ** avg_nll
+        )
+    )
+    return avg_nll, total_tokens
+
+
+def cli_main(input_args=None):
+    parser = options.get_generation_parser(default_task="language_modeling")
+    args = options.parse_args_and_arch(parser, input_args)
+    return main(args)
+
+
+if __name__ == "__main__":
+    cli_main()

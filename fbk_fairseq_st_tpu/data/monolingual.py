@@ -1,0 +1,169 @@
+"""Monolingual LM data: token-block chunking + LM dataset.
+
+Counterparts of fairseq/data/token_block_dataset.py (Cython-backed
+_get_slice_indices_fast — here plain NumPy since this is one-time host-side
+index math) and fairseq/data/monolingual_dataset.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .datasets import Dataset, collate_tokens
+
+
+class TokenBlockDataset(Dataset):
+    """Chunk a stream of items into blocks.
+
+    break_mode:
+      * 'none': concatenate everything, fixed block_size chunks;
+      * 'complete': blocks of whole sentences up to block_size;
+      * 'eos': one sentence per block.
+    """
+
+    def __init__(self, dataset, sizes, block_size: Optional[int],
+                 pad: int, eos: int, break_mode: str = "none",
+                 include_targets: bool = False):
+        self.dataset = dataset
+        self.pad = pad
+        self.eos = eos
+        self.include_targets = include_targets
+        sizes = np.asarray(sizes, dtype=np.int64)
+
+        if break_mode is None:
+            break_mode = "none"
+        slice_indices = []
+        if break_mode == "none":
+            total = int(sizes.sum())
+            length = max(block_size, 1)
+            for start in range(0, total, length):
+                slice_indices.append((start, min(start + length, total)))
+        elif break_mode == "complete":
+            tok_idx = 0
+            sz_idx = 0
+            curr_size = 0
+            while sz_idx < len(sizes):
+                if curr_size + sizes[sz_idx] <= block_size or curr_size == 0:
+                    curr_size += int(sizes[sz_idx])
+                    sz_idx += 1
+                else:
+                    slice_indices.append((tok_idx, tok_idx + curr_size))
+                    tok_idx += curr_size
+                    curr_size = 0
+            if curr_size > 0:
+                slice_indices.append((tok_idx, tok_idx + curr_size))
+        elif break_mode == "eos":
+            cum = np.concatenate([[0], np.cumsum(sizes)])
+            for i in range(len(sizes)):
+                slice_indices.append((int(cum[i]), int(cum[i + 1])))
+        else:
+            raise ValueError(f"invalid break_mode: {break_mode}")
+
+        self.slice_indices = np.array(slice_indices, dtype=np.int64)
+        self._sizes = self.slice_indices[:, 1] - self.slice_indices[:, 0]
+        # item -> (first dataset idx, offset) map for lazy reads
+        self._ds_sizes = sizes
+        self._cum = np.concatenate([[0], np.cumsum(sizes)])
+
+    def _read_range(self, start: int, end: int) -> np.ndarray:
+        first = int(np.searchsorted(self._cum, start, side="right") - 1)
+        out = []
+        pos = self._cum[first]
+        i = first
+        while pos < end and i < len(self._ds_sizes):
+            item = np.asarray(self.dataset[i])
+            s = max(start - pos, 0)
+            e = min(end - pos, len(item))
+            out.append(item[int(s): int(e)])
+            pos += len(item)
+            i += 1
+        return np.concatenate(out) if out else np.array([], np.int64)
+
+    def __getitem__(self, index):
+        start, end = self.slice_indices[index]
+        return self._read_range(int(start), int(end))
+
+    def __len__(self):
+        return len(self.slice_indices)
+
+    @property
+    def sizes(self):
+        return self._sizes
+
+    def num_tokens(self, index):
+        return int(self._sizes[index])
+
+    def size(self, index):
+        return int(self._sizes[index])
+
+
+class MonolingualDataset(Dataset):
+    """LM dataset: inputs = tokens shifted right with eos prepended,
+    targets = tokens (reference monolingual_dataset.py 'future' target)."""
+
+    def __init__(self, dataset, sizes, vocab, shuffle: bool = False):
+        self.dataset = dataset
+        self._sizes = np.asarray(sizes)
+        self.vocab = vocab
+        self.shuffle = shuffle
+
+    def __getitem__(self, index):
+        tokens = np.asarray(self.dataset[index])
+        source = np.concatenate([[self.vocab.eos()], tokens[:-1]])
+        return {"id": index, "source": source, "target": tokens}
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def collater(self, samples, pad_to_src_len=None, pad_to_tgt_len=None,
+                 pad_to_bsz=None):
+        if len(samples) == 0:
+            return {}
+        pad = self.vocab.pad()
+        eos = self.vocab.eos()
+        ids = np.array([s["id"] for s in samples], np.int64)
+        src = collate_tokens(
+            [s["source"] for s in samples], pad, eos,
+            pad_to_length=pad_to_tgt_len,
+        )
+        tgt = collate_tokens(
+            [s["target"] for s in samples], pad, eos,
+            pad_to_length=pad_to_tgt_len,
+        )
+        lengths = np.array([len(s["source"]) for s in samples], np.int64)
+        nsentences = len(samples)
+        if pad_to_bsz is not None and pad_to_bsz > nsentences:
+            extra = pad_to_bsz - nsentences
+            ids = np.concatenate([ids, np.full(extra, -1, np.int64)])
+            src = np.concatenate([src, np.full((extra, src.shape[1]), pad, src.dtype)])
+            tgt = np.concatenate([tgt, np.full((extra, tgt.shape[1]), pad, tgt.dtype)])
+            lengths = np.concatenate([lengths, np.zeros(extra, np.int64)])
+        return {
+            "id": ids,
+            "nsentences": nsentences,
+            "ntokens": int(sum(len(s["target"]) for s in samples)),
+            "net_input": {
+                "src_tokens": src,
+                "src_lengths": lengths,
+            },
+            "target": tgt,
+        }
+
+    def num_tokens(self, index):
+        return int(self._sizes[index])
+
+    def size(self, index):
+        return int(self._sizes[index])
+
+    @property
+    def sizes(self):
+        return self._sizes
+
+    def ordered_indices(self):
+        if self.shuffle:
+            order = np.random.permutation(len(self)).astype(np.int64)
+        else:
+            order = np.arange(len(self), dtype=np.int64)
+        return order[np.argsort(self._sizes[order], kind="mergesort")]

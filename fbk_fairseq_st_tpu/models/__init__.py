@@ -14,5 +14,6 @@ from . import (  # noqa: F401
     multilingual_conv_transformer,
     multitask_conv_transformer,
     transformer,
+    transformer_lm,
     vggtransformer,
 )

@@ -1,0 +1,139 @@
+"""Decoder-only transformer language model (reference
+fairseq/models/transformer_lm.py): the shared TransformerDecoder with
+no_encoder_attn, arch presets transformer_lm / _big / _gpt*."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.core import RngStream
+from ..registry import register_model, register_model_architecture
+from .base import Model
+from .transformer_args import add_transformer_args
+from .transformer_decoder import TransformerDecoder, TransformerDecoderConfig
+
+
+@register_model("transformer_lm")
+class TransformerLanguageModel(Model):
+    def __init__(self, cfg: TransformerDecoderConfig):
+        self.cfg = cfg
+        self.decoder = TransformerDecoder(cfg)
+        self.max_source_positions = cfg.max_positions
+        self.max_target_positions = cfg.max_positions
+
+    @staticmethod
+    def add_args(parser):
+        add_transformer_args(parser)
+        parser.add_argument("--decoder-input-dim", type=int, metavar="N")
+
+    @classmethod
+    def build_model(cls, args, task):
+        base_lm_architecture(args)
+        d = task.target_dictionary
+        cfg = TransformerDecoderConfig(
+            vocab_size=len(d),
+            embed_dim=args.decoder_embed_dim,
+            ffn_dim=args.decoder_ffn_embed_dim,
+            layers=args.decoder_layers,
+            heads=args.decoder_attention_heads,
+            dropout=args.dropout,
+            attention_dropout=args.attention_dropout,
+            activation_dropout=getattr(args, "relu_dropout", 0.0),
+            activation=getattr(args, "activation_fn", "relu"),
+            normalize_before=args.decoder_normalize_before,
+            learned_pos=args.decoder_learned_pos,
+            max_positions=getattr(args, "max_target_positions", None)
+            or getattr(args, "tokens_per_sample", 1024),
+            padding_idx=d.pad(),
+            share_input_output_embed=getattr(
+                args, "share_decoder_input_output_embed", False
+            ),
+            no_scale_embedding=getattr(args, "no_scale_embedding", False),
+            no_token_positional_embeddings=getattr(
+                args, "no_token_positional_embeddings", False
+            ),
+            no_encoder_attn=True,
+        )
+        return cls(cfg)
+
+    def init(self, key):
+        return {"params": {"decoder": self.decoder.init(key)}, "state": {}}
+
+    def forward(self, variables, batch, rng: Optional[RngStream] = None,
+                training=False):
+        logits, extra = self.decoder(
+            variables["params"]["decoder"],
+            batch["src_tokens"],
+            rng=rng,
+            deterministic=not training,
+        )
+        return (logits, extra), {}
+
+    def encode(self, variables, src_tokens, src_lengths, rng=None, training=False):
+        from .base import EncoderOut
+
+        # LM has no encoder; generators condition only on the cache
+        b, t = src_tokens.shape[0], 1
+        return (
+            EncoderOut(
+                encoder_out=jnp.zeros((b, t, self.cfg.embed_dim)),
+                encoder_padding_mask=jnp.zeros((b, t), bool),
+            ),
+            {},
+        )
+
+    def init_cache(self, variables, batch, max_len, encoder_out, dtype=jnp.float32):
+        return self.decoder.init_cache(
+            variables["params"]["decoder"], batch, max_len, None, dtype
+        )
+
+    def decode_step(self, variables, tokens, cache, step, encoder_out):
+        return self.decoder.step(
+            variables["params"]["decoder"], tokens, cache, step
+        )
+
+
+@register_model_architecture("transformer_lm", "transformer_lm")
+def base_lm_architecture(args):
+    args.dropout = getattr(args, "dropout", 0.1)
+    args.attention_dropout = getattr(args, "attention_dropout", 0.0)
+    args.relu_dropout = getattr(args, "relu_dropout", 0.0)
+    args.decoder_embed_dim = getattr(args, "decoder_embed_dim", 512)
+    args.decoder_ffn_embed_dim = getattr(args, "decoder_ffn_embed_dim", 2048)
+    args.decoder_layers = getattr(args, "decoder_layers", 6)
+    args.decoder_attention_heads = getattr(args, "decoder_attention_heads", 8)
+    args.decoder_normalize_before = getattr(args, "decoder_normalize_before", True)
+    args.decoder_learned_pos = getattr(args, "decoder_learned_pos", False)
+    args.share_decoder_input_output_embed = getattr(
+        args, "share_decoder_input_output_embed", False
+    )
+    args.no_token_positional_embeddings = getattr(
+        args, "no_token_positional_embeddings", False
+    )
+    args.no_scale_embedding = getattr(args, "no_scale_embedding", False)
+    args.adaptive_softmax_cutoff = getattr(args, "adaptive_softmax_cutoff", None)
+    args.adaptive_softmax_dropout = getattr(args, "adaptive_softmax_dropout", 0)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_big")
+def transformer_lm_big(args):
+    args.decoder_layers = getattr(args, "decoder_layers", 12)
+    args.decoder_embed_dim = getattr(args, "decoder_embed_dim", 1024)
+    args.decoder_ffn_embed_dim = getattr(args, "decoder_ffn_embed_dim", 4096)
+    args.decoder_attention_heads = getattr(args, "decoder_attention_heads", 16)
+    base_lm_architecture(args)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_gpt")
+def transformer_lm_gpt(args):
+    args.decoder_embed_dim = getattr(args, "decoder_embed_dim", 768)
+    args.decoder_ffn_embed_dim = getattr(args, "decoder_ffn_embed_dim", 3072)
+    args.decoder_layers = getattr(args, "decoder_layers", 12)
+    args.decoder_attention_heads = getattr(args, "decoder_attention_heads", 12)
+    args.dropout = getattr(args, "dropout", 0.1)
+    args.attention_dropout = getattr(args, "attention_dropout", 0.1)
+    args.activation_fn = getattr(args, "activation_fn", "gelu")
+    base_lm_architecture(args)

@@ -1,0 +1,116 @@
+"""Language modeling: token blocks, LM training, eval_lm perplexity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fbk_fairseq_st_tpu.cli import eval_lm as eval_lm_cli
+from fbk_fairseq_st_tpu.cli import preprocess as preprocess_cli
+from fbk_fairseq_st_tpu.cli import train as train_cli
+from fbk_fairseq_st_tpu.data.monolingual import TokenBlockDataset
+
+
+class _Toks:
+    def __init__(self, items):
+        self.items = [np.asarray(i, np.int64) for i in items]
+        self.sizes = np.array([len(i) for i in items], np.int64)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+    def __len__(self):
+        return len(self.items)
+
+
+def test_token_block_modes():
+    ds = _Toks([[1, 2, 3], [4, 5], [6, 7, 8, 9]])
+    # none: fixed blocks of 4 over the concatenated stream
+    tb = TokenBlockDataset(ds, ds.sizes, 4, pad=1, eos=2, break_mode="none")
+    np.testing.assert_array_equal(tb[0], [1, 2, 3, 4])
+    np.testing.assert_array_equal(tb[1], [5, 6, 7, 8])
+    np.testing.assert_array_equal(tb[2], [9])
+    # eos: one sentence per block
+    tb = TokenBlockDataset(ds, ds.sizes, None, pad=1, eos=2, break_mode="eos")
+    assert len(tb) == 3
+    np.testing.assert_array_equal(tb[1], [4, 5])
+    # complete: whole sentences up to 5 tokens
+    tb = TokenBlockDataset(ds, ds.sizes, 5, pad=1, eos=2, break_mode="complete")
+    np.testing.assert_array_equal(tb[0], [1, 2, 3, 4, 5])
+    np.testing.assert_array_equal(tb[1], [6, 7, 8, 9])
+
+
+def create_lm_data(data_dir, n=30, vocab=12, seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(data_dir, exist_ok=True)
+    raw = os.path.join(data_dir, "raw")
+    os.makedirs(raw, exist_ok=True)
+    for split, count in [("train", n), ("valid", 5), ("test", 5)]:
+        with open(os.path.join(raw, f"{split}.txt"), "w") as f:
+            for _ in range(count):
+                length = rng.randint(3, 9)
+                f.write(
+                    " ".join(f"w{rng.randint(vocab)}" for _ in range(length)) + "\n"
+                )
+    # binarize with a single 'txt' lang then rename to LM layout
+    preprocess_cli.cli_main(
+        [
+            "--target-lang", "txt",
+            "--trainpref", os.path.join(raw, "train"),
+            "--validpref", os.path.join(raw, "valid"),
+            "--testpref", os.path.join(raw, "test"),
+            "--destdir", data_dir,
+            "--dataset-impl", "mmap",
+        ]
+    )
+    import shutil
+
+    for split in ("train", "valid", "test"):
+        for ext in ("bin", "idx"):
+            shutil.move(
+                os.path.join(data_dir, f"{split}.txt.{ext}"),
+                os.path.join(data_dir, f"{split}.{ext}"),
+            )
+    shutil.move(
+        os.path.join(data_dir, "dict.txt.txt"), os.path.join(data_dir, "dict.txt")
+    )
+
+
+def test_lm_train_and_eval(tmp_path):
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    create_lm_data(data_dir)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "language_modeling",
+            "--sample-break-mode", "eos",
+            "--tokens-per-sample", "32",
+            "--arch", "transformer_lm",
+            "--share-decoder-input-output-embed",
+            "--criterion", "cross_entropy",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "4",
+            "--max-tokens", "128", "--max-epoch", "1",
+            "--decoder-layers", "2",
+            "--decoder-embed-dim", "16",
+            "--decoder-ffn-embed-dim", "32",
+            "--decoder-attention-heads", "2",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+    avg_nll, total = eval_lm_cli.cli_main(
+        [
+            data_dir,
+            "--task", "language_modeling",
+            "--sample-break-mode", "eos",
+            "--tokens-per-sample", "32",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--gen-subset", "test",
+            "--max-tokens", "128",
+            "--log-format", "none",
+        ]
+    )
+    assert total > 0
+    assert np.isfinite(avg_nll)
