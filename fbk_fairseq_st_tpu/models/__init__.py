@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     conv_transformer,
     conv_transformer_context,
     lightconv,
+    lstm,
     multi_task,
     multilingual_conv_transformer,
     multitask_conv_transformer,

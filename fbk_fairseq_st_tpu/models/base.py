@@ -32,6 +32,9 @@ class EncoderOut(NamedTuple):
     # generators replicate/reorder them with the rest of the encoder state
     context_out: Optional[jax.Array] = None  # (B, T_ctx, C)
     context_padding_mask: Optional[jax.Array] = None  # (B, T_ctx)
+    # model-specific batch-first extras (e.g. LSTM final states); a dict of
+    # (B, ...) arrays that tree_map reorders with everything else
+    extras: Optional[Any] = None
 
 
 def reorder_encoder_out(encoder_out: EncoderOut, new_order) -> EncoderOut:
