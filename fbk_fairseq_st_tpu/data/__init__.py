@@ -12,3 +12,4 @@ from .indexed_dataset import (  # noqa: F401
     make_builder,
     make_dataset,
 )
+from . import encoders  # noqa: F401

@@ -1,0 +1,247 @@
+"""Pluggable tokenizers and BPE codecs (reference fairseq/data/encoders/*).
+
+Registered under the 'tokenizer' and 'bpe' registries; each implements
+``encode(str) -> str`` and ``decode(str) -> str`` on the string level
+(binarization to ids stays in Dictionary.encode_line). Implementations with
+external dependencies (sacremoses, nltk, sentencepiece, subword_nmt,
+fastBPE) degrade to clear ImportErrors at build time — the deps are
+optional in the environment, as they were for the reference.
+"""
+
+from __future__ import annotations
+
+from ..registry import BPES, TOKENIZERS
+
+
+def build_tokenizer(args):
+    name = getattr(args, "tokenizer", None)
+    if name is None:
+        return None
+    return TOKENIZERS[name].build_tokenizer(args)
+
+
+def build_bpe(args):
+    name = getattr(args, "bpe", None)
+    if name is None:
+        return None
+    return BPES[name].build_bpe(args)
+
+
+@TOKENIZERS.register("space")
+class SpaceTokenizer:
+    """reference encoders/space_tokenizer.py."""
+
+    def __init__(self, args=None):
+        import re
+
+        self.space_tok = re.compile(r"\s+")
+
+    @classmethod
+    def build_tokenizer(cls, args):
+        return cls(args)
+
+    def encode(self, x: str) -> str:
+        return self.space_tok.sub(" ", x).strip()
+
+    def decode(self, x: str) -> str:
+        return x
+
+
+@TOKENIZERS.register("moses")
+class MosesTokenizer:
+    """reference encoders/moses_tokenizer.py (requires sacremoses)."""
+
+    def __init__(self, args):
+        try:
+            from sacremoses import MosesDetokenizer, MosesTokenizer as MT
+        except ImportError:
+            raise ImportError("Please install sacremoses for moses tokenization")
+        src = getattr(args, "source_lang", "en") or "en"
+        tgt = getattr(args, "target_lang", "en") or "en"
+        self.tok = MT(lang=src)
+        self.detok = MosesDetokenizer(lang=tgt)
+
+    @classmethod
+    def build_tokenizer(cls, args):
+        return cls(args)
+
+    def encode(self, x: str) -> str:
+        return self.tok.tokenize(x, return_str=True, escape=False)
+
+    def decode(self, x: str) -> str:
+        return self.detok.detokenize(x.split())
+
+
+@TOKENIZERS.register("nltk")
+class NLTKTokenizer:
+    def __init__(self, args):
+        try:
+            from nltk.tokenize import word_tokenize
+
+            self.word_tokenize = word_tokenize
+        except ImportError:
+            raise ImportError("Please install nltk for nltk tokenization")
+
+    @classmethod
+    def build_tokenizer(cls, args):
+        return cls(args)
+
+    def encode(self, x: str) -> str:
+        return " ".join(self.word_tokenize(x))
+
+    def decode(self, x: str) -> str:
+        return x
+
+
+@BPES.register("bytes")
+class Bytes:
+    """reference encoders/bytes.py: UTF-8 byte-level segmentation."""
+
+    @classmethod
+    def build_bpe(cls, args):
+        return cls()
+
+    def encode(self, x: str) -> str:
+        return " ".join(map(str, x.encode("utf-8")))
+
+    def decode(self, x: str) -> str:
+        return bytes(int(b) for b in x.split()).decode("utf-8", errors="replace")
+
+
+@BPES.register("characters")
+class Characters:
+    """reference encoders/characters.py."""
+
+    WORD_SEP = "_"
+
+    @classmethod
+    def build_bpe(cls, args):
+        return cls()
+
+    def encode(self, x: str) -> str:
+        escaped = x.replace(" ", self.WORD_SEP)
+        return " ".join(list(escaped))
+
+    def decode(self, x: str) -> str:
+        return x.replace(" ", "").replace(self.WORD_SEP, " ")
+
+
+@BPES.register("sentencepiece")
+class SentencepieceBPE:
+    """reference encoders/sentencepiece_bpe.py (requires sentencepiece)."""
+
+    def __init__(self, args):
+        try:
+            import sentencepiece as spm
+        except ImportError:
+            raise ImportError(
+                "Please install sentencepiece for sentencepiece BPE"
+            )
+        self.sp = spm.SentencePieceProcessor()
+        self.sp.Load(args.sentencepiece_model)
+
+    @classmethod
+    def build_bpe(cls, args):
+        return cls(args)
+
+    def encode(self, x: str) -> str:
+        return " ".join(self.sp.EncodeAsPieces(x))
+
+    def decode(self, x: str) -> str:
+        return x.replace(" ", "").replace("▁", " ").strip()
+
+
+@BPES.register("subword_nmt")
+class SubwordNMTBPE:
+    def __init__(self, args):
+        try:
+            from subword_nmt import apply_bpe
+        except ImportError:
+            raise ImportError("Please install subword_nmt")
+        codes = open(args.bpe_codes, encoding="utf-8")
+        self.bpe = apply_bpe.BPE(
+            codes,
+            getattr(args, "bpe_separator", "@@"),
+        )
+        self.sep = getattr(args, "bpe_separator", "@@") + " "
+
+    @classmethod
+    def build_bpe(cls, args):
+        return cls(args)
+
+    def encode(self, x: str) -> str:
+        return self.bpe.process_line(x)
+
+    def decode(self, x: str) -> str:
+        return (x + " ").replace(self.sep, "").rstrip()
+
+
+@BPES.register("gpt2")
+class GPT2BPE:
+    """GPT-2 byte-level BPE via the available transformers tokenizer
+    (reference encoders/gpt2_bpe.py downloads the same vocab)."""
+
+    def __init__(self, args):
+        try:
+            from transformers import GPT2Tokenizer
+
+            self.bpe = GPT2Tokenizer.from_pretrained(
+                getattr(args, "gpt2_encoder_json", None) or "gpt2"
+            )
+        except Exception as e:
+            raise ImportError(f"GPT-2 BPE unavailable: {e}")
+
+    @classmethod
+    def build_bpe(cls, args):
+        return cls(args)
+
+    def encode(self, x: str) -> str:
+        return " ".join(map(str, self.bpe.encode(x)))
+
+    def decode(self, x: str) -> str:
+        return self.bpe.decode([int(t) for t in x.split()])
+
+
+@BPES.register("bert")
+class BertBPE:
+    def __init__(self, args):
+        try:
+            from transformers import BertTokenizer
+
+            self.bpe = BertTokenizer.from_pretrained(
+                getattr(args, "bpe_vocab_file", None) or "bert-base-uncased"
+            )
+        except Exception as e:
+            raise ImportError(f"BERT BPE unavailable: {e}")
+
+    @classmethod
+    def build_bpe(cls, args):
+        return cls(args)
+
+    def encode(self, x: str) -> str:
+        return " ".join(self.bpe.tokenize(x))
+
+    def decode(self, x: str) -> str:
+        return self.bpe.convert_tokens_to_string(x.split())
+
+
+@BPES.register("fastbpe")
+class FastBPE:
+    def __init__(self, args):
+        try:
+            import fastBPE
+
+            self.bpe = fastBPE.fastBPE(args.bpe_codes)
+        except ImportError:
+            raise ImportError("Please install fastBPE")
+        self.sep = "@@ "
+
+    @classmethod
+    def build_bpe(cls, args):
+        return cls(args)
+
+    def encode(self, x: str) -> str:
+        return self.bpe.apply([x])[0]
+
+    def decode(self, x: str) -> str:
+        return (x + " ").replace(self.sep, "").rstrip()
