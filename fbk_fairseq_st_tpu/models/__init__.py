@@ -9,6 +9,7 @@ from .transformer_decoder import (  # noqa: F401
 from . import (  # noqa: F401
     conv_transformer,
     conv_transformer_context,
+    fconv,
     lightconv,
     lstm,
     multi_task,
