@@ -1,19 +1,70 @@
 /*
  * Corpus BLEU counting core — native twin of the Python scorer in
- * fbk_fairseq_st_tpu/scoring/bleu.py (semantics of the reference
- * fairseq/clib/libbleu/libbleu.cpp: trim pad/eos, clipped n-gram matching
- * via FNV-1a hashed counts, n = 1..4).
+ * fbk_fairseq_st_tpu/scoring/bleu.py, matching the reference libbleu's
+ * semantics: trim leading pads and trailing eos/pads, then clipped n-gram
+ * matching for n = 1..4 over FNV-1a-hashed n-grams.
  *
- * Exposed as a plain C ABI consumed through ctypes
- * (fbk_fairseq_st_tpu/scoring/native.py); integer counting only, so Python
- * and native paths are bit-identical.
+ * Exposed as a plain C ABI consumed through ctypes; integer counting only,
+ * so Python and native paths are bit-identical.
  *
  * Build: see fbk_fairseq_st_tpu/native/build.py (cc -O2 -shared -fPIC).
  */
 
 #include <cstddef>
 #include <cstring>
-#include <map>
+#include <unordered_map>
+
+namespace {
+
+struct Span {
+    const int* data;
+    size_t len;
+};
+
+// Strip leading pads and trailing eos/pads (keeping at least one token).
+Span trimmed(const int* sent, size_t len, int pad, int eos) {
+    size_t lo = 0;
+    while (lo < len && sent[lo] == pad) lo++;
+    size_t n = len - lo;
+    const int* base = sent + lo;
+    while (n > 1 && (base[n - 1] == eos || base[n - 1] == pad)) n--;
+    return Span{base, n};
+}
+
+// FNV-1a over the n-gram's raw bytes.
+size_t fnv1a(const int* gram, size_t n) {
+    size_t h = 14695981039346656037ul;
+    const unsigned char* bytes = reinterpret_cast<const unsigned char*>(gram);
+    for (size_t i = 0; i < n * sizeof(int); i++) {
+        h ^= bytes[i];
+        h *= 0x100000001b3ul;
+    }
+    return h;
+}
+
+// Clipped n-gram matches: each hypothesis n-gram counts at most as many
+// times as it occurs in the reference.
+void count_ngrams(size_t n, Span ref, Span hyp, size_t* total, size_t* match) {
+    if (hyp.len < n) return;
+    const size_t n_hyp = hyp.len - n + 1;
+    *total += n_hyp;
+    if (ref.len < n) return;
+
+    std::unordered_map<size_t, size_t> hyp_counts;
+    hyp_counts.reserve(n_hyp * 2);
+    for (size_t i = 0; i < n_hyp; i++) {
+        hyp_counts[fnv1a(hyp.data + i, n)]++;
+    }
+    for (size_t i = 0; i + n <= ref.len; i++) {
+        auto it = hyp_counts.find(fnv1a(ref.data + i, n));
+        if (it != hyp_counts.end() && it->second > 0) {
+            it->second--;
+            (*match)++;
+        }
+    }
+}
+
+}  // namespace
 
 typedef struct {
     size_t reflen;
@@ -28,96 +79,31 @@ typedef struct {
     size_t count4;
 } bleu_stat;
 
-static void bleu_ltrim(size_t* len, const int** sent, int pad) {
-    size_t start = 0;
-    while (start < *len && (*sent)[start] == pad) {
-        start++;
-    }
-    *sent += start;
-    *len -= start;
-}
-
-static void bleu_rtrim(size_t* len, const int** sent, int pad, int eos) {
-    if (*len == 0) return;
-    size_t end = *len - 1;
-    while (end > 0 && ((*sent)[end] == eos || (*sent)[end] == pad)) {
-        end--;
-    }
-    *len = end + 1;
-}
-
-static void bleu_trim(size_t* len, const int** sent, int pad, int eos) {
-    bleu_ltrim(len, sent, pad);
-    bleu_rtrim(len, sent, pad, eos);
-}
-
-static size_t bleu_hash(size_t n, const int* data) {
-    size_t h = 14695981039346656037ul;
-    size_t prime = 0x100000001b3;
-    const char* b = (const char*)data;
-    size_t blen = sizeof(int) * n;
-    while (blen-- > 0) {
-        h ^= *b++;
-        h *= prime;
-    }
-    return h;
-}
-
-static void bleu_addngram(
-    size_t* ntotal, size_t* nmatch, size_t n,
-    size_t reflen, const int* ref, size_t predlen, const int* pred) {
-    if (predlen < n) return;
-    predlen = predlen - n + 1;
-    (*ntotal) += predlen;
-    if (reflen < n) return;
-    reflen = reflen - n + 1;
-
-    std::map<size_t, size_t> count;
-    while (predlen > 0) {
-        size_t w = bleu_hash(n, pred++);
-        count[w]++;
-        predlen--;
-    }
-    while (reflen > 0) {
-        size_t w = bleu_hash(n, ref++);
-        if (count[w] > 0) {
-            (*nmatch)++;
-            count[w] -= 1;
-        }
-        reflen--;
-    }
-}
-
 extern "C" {
 
 void bleu_zero_init(bleu_stat* stat) {
     std::memset(stat, 0, sizeof(bleu_stat));
 }
 
+// Sentence-level smoothing: orders 2..4 start with one pseudo-match.
 void bleu_one_init(bleu_stat* stat) {
     bleu_zero_init(stat);
-    stat->count1 = 0;
-    stat->count2 = 1;
-    stat->count3 = 1;
-    stat->count4 = 1;
-    stat->match1 = 0;
-    stat->match2 = 1;
-    stat->match3 = 1;
-    stat->match4 = 1;
+    stat->count2 = stat->count3 = stat->count4 = 1;
+    stat->match2 = stat->match3 = stat->match4 = 1;
 }
 
-void bleu_add(
-    bleu_stat* stat,
-    size_t reflen, const int* ref, size_t predlen, const int* pred,
-    int pad, int eos) {
-    bleu_trim(&reflen, &ref, pad, eos);
-    bleu_trim(&predlen, &pred, pad, eos);
-    stat->reflen += reflen;
-    stat->predlen += predlen;
-    bleu_addngram(&stat->count1, &stat->match1, 1, reflen, ref, predlen, pred);
-    bleu_addngram(&stat->count2, &stat->match2, 2, reflen, ref, predlen, pred);
-    bleu_addngram(&stat->count3, &stat->match3, 3, reflen, ref, predlen, pred);
-    bleu_addngram(&stat->count4, &stat->match4, 4, reflen, ref, predlen, pred);
+void bleu_add(bleu_stat* stat,
+              size_t reflen, const int* ref,
+              size_t predlen, const int* pred,
+              int pad, int eos) {
+    Span r = trimmed(ref, reflen, pad, eos);
+    Span h = trimmed(pred, predlen, pad, eos);
+    stat->reflen += r.len;
+    stat->predlen += h.len;
+    count_ngrams(1, r, h, &stat->count1, &stat->match1);
+    count_ngrams(2, r, h, &stat->count2, &stat->match2);
+    count_ngrams(3, r, h, &stat->count3, &stat->match3);
+    count_ngrams(4, r, h, &stat->count4, &stat->match4);
 }
 
 }  // extern "C"

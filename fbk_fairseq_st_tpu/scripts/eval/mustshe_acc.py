@@ -1,132 +1,126 @@
 #!/usr/bin/python3
 """MuST-SHE gender term-coverage / accuracy evaluation.
 
-Algorithm-identical counterpart of reference scripts/eval/mustshe_acc.py
+Behavior-identical counterpart of reference scripts/eval/mustshe_acc.py
 (COLING 2020 "Breeding Gender-aware Direct Speech Translation Systems"):
-per sentence, each annotated gender-marked term pair (correct wrong) is
+per sentence, each annotated gender-marked (correct, wrong) term pair is
 matched at most once against the tokenized hypothesis; per-category and
-global term coverage and gender accuracy are reported.
+global term coverage and gender accuracy are reported. Same CLI flags, same
+TSV columns, same output table.
 """
 
 from __future__ import annotations
 
 import argparse
 import csv
+from dataclasses import dataclass, asdict
+from typing import Dict, Iterable, List
 
 
-def sentence_level_scores(in_f, tsv_f):
-    sentences = []
-    with open(in_f) as i_f, open(tsv_f) as t_f:
-        tsv_reader = csv.DictReader(t_f, delimiter="\t")
-        for (i_line, terms_f) in zip(i_f, tsv_reader):
-            sentence_correct = 0
-            sentence_wrong = 0
-            sentence_found = 0
-            gender_marked_terms = (
-                terms_f["GENDERTERMS"].strip().lower().split(";")
-            )
-            generated_terms = i_line.strip().lower().split()
-            for t in gender_marked_terms:
-                term = t.split(" ")
-                found = False
-                correct_term = term[0]
-                wrong_term = term[1]
-                try:
-                    pos_found = generated_terms.index(correct_term)
-                    del generated_terms[pos_found]  # avoid re-matching
-                    sentence_correct += 1
-                    found = True
-                except ValueError:
-                    pass
-                try:
-                    pos_found = generated_terms.index(wrong_term)
-                    del generated_terms[pos_found]
-                    sentence_wrong += 1
-                    found = True
-                except ValueError:
-                    pass
-                if found:
-                    sentence_found += 1
-            sentences.append(
-                {
-                    "num_terms": len(gender_marked_terms),
-                    "num_terms_found": sentence_found,
-                    "num_correct": sentence_correct,
-                    "num_wrong": sentence_wrong,
-                }
-            )
-    return sentences
+@dataclass
+class SentenceStats:
+    num_terms: int = 0
+    num_terms_found: int = 0
+    num_correct: int = 0
+    num_wrong: int = 0
+
+    def add(self, other: "SentenceStats") -> None:
+        self.num_terms += other.num_terms
+        self.num_terms_found += other.num_terms_found
+        self.num_correct += other.num_correct
+        self.num_wrong += other.num_wrong
+
+    @property
+    def term_coverage(self) -> float:
+        return self.num_terms_found / self.num_terms if self.num_terms else 0.0
+
+    @property
+    def gender_accuracy(self) -> float:
+        matched = self.num_correct + self.num_wrong
+        return self.num_correct / matched if matched else 0.0
 
 
-def write_sentence_acc(out_f, sentence_scores):
-    with open(out_f, "w") as f_w:
-        writer = csv.DictWriter(
-            f_w,
-            ["num_terms", "num_terms_found", "num_correct", "num_wrong"],
-            delimiter="\t",
-        )
+def _consume_once(tokens: List[str], word: str) -> bool:
+    """Remove the first occurrence of *word* from *tokens*; True if found.
+    The single-consumption rule prevents one generated token from matching
+    two annotated terms (reference :27-40)."""
+    try:
+        tokens.remove(word)
+        return True
+    except ValueError:
+        return False
+
+
+def _score_sentence(hypothesis: str, gender_terms: Iterable[str]) -> SentenceStats:
+    tokens = hypothesis.strip().lower().split()
+    stats = SentenceStats()
+    for pair in gender_terms:
+        parts = pair.split(" ")
+        correct, wrong = parts[0], parts[1]
+        stats.num_terms += 1
+        got_correct = _consume_once(tokens, correct)
+        got_wrong = _consume_once(tokens, wrong)
+        stats.num_correct += int(got_correct)
+        stats.num_wrong += int(got_wrong)
+        stats.num_terms_found += int(got_correct or got_wrong)
+    return stats
+
+
+def sentence_level_scores(in_f: str, tsv_f: str) -> List[SentenceStats]:
+    out = []
+    with open(in_f) as hyp_file, open(tsv_f) as def_file:
+        definitions = csv.DictReader(def_file, delimiter="\t")
+        for hyp_line, definition in zip(hyp_file, definitions):
+            pairs = definition["GENDERTERMS"].strip().lower().split(";")
+            out.append(_score_sentence(hyp_line, pairs))
+    return out
+
+
+def write_sentence_acc(out_f: str, sentence_scores: List[SentenceStats]) -> None:
+    fields = ["num_terms", "num_terms_found", "num_correct", "num_wrong"]
+    with open(out_f, "w") as fh:
+        writer = csv.DictWriter(fh, fields, delimiter="\t")
         writer.writeheader()
-        writer.writerows(sentence_scores)
+        writer.writerows(asdict(s) for s in sentence_scores)
 
 
-def global_scores(sentence_scores, tsv_f, debug=False):
-    i = 0
-    category_buffers = {}
-    with open(tsv_f, "r") as f:
-        reader = csv.DictReader(f, delimiter="\t")
-        for line in reader:
-            category = line["CATEGORY"]
-            if category not in category_buffers:
-                category_buffers[category] = {
-                    "num_terms": 0, "num_correct": 0,
-                    "num_wrong": 0, "num_terms_found": 0,
-                }
-            for k in ("num_terms", "num_terms_found", "num_correct", "num_wrong"):
-                category_buffers[category][k] += sentence_scores[i][k]
-            i += 1
-    if debug:
-        print("Evaluated {} sentences...".format(i))
-    overall_scores = {}
-    tot_terms = tot_found = tot_correct = tot_wrong = 0
-    for c in category_buffers:
-        term_cov = (
-            float(category_buffers[c]["num_terms_found"])
-            / category_buffers[c]["num_terms"]
-        )
-        if category_buffers[c]["num_terms_found"] > 0:
-            gender_acc = float(category_buffers[c]["num_correct"]) / (
-                category_buffers[c]["num_correct"]
-                + category_buffers[c]["num_wrong"]
+def global_scores(
+    sentence_scores: List[SentenceStats], tsv_f: str, debug: bool = False
+) -> Dict[str, Dict[str, float]]:
+    per_category: Dict[str, SentenceStats] = {}
+    with open(tsv_f) as fh:
+        for i, row in enumerate(csv.DictReader(fh, delimiter="\t")):
+            per_category.setdefault(row["CATEGORY"], SentenceStats()).add(
+                sentence_scores[i]
             )
-        else:
-            gender_acc = 0.0
-        overall_scores[c] = {
-            "term_coverage": term_cov, "gender_accuracy": gender_acc
+    if debug:
+        print("Evaluated {} sentences...".format(len(sentence_scores)))
+
+    totals = SentenceStats()
+    table = {}
+    for category, stats in per_category.items():
+        table[category] = {
+            "term_coverage": stats.term_coverage,
+            "gender_accuracy": stats.gender_accuracy,
         }
-        tot_terms += category_buffers[c]["num_terms"]
-        tot_found += category_buffers[c]["num_terms_found"]
-        tot_correct += category_buffers[c]["num_correct"]
-        tot_wrong += category_buffers[c]["num_wrong"]
-    overall_scores["Global"] = {
-        "term_coverage": tot_found / tot_terms,
-        "gender_accuracy": tot_correct / max(tot_correct + tot_wrong, 1),
+        totals.add(stats)
+    table["Global"] = {
+        "term_coverage": totals.num_terms_found / totals.num_terms,
+        "gender_accuracy": totals.num_correct
+        / max(totals.num_correct + totals.num_wrong, 1),
     }
-    return overall_scores
+    return table
 
 
-def print_scores(out_scores, print_latex=False):
-    categories = sorted(out_scores.keys())
+def print_scores(table: Dict[str, Dict[str, float]]) -> None:
     print("Category\tTerm Coverage\tGender Accuracy")
     print("-------------------------------------------------")
-    for c in categories:
-        if c == "Global":
+    for category in sorted(table):
+        if category == "Global":
             print("-------------------------------------------------")
-        print(
-            "{}\t{}\t{}".format(
-                c, out_scores[c]["term_coverage"], out_scores[c]["gender_accuracy"]
-            )
-        )
-        if c == "Global":
+        row = table[category]
+        print(f"{category}\t{row['term_coverage']}\t{row['gender_accuracy']}")
+        if category == "Global":
             print("-------------------------------------------------")
 
 
@@ -146,9 +140,9 @@ def cli_main(input_args=None):
     sentence_scores = sentence_level_scores(args.input, args.tsv_definition)
     if args.sentence_acc is not None:
         write_sentence_acc(args.sentence_acc, sentence_scores)
-    scores = global_scores(sentence_scores, args.tsv_definition, args.debug)
-    print_scores(scores)
-    return scores
+    table = global_scores(sentence_scores, args.tsv_definition, args.debug)
+    print_scores(table)
+    return table
 
 
 if __name__ == "__main__":
