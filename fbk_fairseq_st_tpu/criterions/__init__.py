@@ -8,5 +8,6 @@ from . import (  # noqa: F401
     ctc,
     knowledge_distillation,
     label_smoothed_cross_entropy,
+    nat_loss,
     label_smoothed_cross_entropy_ctx_reg,
 )

@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     multi_task,
     multilingual_conv_transformer,
     multitask_conv_transformer,
+    nat,
     transformer,
     transformer_lm,
     vggtransformer,

@@ -144,15 +144,18 @@ class TransformerDecoder:
         deterministic: bool = True,
         features_only: bool = False,
         need_attn: bool = False,
+        causal: bool = True,
     ):
         """prev_output_tokens: (B, T) -> logits (B, T, V).
 
+        ``causal=False`` gives the full-context decoder used by NAT models
+        (mask-predict sees all positions).
         Returns (logits_or_features, {'attn': cross-attn of last layer|None}).
         """
         rng = rng or RngStream(None)
         dtype = encoder_out.dtype if encoder_out is not None else jnp.float32
         x = self._embed(params, prev_output_tokens, dtype, rng, deterministic)
-        mask = causal_mask(x.shape[1])
+        mask = causal_mask(x.shape[1]) if causal else None
         attn = None
         n = len(params["layers"])
         for i, lp in enumerate(params["layers"]):

@@ -11,4 +11,5 @@ from . import (  # noqa: F401
     speech_translation_ctc_kd,
     speech_translation_dualdecoding,
     translation,
+    translation_lev,
 )
