@@ -24,7 +24,7 @@ A100_FAIRSEQ_FRAMES_PER_SEC = 8000.0
 
 # MuST-C-like synthetic shapes: 80-mel fbank, ~0.5-5s utterances bucketed
 # to 512 frames, conv_transformer base (256d/6L enc, 6L dec), bf16 compute.
-BATCH = 48
+BATCH = 128
 FRAMES = 512
 TGT_LEN = 48
 N_MELS = 80
@@ -60,7 +60,7 @@ def main() -> None:
         "--lr-scheduler", "inverse_sqrt",
         "--warmup-updates", "4000",
         "--clip-norm", "10.0",
-        "--max-tokens", "25000",
+        "--max-tokens", "66000",
         "--bf16",
         "--max-source-positions", "2048",
         "--max-target-positions", "512",

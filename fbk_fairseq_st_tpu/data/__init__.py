@@ -13,3 +13,13 @@ from .indexed_dataset import (  # noqa: F401
     make_dataset,
 )
 from . import encoders  # noqa: F401
+from .wrappers import (  # noqa: F401
+    AppendTokenDataset,
+    BaseWrapperDataset,
+    IdDataset,
+    PrependTokenDataset,
+    ResamplingDataset,
+    SortDataset,
+    StripTokenDataset,
+    TruncateDataset,
+)

@@ -1,0 +1,203 @@
+"""Small composable dataset wrappers (reference fairseq/data/*_dataset.py
+zoo): prepend/append/truncate/strip tokens, id-offset slicing, resampling,
+sorting — the building blocks multilingual and denoising recipes compose.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .datasets import Dataset
+
+
+class BaseWrapperDataset(Dataset):
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __getitem__(self, index):
+        return self.dataset[index]
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def collater(self, samples, **kwargs):
+        return self.dataset.collater(samples, **kwargs)
+
+    def num_tokens(self, index):
+        return self.dataset.num_tokens(index)
+
+    def size(self, index):
+        return self.dataset.size(index)
+
+    @property
+    def sizes(self):
+        return self.dataset.sizes
+
+    def ordered_indices(self):
+        return self.dataset.ordered_indices()
+
+
+class PrependTokenDataset(BaseWrapperDataset):
+    """Prepend a token to every item (reference prepend_token_dataset.py)."""
+
+    def __init__(self, dataset, token: Optional[int] = None):
+        super().__init__(dataset)
+        self.token = token
+
+    def __getitem__(self, index):
+        item = np.asarray(self.dataset[index])
+        if self.token is not None:
+            item = np.concatenate([[self.token], item])
+        return item
+
+    def num_tokens(self, index):
+        return self.dataset.num_tokens(index) + int(self.token is not None)
+
+    def size(self, index):
+        return self.dataset.size(index) + int(self.token is not None)
+
+    @property
+    def sizes(self):
+        return self.dataset.sizes + int(self.token is not None)
+
+
+class AppendTokenDataset(BaseWrapperDataset):
+    def __init__(self, dataset, token: Optional[int] = None):
+        super().__init__(dataset)
+        self.token = token
+
+    def __getitem__(self, index):
+        item = np.asarray(self.dataset[index])
+        if self.token is not None:
+            item = np.concatenate([item, [self.token]])
+        return item
+
+    def num_tokens(self, index):
+        return self.dataset.num_tokens(index) + int(self.token is not None)
+
+    def size(self, index):
+        return self.dataset.size(index) + int(self.token is not None)
+
+    @property
+    def sizes(self):
+        return self.dataset.sizes + int(self.token is not None)
+
+
+class TruncateDataset(BaseWrapperDataset):
+    """Truncate items to a maximum length (reference truncate_dataset.py)."""
+
+    def __init__(self, dataset, truncation_length: int):
+        super().__init__(dataset)
+        assert truncation_length is not None
+        self.truncation_length = truncation_length
+
+    def __getitem__(self, index):
+        item = np.asarray(self.dataset[index])
+        if item.shape[0] > self.truncation_length:
+            item = item[: self.truncation_length]
+        return item
+
+    @property
+    def sizes(self):
+        return np.minimum(self.dataset.sizes, self.truncation_length)
+
+    def num_tokens(self, index):
+        return min(self.dataset.num_tokens(index), self.truncation_length)
+
+    def size(self, index):
+        return min(self.dataset.size(index), self.truncation_length)
+
+
+class StripTokenDataset(BaseWrapperDataset):
+    """Strip a token off both ends (reference strip_token_dataset.py)."""
+
+    def __init__(self, dataset, id_to_strip: int):
+        super().__init__(dataset)
+        self.id_to_strip = id_to_strip
+
+    def __getitem__(self, index):
+        item = np.asarray(self.dataset[index])
+        while len(item) > 0 and item[-1] == self.id_to_strip:
+            item = item[:-1]
+        while len(item) > 0 and item[0] == self.id_to_strip:
+            item = item[1:]
+        return item
+
+
+class ResamplingDataset(BaseWrapperDataset):
+    """Up/down-sample a dataset by a ratio with a per-epoch seeded choice
+    (reference resampling_dataset.py)."""
+
+    def __init__(self, dataset, size_ratio: float = 1.0, seed: int = 0,
+                 epoch: int = 0, replace: bool = True):
+        super().__init__(dataset)
+        self.size_ratio = size_ratio
+        self.actual_size = int(np.ceil(len(dataset) * size_ratio))
+        self.seed = seed
+        self.replace = replace
+        self._cur_epoch = None
+        self._indices = None
+        self.set_epoch(epoch)
+
+    def set_epoch(self, epoch: int):
+        if epoch == self._cur_epoch:
+            return
+        self._cur_epoch = epoch
+        rng = np.random.RandomState([42, self.seed, epoch])
+        self._indices = rng.choice(
+            len(self.dataset), self.actual_size, replace=self.replace
+        )
+
+    def __getitem__(self, index):
+        return self.dataset[self._indices[index]]
+
+    def __len__(self):
+        return self.actual_size
+
+    def num_tokens(self, index):
+        return self.dataset.num_tokens(self._indices[index])
+
+    def size(self, index):
+        return self.dataset.size(self._indices[index])
+
+    @property
+    def sizes(self):
+        return np.asarray(self.dataset.sizes)[self._indices]
+
+    def ordered_indices(self):
+        return np.arange(len(self), dtype=np.int64)
+
+
+class SortDataset(BaseWrapperDataset):
+    """Order indices by successive sort keys (reference sort_dataset.py)."""
+
+    def __init__(self, dataset, sort_order):
+        super().__init__(dataset)
+        if not isinstance(sort_order, (list, tuple)):
+            sort_order = [sort_order]
+        self.sort_order = sort_order
+        assert all(len(so) == len(dataset) for so in sort_order)
+
+    def ordered_indices(self):
+        return np.lexsort(self.sort_order)
+
+
+class IdDataset(Dataset):
+    """Identity ids (reference id_dataset.py)."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __getitem__(self, index):
+        return index
+
+    def __len__(self):
+        return self.n
+
+    def num_tokens(self, index):
+        return 1
+
+    def size(self, index):
+        return 1
