@@ -108,6 +108,14 @@ def _main(args, output_file):
         num_generated_tokens = sum(len(h[0]["tokens"]) for h in hypos if h)
         gen_timer.stop(num_generated_tokens)
 
+        if args.print_alignment and hasattr(models[0][0], "decoder"):
+            from ..generation.alignment_utils import attach_alignments
+
+            model0, variables0 = models[0]
+            hypos = attach_alignments(
+                model0, variables0, sample, hypos, tgt_dict.pad(), tgt_dict.eos()
+            )
+
         for i, sample_id in enumerate(np.asarray(sample["id"])):
             sample_id = int(sample_id)
             if sample_id < 0:  # fixed-shape batch padding rows
@@ -153,6 +161,18 @@ def _main(args, output_file):
                                     hypo["positional_scores"] / math.log(2)
                                 ).tolist()
                             ),
+                        ),
+                        file=output_file,
+                    )
+
+                if (
+                    not args.quiet
+                    and args.print_alignment
+                    and hypo.get("alignment") is not None
+                ):
+                    print(
+                        "A-{}\t{}".format(
+                            sample_id, " ".join(hypo["alignment"])
                         ),
                         file=output_file,
                     )

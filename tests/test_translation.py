@@ -131,3 +131,24 @@ def test_share_all_embeddings(tmp_path):
     }
     (logits, _), _ = m.forward(v, batch)
     assert logits.shape == (1, 3, len(d))
+
+
+def test_generate_with_alignment(mt_trained, capsys):
+    data_dir, save_dir = mt_trained
+    generate_cli.cli_main(
+        [
+            data_dir,
+            "--task", "translation", "-s", "en", "-t", "de",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--beam", "2", "--max-tokens", "200",
+            "--gen-subset", "test", "--max-len-b", "8",
+            "--print-alignment",
+            "--log-format", "none",
+        ]
+    )
+    out = capsys.readouterr().out
+    a_lines = [l for l in out.splitlines() if l.startswith("A-")]
+    assert a_lines, "no alignment lines printed"
+    # pairs formatted as src-tgt ints
+    first = a_lines[0].split("\t")[1].split()
+    assert all("-" in p for p in first)
