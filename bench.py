@@ -61,6 +61,7 @@ def main() -> None:
         "--warmup-updates", "4000",
         "--clip-norm", "10.0",
         "--max-tokens", "66000",
+        "--log-sync-interval", "20",
         "--bf16",
         "--max-source-positions", "2048",
         "--max-target-positions", "512",

@@ -165,6 +165,7 @@ def train(args, trainer, task, epoch_itr, max_update):
             )
             if trainer.get_num_updates() >= max_update:
                 break
+        trainer.flush_logs()  # deferred log_sync_interval>1 outputs
 
     valid_losses = validate_and_save(
         args, trainer, task, epoch_itr, valid_subsets, end_of_epoch=True

@@ -69,6 +69,10 @@ def get_parser(desc: str, default_task: str = "speech_recognition"):
                         help="log progress every N batches")
     parser.add_argument("--log-format", default=None,
                         choices=["json", "none", "simple", "tqdm"])
+    parser.add_argument("--log-sync-interval", type=int, default=1, metavar="N",
+                        help="sync logging outputs to host every N updates "
+                             "(>1 overlaps host dispatch with device compute; "
+                             "NaN detection then also runs every N updates)")
     parser.add_argument("--tensorboard-logdir", metavar="DIR", default="",
                         help="path to save logs for tensorboard")
     parser.add_argument("--seed", default=1, type=int, metavar="N",
@@ -351,6 +355,16 @@ def parse_args_and_arch(
     # apply arch defaults
     if getattr(args, "arch", None) in registry.ARCHITECTURES:
         registry.apply_architecture(args)
+
+    if getattr(args, "cpu", False):
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var, so --cpu
+        # must go through jax.config (no-op if a backend is already live)
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
 
     if parse_known:
         return args, extra

@@ -102,6 +102,14 @@ class Trainer:
         self._num_updates = 0
         self.clip_norm = getattr(args, "clip_norm", 0.0) or 0.0
         self._dummy_count = 0
+        # >1 defers the device->host sync of logging outputs/gnorm to every
+        # N updates, letting the host enqueue the next step while the
+        # current one runs (the reference syncs every step; NaN detection
+        # then also runs on this cadence)
+        self.log_sync_interval = max(
+            int(getattr(args, "log_sync_interval", 1) or 1), 1
+        )
+        self._pending_logs: list = []
 
         # frozen-parameter mask (models loading pretrained components expose
         # frozen_param_filter; reference freeze semantics
@@ -308,24 +316,38 @@ class Trainer:
 
         self.set_num_updates(self._num_updates + 1)
 
-        # host-side logging (one device sync per update)
-        logging_output = {
-            k: float(np.asarray(v)) for k, v in logging_output.items()
-        }
-        gnorm = float(np.asarray(gnorm))
-        if not np.isfinite(gnorm):
-            # localize the blow-up by re-running the batch (reference
-            # NanDetector re-run contract, trainer.py:444-451)
-            from .nan_detector import analyze_failing_step
-
-            findings = analyze_failing_step(self, batches[-1])
-            raise FloatingPointError(
-                "gradient norm is {}; NaN/Inf detected in gradients. "
-                "First findings: {}".format(gnorm, findings[:3])
-            )
-        self._log_training(logging_output, gnorm, logging_meta)
+        self._pending_logs.append((logging_output, gnorm, logging_meta, batches[-1]))
+        if self._num_updates % self.log_sync_interval != 0:
+            metrics.log_stop_time("train_wall")
+            return None  # deferred; synced at the next boundary
+        out = self.flush_logs()
         metrics.log_stop_time("train_wall")
-        return logging_output
+        return out
+
+    def flush_logs(self):
+        """Sync any deferred logging outputs to the host (no-op when
+        log_sync_interval == 1 and nothing is pending)."""
+        out = None
+        for logging_output, gnorm, meta, last_batch in self._pending_logs:
+            # host-side logging (device sync happens here)
+            logging_output = {
+                k: float(np.asarray(v)) for k, v in logging_output.items()
+            }
+            gnorm = float(np.asarray(gnorm))
+            if not np.isfinite(gnorm):
+                # localize the blow-up by re-running the batch (reference
+                # NanDetector re-run contract, trainer.py:444-451)
+                from .nan_detector import analyze_failing_step
+
+                findings = analyze_failing_step(self, last_batch)
+                raise FloatingPointError(
+                    "gradient norm is {}; NaN/Inf detected in gradients. "
+                    "First findings: {}".format(gnorm, findings[:3])
+                )
+            self._log_training(logging_output, gnorm, meta)
+            out = logging_output
+        self._pending_logs = []
+        return out
 
     def _log_training(self, logging_output, gnorm, meta):
         sample_size = logging_output.get("sample_size", 1)
