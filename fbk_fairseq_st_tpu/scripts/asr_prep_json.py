@@ -30,7 +30,14 @@ def _load_spm(path):
 
 
 def _duration_ms(aud_path):
-    import torchaudio
+    if aud_path.endswith(".wav"):
+        import wave
+
+        with wave.open(aud_path, "rb") as w:
+            return int(
+                w.getnframes() / w.getframerate() / MILLISECONDS_TO_SECONDS
+            )
+    import torchaudio  # non-wav formats need an audio backend
 
     info = torchaudio.info(aud_path)
     return int(

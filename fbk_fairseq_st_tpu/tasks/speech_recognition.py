@@ -63,7 +63,7 @@ class SpeechRecognitionTask(Task):
                             help="max number of tokens in the source sequence")
         parser.add_argument("--max-target-positions", default=1024, type=int, metavar="N",
                             help="max number of tokens in the target sequence")
-        parser.add_argument("--dataset-from-json", default=False,
+        parser.add_argument("--dataset-from-json", action="store_true", default=False,
                             help="whether to read the data from a JSON file or from "
                             "indexed data containing the precomputed filterbanks")
         parser.add_argument("-t", "--target-lang", default=None, metavar="TARGET",
@@ -140,15 +140,29 @@ class SpeechRecognitionTask(Task):
         datasets = []
         for path in self.paths:
             try:
-                ds = get_datasets_from_indexed_filterbanks(
-                    path,
-                    self.args.target_lang,
-                    self.tgt_dict,
-                    split,
-                    getattr(self.args, "dataset_impl", None),
-                    self.args.skip_normalization,
-                    self.args.legacy_audio_fix_lua_indexing,
-                )
+                if getattr(self.args, "dataset_from_json", False):
+                    # JSON route (reference :184-186): asr_prep_json output,
+                    # features extracted on the fly
+                    from ..data.asr_json import get_asr_dataset_from_json
+
+                    ds = get_asr_dataset_from_json(
+                        os.path.join(path, "{}.json".format(split)),
+                        self.tgt_dict,
+                        self.args.skip_normalization,
+                        num_mel_bins=getattr(
+                            self.args, "input_feat_per_channel", 80
+                        ),
+                    )
+                else:
+                    ds = get_datasets_from_indexed_filterbanks(
+                        path,
+                        self.args.target_lang,
+                        self.tgt_dict,
+                        split,
+                        getattr(self.args, "dataset_impl", None),
+                        self.args.skip_normalization,
+                        self.args.legacy_audio_fix_lua_indexing,
+                    )
                 datasets.append(ds)
             except (FileNotFoundError, AssertionError):
                 logger.warning(
