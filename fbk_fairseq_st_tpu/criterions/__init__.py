@@ -10,4 +10,5 @@ from . import (  # noqa: F401
     label_smoothed_cross_entropy,
     nat_loss,
     label_smoothed_cross_entropy_ctx_reg,
+    vocab_parallel_cross_entropy,
 )
