@@ -58,11 +58,20 @@ def binarize(input_file, dictionary, output_prefix, impl="mmap", append_eos=True
 
 def main(args):
     os.makedirs(args.destdir, exist_ok=True)
-    langs = [l for l in [args.source_lang, args.target_lang] if l is not None]
-    assert langs, "specify --source-lang and/or --target-lang"
+    if getattr(args, "only_source", False):
+        # monolingual/LM layout: {split}.{bin,idx} + dict.txt (the
+        # fairseq-preprocess --only-source convention)
+        langs = [args.source_lang]  # may be None -> unnamed
+    else:
+        langs = [
+            l for l in [args.source_lang, args.target_lang] if l is not None
+        ]
+        assert langs, "specify --source-lang and/or --target-lang"
 
     for lang in langs:
-        dict_path = os.path.join(args.destdir, f"dict.{lang}.txt")
+        dict_path = os.path.join(
+            args.destdir, f"dict.{lang}.txt" if lang else "dict.txt"
+        )
         existing = args.srcdict if lang == args.source_lang else args.tgtdict
         if existing:
             d = Dictionary.load(existing)
@@ -73,7 +82,7 @@ def main(args):
             )
             nwords = args.nwordssrc if lang == args.source_lang else args.nwordstgt
             d = build_dictionary(
-                [f"{args.trainpref}.{lang}"],
+                [f"{args.trainpref}.{lang}" if lang else args.trainpref],
                 threshold=threshold,
                 nwords=nwords,
                 padding_factor=args.padding_factor,
@@ -95,10 +104,13 @@ def main(args):
                     args.destdir,
                     f"{split}.{args.source_lang}-{args.target_lang}.{lang}",
                 )
-            else:
+            elif lang:
                 out_prefix = os.path.join(args.destdir, f"{split}.{lang}")
+            else:
+                out_prefix = os.path.join(args.destdir, split)
             nseq, ntok, nunk = binarize(
-                f"{pref}.{lang}", d, out_prefix, impl=args.dataset_impl
+                f"{pref}.{lang}" if lang else pref, d, out_prefix,
+                impl=args.dataset_impl,
             )
             logger.info(
                 "[{}] {}: {} sents, {} tokens, {:.3}% replaced by {}".format(

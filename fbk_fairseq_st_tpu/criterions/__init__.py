@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     ctc,
     knowledge_distillation,
     label_smoothed_cross_entropy,
+    masked_lm,
     nat_loss,
     label_smoothed_cross_entropy_ctx_reg,
     vocab_parallel_cross_entropy,

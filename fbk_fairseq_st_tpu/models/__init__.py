@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     fconv,
     lightconv,
     lstm,
+    masked_lm,
     multi_task,
     multilingual_conv_transformer,
     multitask_conv_transformer,

@@ -1,0 +1,315 @@
+"""Masked language model (BERT/XLM-style bidirectional encoder).
+
+Counterpart of fairseq/models/masked_lm.py:28-351 (MaskedLMModel +
+MaskedLMEncoder over TransformerSentenceEncoder) with the arch presets
+masked_lm / bert_base / bert_large / xlm_base. TPU-native differences: the
+LM head projects ALL positions and the criterion masks the loss — the
+reference's ``masked_tokens`` boolean gather (:192-224) is a GPU memory
+trick that would force dynamic shapes under jit; computing the full (B,T,V)
+logits keeps one static program and the extra FLOPs ride the MXU. Segment
+(token-type) embeddings, the tanh pooler over the [CLS] position, the
+optional NSP head, and input/output embedding tying are preserved.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.core import (
+    RngStream,
+    dropout,
+    embedding,
+    get_activation,
+    init_embedding,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+)
+from ..ops.positional import PositionalEmbedding
+from ..ops.transformer_layer import (
+    TransformerLayerConfig,
+    encoder_layer,
+    init_encoder_layer,
+)
+from ..registry import register_model, register_model_architecture
+from .base import Model
+
+
+class MaskedLMConfig(NamedTuple):
+    vocab_size: int
+    embed_dim: int = 1024
+    ffn_dim: int = 4096
+    layers: int = 6
+    heads: int = 8
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    activation: str = "relu"
+    pooler_activation: str = "tanh"
+    normalize_before: bool = False
+    learned_pos: bool = False
+    use_position_embeddings: bool = True
+    num_segment: int = 2
+    sentence_class_num: int = 2
+    sent_loss: bool = False
+    share_input_output_embed: bool = False
+    max_positions: int = 512
+    padding_idx: int = 1
+
+    @property
+    def layer_cfg(self) -> TransformerLayerConfig:
+        return TransformerLayerConfig(
+            embed_dim=self.embed_dim,
+            ffn_dim=self.ffn_dim,
+            num_heads=self.heads,
+            dropout=self.dropout,
+            attention_dropout=self.attention_dropout,
+            activation_dropout=self.activation_dropout,
+            activation=self.activation,
+            normalize_before=self.normalize_before,
+        )
+
+
+@register_model("masked_lm")
+class MaskedLMModel(Model):
+    def __init__(self, cfg: MaskedLMConfig):
+        self.cfg = cfg
+        self.pos = (
+            PositionalEmbedding(
+                cfg.max_positions, cfg.embed_dim, cfg.padding_idx,
+                cfg.learned_pos,
+            )
+            if cfg.use_position_embeddings
+            else None
+        )
+        self.max_source_positions = cfg.max_positions
+        self.max_target_positions = cfg.max_positions
+
+    @staticmethod
+    def add_args(parser):
+        # reference masked_lm.py:45-99
+        parser.add_argument("--dropout", type=float, metavar="D")
+        parser.add_argument("--attention-dropout", type=float, metavar="D")
+        parser.add_argument("--act-dropout", type=float, metavar="D")
+        parser.add_argument("--encoder-ffn-embed-dim", type=int, metavar="N")
+        parser.add_argument("--encoder-layers", type=int, metavar="N")
+        parser.add_argument("--encoder-attention-heads", type=int, metavar="N")
+        parser.add_argument("--encoder-embed-dim", type=int, metavar="N")
+        parser.add_argument("--share-encoder-input-output-embed",
+                            action="store_true")
+        parser.add_argument("--encoder-learned-pos", action="store_true")
+        parser.add_argument("--no-token-positional-embeddings",
+                            action="store_true")
+        parser.add_argument("--num-segment", type=int, metavar="N")
+        parser.add_argument("--sentence-class-num", type=int, metavar="N")
+        parser.add_argument("--sent-loss", action="store_true")
+        parser.add_argument("--apply-bert-init", action="store_true")
+        parser.add_argument("--activation-fn", type=str)
+        parser.add_argument("--pooler-activation-fn", type=str)
+        parser.add_argument("--encoder-normalize-before", action="store_true")
+        parser.add_argument("--max-positions", type=int)
+
+    @classmethod
+    def build_model(cls, args, task):
+        base_architecture(args)
+        if not hasattr(args, "max_positions"):
+            args.max_positions = args.tokens_per_sample
+        d = task.dictionary
+        cfg = MaskedLMConfig(
+            vocab_size=len(d),
+            embed_dim=args.encoder_embed_dim,
+            ffn_dim=args.encoder_ffn_embed_dim,
+            layers=args.encoder_layers,
+            heads=args.encoder_attention_heads,
+            dropout=args.dropout,
+            attention_dropout=args.attention_dropout,
+            activation_dropout=args.act_dropout,
+            activation=args.activation_fn,
+            pooler_activation=args.pooler_activation_fn,
+            normalize_before=args.encoder_normalize_before,
+            learned_pos=args.encoder_learned_pos,
+            use_position_embeddings=not args.no_token_positional_embeddings,
+            num_segment=args.num_segment,
+            sentence_class_num=args.sentence_class_num,
+            sent_loss=args.sent_loss,
+            share_input_output_embed=args.share_encoder_input_output_embed,
+            max_positions=args.max_positions,
+            padding_idx=d.pad(),
+        )
+        return cls(cfg)
+
+    def init(self, key):
+        cfg = self.cfg
+        ks = jax.random.split(key, cfg.layers + 8)
+        p: Dict[str, Any] = {
+            "embed_tokens": init_embedding(
+                ks[0], cfg.vocab_size, cfg.embed_dim, cfg.padding_idx
+            ),
+            "layers": [
+                init_encoder_layer(ks[1 + i], cfg.layer_cfg)
+                for i in range(cfg.layers)
+            ],
+            # LM head (reference masked_lm.py:169-171)
+            "lm_head_transform": init_linear(
+                ks[-1], cfg.embed_dim, cfg.embed_dim
+            ),
+            "lm_head_ln": init_layer_norm(cfg.embed_dim),
+            "lm_output_bias": jnp.zeros((cfg.vocab_size,)),
+            # [CLS] pooler (reference :164-167)
+            "pooler": init_linear(ks[-2], cfg.embed_dim, cfg.embed_dim),
+        }
+        if self.pos is not None and cfg.learned_pos:
+            p["embed_positions"] = self.pos.init(ks[-3])
+        if cfg.num_segment > 0:
+            p["segment_embeddings"] = init_embedding(
+                ks[-4], cfg.num_segment, cfg.embed_dim
+            )
+        if not cfg.share_input_output_embed:
+            p["embed_out"] = init_linear(
+                ks[-5], cfg.embed_dim, cfg.vocab_size, bias=False
+            )
+        if cfg.sent_loss:
+            p["sentence_projection"] = init_linear(
+                ks[-6], cfg.embed_dim, cfg.sentence_class_num, bias=False
+            )
+        if cfg.normalize_before:
+            p["final_ln"] = init_layer_norm(cfg.embed_dim)
+        return {"params": p, "state": {}}
+
+    def _encode(self, p, src_tokens, segment_labels, rng, deterministic,
+                dtype=jnp.float32):
+        cfg = self.cfg
+        x = embedding(p["embed_tokens"], src_tokens, dtype)
+        if self.pos is not None:
+            x = x + self.pos.from_ids(
+                p.get("embed_positions", {}), src_tokens, dtype
+            )
+        if cfg.num_segment > 0:
+            if segment_labels is None:
+                segment_labels = jnp.zeros_like(src_tokens)
+            x = x + embedding(p["segment_embeddings"], segment_labels, dtype)
+        x = dropout(x, cfg.dropout, rng, deterministic)
+        padding_mask = src_tokens == cfg.padding_idx
+        for lp in p["layers"]:
+            x = encoder_layer(
+                lp, cfg.layer_cfg, x,
+                key_padding_mask=padding_mask,
+                rng=rng, deterministic=deterministic,
+            )
+        if "final_ln" in p:
+            x = layer_norm(p["final_ln"], x)
+        return x
+
+    def forward(self, variables, batch, rng: Optional[RngStream] = None,
+                training=False):
+        cfg = self.cfg
+        p = variables["params"]
+        rng = rng or RngStream(None)
+        x = self._encode(
+            p, batch["src_tokens"], batch.get("segment_labels"),
+            rng, not training,
+        )
+        sentence_rep = x[:, 0, :]  # [CLS]
+
+        h = layer_norm(
+            p["lm_head_ln"],
+            get_activation(cfg.activation)(linear(p["lm_head_transform"], x)),
+        )
+        if cfg.share_input_output_embed:
+            logits = h @ p["embed_tokens"]["w"].T.astype(h.dtype)
+        else:
+            logits = linear(p["embed_out"], h)
+        logits = logits + p["lm_output_bias"].astype(logits.dtype)
+
+        pooled = get_activation(cfg.pooler_activation)(
+            linear(p["pooler"], sentence_rep)
+        )
+        sentence_logits = None
+        if cfg.sent_loss:
+            sentence_logits = linear(p["sentence_projection"], pooled)
+        extra = {
+            "pooled_output": pooled,
+            "sentence_logits": sentence_logits,
+        }
+        return (logits, extra), {}
+
+
+@register_model_architecture("masked_lm", "masked_lm")
+def base_architecture(args):
+    """Reference masked_lm.py:269-293."""
+    args.dropout = getattr(args, "dropout", 0.1)
+    args.attention_dropout = getattr(args, "attention_dropout", 0.1)
+    args.act_dropout = getattr(args, "act_dropout", 0.0)
+    args.encoder_ffn_embed_dim = getattr(args, "encoder_ffn_embed_dim", 4096)
+    args.encoder_layers = getattr(args, "encoder_layers", 6)
+    args.encoder_attention_heads = getattr(args, "encoder_attention_heads", 8)
+    args.encoder_embed_dim = getattr(args, "encoder_embed_dim", 1024)
+    args.share_encoder_input_output_embed = getattr(
+        args, "share_encoder_input_output_embed", False
+    )
+    args.encoder_learned_pos = getattr(args, "encoder_learned_pos", False)
+    args.no_token_positional_embeddings = getattr(
+        args, "no_token_positional_embeddings", False
+    )
+    args.num_segment = getattr(args, "num_segment", 2)
+    args.sentence_class_num = getattr(args, "sentence_class_num", 2)
+    args.sent_loss = getattr(args, "sent_loss", False)
+    args.apply_bert_init = getattr(args, "apply_bert_init", False)
+    args.activation_fn = getattr(args, "activation_fn", "relu")
+    args.pooler_activation_fn = getattr(args, "pooler_activation_fn", "tanh")
+    args.encoder_normalize_before = getattr(
+        args, "encoder_normalize_before", False
+    )
+
+
+@register_model_architecture("masked_lm", "bert_base")
+def bert_base_architecture(args):
+    """Reference masked_lm.py:295-318."""
+    args.encoder_embed_dim = getattr(args, "encoder_embed_dim", 768)
+    args.share_encoder_input_output_embed = getattr(
+        args, "share_encoder_input_output_embed", True
+    )
+    args.encoder_learned_pos = getattr(args, "encoder_learned_pos", True)
+    args.num_segment = getattr(args, "num_segment", 2)
+    args.encoder_layers = getattr(args, "encoder_layers", 12)
+    args.encoder_attention_heads = getattr(args, "encoder_attention_heads", 12)
+    args.encoder_ffn_embed_dim = getattr(args, "encoder_ffn_embed_dim", 3072)
+    args.sentence_class_num = getattr(args, "sentence_class_num", 2)
+    args.sent_loss = getattr(args, "sent_loss", True)
+    args.apply_bert_init = getattr(args, "apply_bert_init", True)
+    args.activation_fn = getattr(args, "activation_fn", "gelu")
+    args.encoder_normalize_before = getattr(
+        args, "encoder_normalize_before", True
+    )
+    base_architecture(args)
+
+
+@register_model_architecture("masked_lm", "bert_large")
+def bert_large_architecture(args):
+    args.encoder_embed_dim = getattr(args, "encoder_embed_dim", 1024)
+    args.encoder_layers = getattr(args, "encoder_layers", 24)
+    args.encoder_attention_heads = getattr(args, "encoder_attention_heads", 16)
+    args.encoder_ffn_embed_dim = getattr(args, "encoder_ffn_embed_dim", 4096)
+    bert_base_architecture(args)
+
+
+@register_model_architecture("masked_lm", "xlm_base")
+def xlm_architecture(args):
+    """Reference masked_lm.py:330-351."""
+    args.encoder_embed_dim = getattr(args, "encoder_embed_dim", 1024)
+    args.share_encoder_input_output_embed = getattr(
+        args, "share_encoder_input_output_embed", True
+    )
+    args.encoder_learned_pos = getattr(args, "encoder_learned_pos", True)
+    args.num_segment = getattr(args, "num_segment", 1)
+    args.encoder_layers = getattr(args, "encoder_layers", 6)
+    args.encoder_attention_heads = getattr(args, "encoder_attention_heads", 8)
+    args.encoder_ffn_embed_dim = getattr(args, "encoder_ffn_embed_dim", 4096)
+    args.sent_loss = getattr(args, "sent_loss", False)
+    args.activation_fn = getattr(args, "activation_fn", "gelu")
+    args.apply_bert_init = getattr(args, "apply_bert_init", True)
+    base_architecture(args)
