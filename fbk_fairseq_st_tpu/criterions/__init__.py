@@ -11,5 +11,6 @@ from . import (  # noqa: F401
     masked_lm,
     nat_loss,
     label_smoothed_cross_entropy_ctx_reg,
+    sentence_prediction,
     vocab_parallel_cross_entropy,
 )

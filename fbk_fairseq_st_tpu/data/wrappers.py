@@ -184,6 +184,65 @@ class SortDataset(BaseWrapperDataset):
         return np.lexsort(self.sort_order)
 
 
+class OffsetTokensDataset(BaseWrapperDataset):
+    """Add a constant to every token (reference offset_tokens_dataset.py;
+    used to map label-dictionary ids to 0-based class indices)."""
+
+    def __init__(self, dataset, offset: int):
+        super().__init__(dataset)
+        self.offset = offset
+
+    def __getitem__(self, index):
+        return np.asarray(self.dataset[index]) + self.offset
+
+
+class ConcatSentencesDataset(Dataset):
+    """Concatenate parallel datasets item-wise (reference
+    concat_sentences_dataset.py; input0+input1 sentence pairs)."""
+
+    def __init__(self, *datasets):
+        self.datasets = datasets
+        assert all(len(ds) == len(datasets[0]) for ds in datasets)
+
+    def __getitem__(self, index):
+        return np.concatenate([np.asarray(ds[index]) for ds in self.datasets])
+
+    def __len__(self):
+        return len(self.datasets[0])
+
+    @property
+    def sizes(self):
+        return sum(np.asarray(ds.sizes) for ds in self.datasets)
+
+    def num_tokens(self, index):
+        return sum(ds.num_tokens(index) for ds in self.datasets)
+
+    def size(self, index):
+        return sum(ds.size(index) for ds in self.datasets)
+
+    def ordered_indices(self):
+        return np.arange(len(self), dtype=np.int64)
+
+
+class RawLabelDataset(Dataset):
+    """In-memory labels (reference raw_label_dataset.py)."""
+
+    def __init__(self, labels):
+        self.labels = labels
+
+    def __getitem__(self, index):
+        return self.labels[index]
+
+    def __len__(self):
+        return len(self.labels)
+
+    def num_tokens(self, index):
+        return 1
+
+    def size(self, index):
+        return 1
+
+
 class IdDataset(Dataset):
     """Identity ids (reference id_dataset.py)."""
 

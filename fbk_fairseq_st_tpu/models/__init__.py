@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     lstm,
     masked_lm,
     multi_task,
+    roberta,
     multilingual_conv_transformer,
     multitask_conv_transformer,
     nat,

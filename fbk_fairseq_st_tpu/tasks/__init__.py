@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     masked_lm,
     multilingual_speech_translation,
     multitask_speech_translation,
+    sentence_prediction,
     speech_recognition,
     speech_recognition_context,
     speech_translation_ctc,
