@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import sys
 
 import numpy as np
@@ -83,6 +84,16 @@ def main(args):
     valid_losses = [None]
     valid_subsets = args.valid_subset.split(",")
 
+    profile_dir = None
+    if getattr(args, "profile", False):
+        # XLA/TPU trace viewable in TensorBoard or Perfetto (replaces the
+        # reference's torch.autograd profiler hooks)
+        import jax
+
+        profile_dir = os.path.join(args.save_dir, "profile")
+        jax.profiler.start_trace(profile_dir)
+        logger.info("jax.profiler trace -> {}".format(profile_dir))
+
     while (
         lr > args.min_lr
         and epoch_itr.epoch < max_epoch
@@ -98,6 +109,12 @@ def main(args):
         lr = trainer.lr_step(epoch_itr.epoch, valid_losses[0])
         if trainer.get_num_updates() >= max_update:
             break
+
+    if profile_dir is not None:
+        import jax
+
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to {}".format(profile_dir))
 
     logger.info("done training")
 
