@@ -131,7 +131,13 @@ class MultilingualConvolutionalTransformerModel(Model):
                  encoder_cfg, decoder_cfgs: Dict[str, object],
                  share_encoders: bool, share_decoders: bool,
                  encoder_langtok: Optional[str], langtok_merge_strategy: str,
-                 audio_features: int):
+                 audio_features: int,
+                 pretrained_encoder: Optional[str] = None,
+                 pretrained_decoder: Optional[str] = None,
+                 allow_partial_restore: bool = False):
+        self.pretrained_encoder = pretrained_encoder
+        self.pretrained_decoder = pretrained_decoder
+        self.allow_partial_restore = allow_partial_restore
         self.lang_pairs = lang_pairs
         self.langs = langs
         self.share_encoders = share_encoders
@@ -231,6 +237,9 @@ class MultilingualConvolutionalTransformerModel(Model):
             encoder_langtok=getattr(args, "encoder_langtok", None),
             langtok_merge_strategy=getattr(args, "langtok_merge_strategy", "concat"),
             audio_features=args.input_feat_per_channel,
+            pretrained_encoder=getattr(args, "pretrained_encoder", None),
+            pretrained_decoder=getattr(args, "pretrained_decoder", None),
+            allow_partial_restore=getattr(args, "allow_partial_restore", False),
         )
 
     def init(self, key):
@@ -248,7 +257,79 @@ class MultilingualConvolutionalTransformerModel(Model):
                 (len(self.langs), self.audio_features),
                 std=self.audio_features ** -0.5,
             )
-        return {"params": params, "state": state}
+        variables = {"params": params, "state": state}
+        if self.pretrained_encoder or self.pretrained_decoder:
+            variables = self._load_pretrained(variables)
+        return variables
+
+    def _load_pretrained(self, variables):
+        """Warm-start each encoder/decoder from a (mono- or bi-lingual)
+        conv_transformer checkpoint, growing vocab-sized matrices by
+        len(langs) rows for the appended language tokens — the reference
+        resize_model_to_new_dict fine-tuning path
+        (multilingual_conv_transformer.py:104-127). New rows keep their fresh
+        random init; old rows are copied."""
+        from ..train.checkpoint import load_checkpoint_to_cpu
+
+        def merge(dst, src, path=()):
+            if isinstance(dst, dict) and isinstance(src, dict):
+                out = {}
+                for k in dst:
+                    out[k] = (
+                        merge(dst[k], src[k], path + (k,))
+                        if k in src else dst[k]
+                    )
+                missing = set(src) - set(dst)
+                if missing and not self.allow_partial_restore:
+                    raise ValueError(
+                        "Cannot load from checkpoint, unexpected keys at "
+                        "{}: {}".format("/".join(path), sorted(missing))
+                    )
+                return out
+            if isinstance(dst, list) and isinstance(src, list):
+                return [
+                    merge(d, s, path + (str(i),))
+                    for i, (d, s) in enumerate(zip(dst, src))
+                ] + dst[len(src):]
+            dst_arr, src_arr = jnp.asarray(dst), jnp.asarray(src)
+            if dst_arr.shape == src_arr.shape:
+                return src_arr
+            if (
+                dst_arr.ndim == src_arr.ndim
+                and dst_arr.shape[1:] == src_arr.shape[1:]
+                and dst_arr.shape[0] == src_arr.shape[0] + len(self.langs)
+            ):
+                # dictionary grown by the language tokens: copy old rows,
+                # keep fresh init for the new ones
+                return dst_arr.at[: src_arr.shape[0]].set(src_arr)
+            raise ValueError(
+                "Shape mismatch at {}: checkpoint {} vs model {}".format(
+                    "/".join(path), src_arr.shape, dst_arr.shape
+                )
+            )
+
+        state = load_checkpoint_to_cpu(
+            self.pretrained_encoder or self.pretrained_decoder
+        )
+        pre = state["model"]
+        params = variables["params"]
+        if self.pretrained_encoder:
+            enc_src = pre.get("encoder")
+            assert enc_src is not None, "checkpoint has no encoder params"
+            for k in params["encoders"]:
+                params["encoders"][k] = merge(
+                    params["encoders"][k], enc_src, ("encoders", k)
+                )
+        if self.pretrained_decoder:
+            if self.pretrained_decoder != self.pretrained_encoder:
+                pre = load_checkpoint_to_cpu(self.pretrained_decoder)["model"]
+            dec_src = pre.get("decoder")
+            assert dec_src is not None, "checkpoint has no decoder params"
+            for k in params["decoders"]:
+                params["decoders"][k] = merge(
+                    params["decoders"][k], dec_src, ("decoders", k)
+                )
+        return variables
 
     def forward(self, variables, batch, rng=None, training=False):
         """batch: {pair: flat sub-batch}. Returns per-pair outputs."""

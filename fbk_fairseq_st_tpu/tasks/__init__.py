@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     language_modeling,
     masked_lm,
     multilingual_speech_translation,
+    multilingual_speech_translation_kd,
     multitask_speech_translation,
     sentence_prediction,
     speech_recognition,

@@ -96,3 +96,90 @@ def test_multilingual_generate_one_pair(ml_trained, capsys):
         ]
     )
     assert scorer.stat.predlen > 0
+
+
+def test_pretrained_decoder_dict_resize(tmp_path):
+    """Fine-tuning path: a bilingual checkpoint's decoder warm-starts the
+    multilingual model whose dictionaries grew by the language tokens
+    (reference resize_model_to_new_dict)."""
+    import argparse
+    import pickle
+
+    import jax
+    import numpy as np
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.models.multilingual_conv_transformer import (
+        _lang_token,
+    )
+    from .utils import dummy_dictionary
+
+    # "old" dictionary (pretraining) and the same dict + lang tokens
+    vocab = 20
+    d_old = dummy_dictionary(vocab)
+    d_new = dummy_dictionary(vocab)
+    langs = ["audio", "de", "nl"]
+    for lang in langs:
+        d_new.add_symbol(_lang_token(lang))
+
+    common = dict(
+        encoder_layers=2, decoder_layers=2,
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_convolutions="[(4, 3, 3)] * 2",
+        input_feat_per_channel=8,
+        max_source_positions=64, max_target_positions=32,
+        criterion="label_smoothed_cross_entropy",
+    )
+
+    # pretrain-style checkpoint on the old dict
+    class OldTask:
+        target_dictionary = d_old
+        source_dictionary = None
+
+    args = argparse.Namespace(arch="conv_transformer", **common)
+    registry.apply_architecture(args)
+    pre_model = registry.build_model(args, OldTask())
+    pre_vars = pre_model.init(jax.random.PRNGKey(1))
+    ckpt = str(tmp_path / "pre.pt")
+    with open(ckpt, "wb") as f:
+        pickle.dump(
+            {"model": jax.tree_util.tree_map(np.asarray, pre_vars["params"])},
+            f,
+        )
+
+    ml_dicts = {lang: d_new for lang in langs}
+
+    class MLTask:
+        dicts = ml_dicts
+        langs = ["audio", "de", "nl"]
+
+    ml_args = argparse.Namespace(
+        arch="multilingual_conv_transformer",
+        lang_pairs="audio-de,audio-nl",
+        share_encoders=True,
+        encoder_langtok="tgt", decoder_langtok=True,
+        langtok_merge_strategy="sum",
+        pretrained_decoder=ckpt, pretrained_encoder=ckpt,
+        allow_partial_restore=False,
+        **common,
+    )
+    registry.apply_architecture(ml_args)
+    ml_model = registry.build_model(ml_args, MLTask())
+    v = ml_model.init(jax.random.PRNGKey(2))
+
+    old_w = np.asarray(pre_vars["params"]["decoder"]["embed_tokens"]["w"])
+    for key, dec in v["params"]["decoders"].items():
+        new_w = np.asarray(dec["embed_tokens"]["w"])
+        assert new_w.shape[0] == old_w.shape[0] + len(langs)
+        np.testing.assert_array_equal(new_w[: old_w.shape[0]], old_w)
+        # new language-token rows kept their fresh (nonzero) init
+        assert np.abs(new_w[old_w.shape[0]:]).sum() > 0
+    # encoder warm-started exactly
+    for key, enc in v["params"]["encoders"].items():
+        got = np.asarray(enc["layers"][0]["self_attn"]["q"]["w"])
+        want = np.asarray(
+            pre_vars["params"]["encoder"]["layers"][0]["self_attn"]["q"]["w"]
+        )
+        np.testing.assert_array_equal(got, want)
