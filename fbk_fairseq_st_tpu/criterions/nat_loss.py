@@ -29,9 +29,49 @@ class NATLoss(Criterion):
         parser.add_argument("--length-loss-factor", default=0.1, type=float,
                             help="weight of the length prediction loss")
 
+    def _label_smoothed_ce(self, logits, target, mask, ls):
+        lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(
+            lprobs, target[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        per_tok = (
+            (1.0 - ls) * nll + ls * (-jnp.mean(lprobs, axis=-1))
+            if ls > 0 else nll
+        )
+        keep = mask.astype(per_tok.dtype)
+        n = jnp.maximum(jnp.sum(keep), 1.0)
+        return jnp.sum(per_tok * keep) / n, jnp.sum(nll * keep) / n
+
     def __call__(self, model, variables, batch, rng=None, training=False):
         net_output, new_state = model.forward(variables, batch, rng, training)
         logits, extra = net_output
+
+        if "losses" in extra:
+            # multi-head NAT (levenshtein): mean CE per factor, summed
+            # (reference nat_loss.py _compute_loss over the outputs dict)
+            loss = 0.0
+            nll_loss = 0.0
+            per_factor = {}
+            for name, spec in extra["losses"].items():
+                factor_loss, factor_nll = self._label_smoothed_ce(
+                    spec["out"], spec["tgt"], spec["mask"],
+                    spec.get("ls", 0.0),
+                )
+                loss = loss + spec.get("factor", 1.0) * factor_loss
+                per_factor[name + "-loss"] = factor_loss
+                if spec.get("nll_loss", False):
+                    nll_loss = nll_loss + factor_nll
+            nsentences = batch["target"].shape[0]
+            logging_output = {
+                "loss": loss,
+                "nll_loss": nll_loss,
+                "ntokens": jnp.sum(batch["target"] != self.padding_idx),
+                "nsentences": jnp.asarray(nsentences),
+                "sample_size": jnp.asarray(1.0),
+                **per_factor,
+            }
+            return loss, jnp.asarray(1.0), logging_output, new_state
+
         mask = extra["word_ins_mask"]
 
         lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -42,6 +42,22 @@ class IterativeRefinementGenerator:
         )
 
         key = (id(model), src_tokens.shape, max_len)
+        if key not in self._jitted and hasattr(model, "refinement_step"):
+            # levenshtein-style models own their whole iteration
+            # (delete/insert/fill) — no CMLM re-masking between steps
+
+            def run_refine(src_tokens, src_lengths):
+                enc, _ = model.encode(variables, src_tokens, src_lengths)
+                tokens, scores = model.initialize_output_tokens(
+                    variables, enc, max_len
+                )
+                for _ in range(self.max_iter):
+                    tokens, scores = model.refinement_step(
+                        variables, tokens, scores, enc
+                    )
+                return tokens, scores
+
+            self._jitted[key] = jax.jit(run_refine)
         if key not in self._jitted:
 
             def run(src_tokens, src_lengths):

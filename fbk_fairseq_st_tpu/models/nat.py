@@ -5,9 +5,11 @@ Counterpart of the reference NAT family's flagship member
 full-context (non-causal) transformer decoder predicts all masked target
 positions at once, plus a length-prediction head over mean-pooled encoder
 states; decoding is iterative mask-predict with skeptical unmasking
-(generation/iterative_refinement_generator.py). The levenshtein/insertion
-members (libnat consumers) remain on the round-2 queue — their edit-distance
-core already exists (native/edit_dist.cpp, ops/edit_distance.py).
+(generation/iterative_refinement_generator.py) — and the Levenshtein
+transformer (fairseq/models/nat/levenshtein_transformer.py +
+levenshtein_utils.py), whose libnat edit-alignment labels are computed on
+device (ops/edit_distance.lcs_matched_masks) and whose insert/delete edit
+ops run at a fixed width so the refinement loop compiles to one program.
 """
 
 from __future__ import annotations
@@ -138,6 +140,422 @@ class CMLMTransformerModel(TransformerModel):
         new_tokens = jnp.where(masks, tokens, output_tokens)
         new_scores = jnp.where(masks, scores, output_scores)
         return new_tokens, new_scores
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein transformer
+# ---------------------------------------------------------------------------
+
+def apply_del_words(tokens, scores, del_pred, pad, bos, eos):
+    """Drop tokens marked for deletion, compacting left at fixed width
+    (reference levenshtein_utils._apply_del_words:193-225 without the
+    dynamic-width gather)."""
+    in_mask = tokens != pad
+    protect = (tokens == bos) | (tokens == eos)
+    keep = (~del_pred | protect) & in_mask
+    L = tokens.shape[1]
+    ar = jnp.arange(L)[None, :]
+    order = jnp.argsort(jnp.where(keep, ar, L + ar), axis=1)
+    n_keep = jnp.sum(keep, axis=1, keepdims=True)
+    out_tokens = jnp.take_along_axis(tokens, order, axis=1)
+    out_tokens = jnp.where(ar < n_keep, out_tokens, pad)
+    out_scores = jnp.take_along_axis(scores, order, axis=1)
+    out_scores = jnp.where(ar < n_keep, out_scores, 0.0)
+    return out_tokens, out_scores
+
+
+def apply_ins_masks(tokens, scores, ins_pred, pad, unk, eos):
+    """Insert `ins_pred[i]` unk placeholders after position i, clipped to the
+    fixed width (reference levenshtein_utils._apply_ins_masks:139-173; the
+    dynamic out_max_len becomes a greedy budget clip at L)."""
+    B, L = tokens.shape
+    in_mask = tokens != pad
+    in_len = jnp.sum(in_mask, axis=1)
+    ins = jnp.where(in_mask[:, 1:], ins_pred, 0)
+    # greedy clip: keep earlier insertions once the width budget runs out
+    cum = jnp.cumsum(ins, axis=1)
+    cum = jnp.minimum(cum, (L - in_len)[:, None])
+    ins = jnp.diff(jnp.concatenate([jnp.zeros((B, 1), cum.dtype), cum], axis=1))
+    out_len = in_len + cum[:, -1]
+
+    ar = jnp.arange(L)[None, :]
+    out_tokens = jnp.where(ar < out_len[:, None], unk, pad)
+    out_scores = jnp.zeros_like(scores)
+    # new position of input token i>=1: i + insertions before it
+    newpos = jnp.concatenate(
+        [jnp.zeros((B, 1), cum.dtype), jnp.arange(1, L)[None, :] + cum], axis=1
+    )
+    newpos = jnp.where(in_mask, newpos, L)  # drop pads
+    out_tokens = jax.vmap(
+        lambda o, p, t: o.at[p].set(t, mode="drop")
+    )(out_tokens, newpos, tokens)
+    out_scores = jax.vmap(
+        lambda o, p, s: o.at[p].set(s, mode="drop")
+    )(out_scores, newpos, scores)
+    return out_tokens, out_scores
+
+
+def apply_ins_words(tokens, scores, word_pred, word_scores, unk):
+    """Fill unk placeholders with predicted words (reference
+    levenshtein_utils._apply_ins_words:176-190)."""
+    m = tokens == unk
+    return (
+        jnp.where(m, word_pred, tokens),
+        jnp.where(m, word_scores, scores),
+    )
+
+
+def get_ins_targets(prev_tokens, tgt_tokens, pad, unk):
+    """Device-side insertion labels (reference levenshtein_utils.
+    _get_ins_targets:30-91, libnat suggested_ed2_path): align prev/tgt by
+    LCS; unmatched target tokens are the insertions. Returns
+    (masked_tgt_masks (B,Lt) bool, masked_tgt_tokens, mask_ins_targets
+    (B,Lp-1) int)."""
+    from ..ops.edit_distance import lcs_matched_masks
+
+    B, Lp = prev_tokens.shape
+    Lt = tgt_tokens.shape[1]
+    prev_len = jnp.sum(prev_tokens != pad, axis=1)
+    tgt_len = jnp.sum(tgt_tokens != pad, axis=1)
+    matched_prev, matched_tgt = lcs_matched_masks(
+        prev_tokens, prev_len, tgt_tokens, tgt_len
+    )
+    tgt_mask = tgt_tokens != pad
+    masked_tgt_masks = tgt_mask & ~matched_tgt
+    masked_tgt_tokens = jnp.where(masked_tgt_masks, unk, tgt_tokens)
+
+    # each unmatched tgt token belongs to the gap after the r-th matched
+    # token, r = #matched tgt positions before it
+    rank_before = jnp.cumsum(matched_tgt.astype(jnp.int32), axis=1)
+    rank_before = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), rank_before[:, :-1]], axis=1
+    )
+    counts = jax.vmap(
+        lambda seg, w: jnp.zeros(Lp + 1, jnp.int32).at[seg].add(w, mode="drop")
+    )(rank_before, masked_tgt_masks.astype(jnp.int32))  # counts[r]
+
+    # prev position of the r-th matched prev token (1-indexed rank)
+    ar = jnp.arange(Lp)[None, :]
+    matched_pos_sorted = jnp.sort(
+        jnp.where(matched_prev, ar, Lp), axis=1
+    )  # (B, Lp): positions of matched tokens in rank order, Lp beyond
+    n_matched = jnp.sum(matched_prev, axis=1)
+    # mask_ins_targets[slot i] = counts[rank of prev token i], scattered at
+    # the matched positions (gap after that token)
+    mask_ins_targets = jax.vmap(
+        lambda pos, c, n: jnp.zeros(Lp - 1, jnp.int32).at[
+            jnp.where(jnp.arange(Lp) < n, pos, Lp)
+        ].add(
+            jnp.where(jnp.arange(Lp) < n, c[1: Lp + 1], 0), mode="drop"
+        )
+    )(matched_pos_sorted, counts, n_matched)
+    mask_ins_targets = jnp.clip(mask_ins_targets, 0, 255)
+    return masked_tgt_masks, masked_tgt_tokens, mask_ins_targets
+
+
+def get_del_targets(pred_tokens, tgt_tokens, pad):
+    """Device-side deletion labels (reference levenshtein_utils.
+    _get_del_targets:94-137): 1 where the predicted token is not kept by the
+    LCS alignment with the target."""
+    from ..ops.edit_distance import lcs_matched_masks
+
+    pred_len = jnp.sum(pred_tokens != pad, axis=1)
+    tgt_len = jnp.sum(tgt_tokens != pad, axis=1)
+    matched_pred, _ = lcs_matched_masks(
+        pred_tokens, pred_len, tgt_tokens, tgt_len
+    )
+    return ((pred_tokens != pad) & ~matched_pred).astype(jnp.int32)
+
+
+@register_model("levenshtein_transformer")
+class LevenshteinTransformerModel(TransformerModel):
+    """Insertion/deletion-based NAT (Gu et al. 2019).
+
+    Counterpart of fairseq/models/nat/levenshtein_transformer.py:33-478.
+    TPU redesign: all edit operations run at one fixed width L (padding
+    compacts/stretches in place) so the whole refinement loop jits as one
+    program; training labels come from the on-device LCS alignment
+    (ops/edit_distance.lcs_matched_masks) instead of libnat C++, so label
+    generation lives inside the compiled train step like the rest of the
+    loss. Per-head early exit and the optional separate discriminator /
+    mask-predictor stacks are preserved."""
+
+    def __init__(self, encoder_cfg, decoder_cfg, share_all_embeddings=False,
+                 unk=3, bos=0, eos=2, pad=1, early_exit=(6, 6, 6),
+                 no_share_discriminator=False, no_share_maskpredictor=False,
+                 share_discriminator_maskpredictor=False,
+                 sampling_for_deletion=False, label_smoothing=0.0):
+        super().__init__(encoder_cfg, decoder_cfg, share_all_embeddings)
+        self.unk, self.bos, self.eos, self.pad = unk, bos, eos, pad
+        self.early_exit = tuple(early_exit)  # (word_del, mask_ins, word_ins)
+        self.no_share_discriminator = no_share_discriminator
+        self.no_share_maskpredictor = no_share_maskpredictor
+        self.share_discriminator_maskpredictor = (
+            share_discriminator_maskpredictor
+        )
+        self.sampling_for_deletion = sampling_for_deletion
+        self.label_smoothing = label_smoothing
+
+    @staticmethod
+    def add_args(parser):
+        TransformerModel.add_args(parser)
+        # reference levenshtein_transformer.py:40-68
+        parser.add_argument("--early-exit", default="6,6,6", type=str,
+                            help="decoder layers before word_del, mask_ins, "
+                                 "word_ins")
+        parser.add_argument("--no-share-discriminator", action="store_true")
+        parser.add_argument("--no-share-maskpredictor", action="store_true")
+        parser.add_argument("--share-discriminator-maskpredictor",
+                            action="store_true")
+        parser.add_argument("--sampling-for-deletion", action="store_true")
+
+    @classmethod
+    def build_model(cls, args, task):
+        levenshtein_base_architecture(args)
+        base = TransformerModel.build_model.__func__(
+            TransformerModel, args, task
+        )
+        d = task.target_dictionary
+        return cls(
+            base.encoder_cfg, base.decoder_cfg, base.share_all_embeddings,
+            unk=d.unk(), bos=d.bos(), eos=d.eos(), pad=d.pad(),
+            early_exit=[int(i) for i in args.early_exit.split(",")],
+            no_share_discriminator=getattr(
+                args, "no_share_discriminator", False),
+            no_share_maskpredictor=getattr(
+                args, "no_share_maskpredictor", False),
+            share_discriminator_maskpredictor=getattr(
+                args, "share_discriminator_maskpredictor", False),
+            sampling_for_deletion=getattr(
+                args, "sampling_for_deletion", False),
+            label_smoothing=getattr(args, "label_smoothing", 0.0),
+        )
+
+    def init(self, key):
+        variables = super().init(key)
+        p = variables["params"]
+        d = self.decoder_cfg.embed_dim
+        ks = jax.random.split(jax.random.fold_in(key, 1234), 4)
+        from ..ops.core import init_linear
+        from ..ops.transformer_layer import init_decoder_layer
+
+        p["embed_mask_ins"] = init_linear(ks[0], 2 * d, 256, bias=False)
+        p["embed_word_del"] = init_linear(ks[1], d, 2, bias=False)
+        layer_cfg = self.decoder_cfg.layer_cfg
+        if self.no_share_discriminator:
+            p["layers_del"] = [
+                init_decoder_layer(jax.random.fold_in(ks[2], i), layer_cfg)
+                for i in range(self.early_exit[0])
+            ]
+        if self.no_share_maskpredictor and not (
+            self.share_discriminator_maskpredictor
+        ):
+            p["layers_msk"] = [
+                init_decoder_layer(jax.random.fold_in(ks[3], i), layer_cfg)
+                for i in range(self.early_exit[1])
+            ]
+        return variables
+
+    # -- head feature extraction -------------------------------------------------
+
+    def _features(self, params, tokens, enc, head: str, rng=None,
+                  deterministic=True):
+        """Full-context decoder features with per-head early exit and
+        (optionally) a head-specific layer stack."""
+        _, dec_params = self._split_params(params)
+        idx = {"word_del": 0, "mask_ins": 1, "word_ins": 2}[head]
+        layers = dec_params["layers"]
+        if head == "word_del" and self.no_share_discriminator:
+            layers = params["layers_del"]
+        if head == "mask_ins":
+            if self.share_discriminator_maskpredictor:
+                if self.no_share_discriminator:
+                    layers = params["layers_del"]
+            elif self.no_share_maskpredictor:
+                layers = params["layers_msk"]
+        sub = {**dec_params, "layers": list(layers)[: self.early_exit[idx]]}
+        return self.decoder(
+            sub, tokens,
+            encoder_out=enc.encoder_out,
+            encoder_padding_mask=enc.encoder_padding_mask,
+            rng=rng, deterministic=deterministic,
+            features_only=True, causal=False,
+        )[0]
+
+    def forward_mask_ins(self, params, tokens, enc, rng=None,
+                         deterministic=True):
+        from ..ops.core import linear
+
+        f = self._features(params, tokens, enc, "mask_ins", rng, deterministic)
+        f_cat = jnp.concatenate([f[:, :-1, :], f[:, 1:, :]], axis=2)
+        return linear(params["embed_mask_ins"], f_cat)  # (B, L-1, 256)
+
+    def forward_word_ins(self, params, tokens, enc, rng=None,
+                         deterministic=True):
+        _, dec_params = self._split_params(params)
+        f = self._features(params, tokens, enc, "word_ins", rng, deterministic)
+        return self.decoder.output_layer(dec_params, f)
+
+    def forward_word_del(self, params, tokens, enc, rng=None,
+                         deterministic=True):
+        from ..ops.core import linear
+
+        f = self._features(params, tokens, enc, "word_del", rng, deterministic)
+        return linear(params["embed_word_del"], f)  # (B, L, 2)
+
+    # -- training ---------------------------------------------------------------
+
+    def forward(self, variables, batch, rng: Optional[RngStream] = None,
+                training=False):
+        params = variables["params"]
+        enc_params, _ = self._split_params(params)
+        enc = self.encoder(
+            enc_params, batch["src_tokens"], batch["src_lengths"],
+            rng=rng, deterministic=not training,
+        )
+        prev = batch["prev_output_tokens"].astype(jnp.int32)
+        tgt = batch["target"].astype(jnp.int32)
+
+        masked_tgt_masks, masked_tgt_tokens, mask_ins_targets = (
+            get_ins_targets(prev, tgt, self.pad, self.unk)
+        )
+        mask_ins_out = self.forward_mask_ins(
+            params, prev, enc, rng, not training
+        )
+        word_ins_out = self.forward_word_ins(
+            params, masked_tgt_tokens, enc, rng, not training
+        )
+
+        if self.sampling_for_deletion and rng is not None and training:
+            word_predictions = jax.random.categorical(
+                rng.next(), word_ins_out.astype(jnp.float32), axis=-1
+            ).astype(jnp.int32)
+        else:
+            word_predictions = jnp.argmax(word_ins_out, axis=-1).astype(
+                jnp.int32
+            )
+        word_predictions = jnp.where(masked_tgt_masks, word_predictions, tgt)
+
+        word_del_targets = get_del_targets(word_predictions, tgt, self.pad)
+        word_del_out = self.forward_word_del(
+            params, word_predictions, enc, rng, not training
+        )
+
+        extra = {
+            "encoder_out": enc,
+            "losses": {
+                "mask_ins": {
+                    "out": mask_ins_out,
+                    "tgt": mask_ins_targets,
+                    "mask": prev[:, 1:] != self.pad,
+                    "ls": 0.01,
+                },
+                "word_ins": {
+                    "out": word_ins_out,
+                    "tgt": tgt,
+                    "mask": masked_tgt_masks,
+                    "ls": self.label_smoothing,
+                    "nll_loss": True,
+                },
+                "word_del": {
+                    "out": word_del_out,
+                    "tgt": word_del_targets,
+                    "mask": word_predictions != self.pad,
+                },
+            },
+        }
+        return (word_ins_out, extra), {}
+
+    # -- iterative refinement -----------------------------------------------------
+
+    def initialize_output_tokens(self, variables, encoder_out: EncoderOut,
+                                 max_len: int):
+        """[bos, eos, pad...] at fixed width (reference :253-262)."""
+        b = encoder_out.encoder_out.shape[0]
+        tokens = jnp.full((b, max_len), self.pad, jnp.int32)
+        tokens = tokens.at[:, 0].set(self.bos).at[:, 1].set(self.eos)
+        return tokens, jnp.zeros((b, max_len), jnp.float32)
+
+    def refinement_step(self, variables, output_tokens, output_scores,
+                        encoder_out: EncoderOut, eos_penalty: float = 0.0,
+                        max_ratio: Optional[float] = None):
+        """delete -> insert placeholders -> fill words, all fixed-width
+        (reference forward_decoder :140-250; the _skip/_fill dynamic
+        sub-batching is replaced by row masking — every row runs every
+        phase, terminated rows are no-ops)."""
+        params = variables["params"]
+        L = output_tokens.shape[1]
+        if max_ratio is None:
+            max_lens = jnp.full(output_tokens.shape[:1], L - 1, jnp.int32)
+        else:
+            src_lens = jnp.sum(
+                ~encoder_out.encoder_padding_mask, axis=1
+            ).astype(jnp.float32)
+            max_lens = jnp.clip(
+                (src_lens * max_ratio).astype(jnp.int32), 10, L - 1
+            )
+
+        # 1) delete words (rows with > 2 real tokens)
+        can_del = jnp.sum(output_tokens != self.pad, axis=1) > 2
+        del_logits = self.forward_word_del(params, output_tokens, encoder_out)
+        del_pred = (jnp.argmax(del_logits, axis=-1) == 1) & can_del[:, None]
+        output_tokens, output_scores = apply_del_words(
+            output_tokens, output_scores, del_pred,
+            self.pad, self.bos, self.eos,
+        )
+
+        # 2) insert unk placeholders (rows under their length budget)
+        can_ins = jnp.sum(output_tokens != self.pad, axis=1) < max_lens
+        ins_logits = self.forward_mask_ins(params, output_tokens, encoder_out)
+        ins_scores = jax.nn.log_softmax(ins_logits.astype(jnp.float32), -1)
+        if eos_penalty > 0.0:
+            ins_scores = ins_scores.at[:, :, 0].add(-eos_penalty)
+        ins_pred = jnp.argmax(ins_scores, axis=-1).astype(jnp.int32)
+        ins_pred = jnp.minimum(ins_pred, max_lens[:, None])
+        ins_pred = jnp.where(can_ins[:, None], ins_pred, 0)
+        output_tokens, output_scores = apply_ins_masks(
+            output_tokens, output_scores, ins_pred,
+            self.pad, self.unk, self.eos,
+        )
+
+        # 3) fill the placeholders with words
+        word_logits = self.forward_word_ins(params, output_tokens, encoder_out)
+        word_lprobs = jax.nn.log_softmax(word_logits.astype(jnp.float32), -1)
+        word_scores = jnp.max(word_lprobs, axis=-1)
+        word_pred = jnp.argmax(word_lprobs, axis=-1).astype(jnp.int32)
+        output_tokens, output_scores = apply_ins_words(
+            output_tokens, output_scores, word_pred, word_scores, self.unk
+        )
+        return output_tokens, output_scores
+
+
+@register_model_architecture(
+    "levenshtein_transformer", "levenshtein_transformer"
+)
+def levenshtein_base_architecture(args):
+    """Reference levenshtein_transformer.py:400-450."""
+    args.early_exit = getattr(args, "early_exit", "6,6,6")
+    args.no_share_discriminator = getattr(
+        args, "no_share_discriminator", False
+    )
+    args.no_share_maskpredictor = getattr(
+        args, "no_share_maskpredictor", False
+    )
+    args.share_discriminator_maskpredictor = getattr(
+        args, "share_discriminator_maskpredictor", False
+    )
+    args.sampling_for_deletion = getattr(args, "sampling_for_deletion", False)
+    args.share_decoder_input_output_embed = getattr(
+        args, "share_decoder_input_output_embed", True
+    )
+    transformer_base(args)
+
+
+@register_model_architecture(
+    "levenshtein_transformer", "levenshtein_transformer_wmt_en_de"
+)
+def levenshtein_wmt_en_de(args):
+    levenshtein_base_architecture(args)
 
 
 @register_model_architecture("cmlm_transformer", "cmlm_transformer")

@@ -264,6 +264,10 @@ def add_generation_args(parser):
                        help="just score the reference translation")
     group.add_argument("--prefix-size", default=0, type=int, metavar="PS",
                        help="initialize generation by target prefix of given length")
+    group.add_argument("--iter-decode-max-iter", default=10, type=int, metavar="N",
+                        help="maximum refinement iterations for NAT decoding")
+    group.add_argument("--iter-decode-eos-penalty", default=0.0, type=float, metavar="N",
+                        help="eos penalty for levenshtein placeholder insertion")
     group.add_argument("--no-repeat-ngram-size", default=0, type=int, metavar="N",
                        help="ngram blocking such that this size ngram cannot be repeated")
     group.add_argument("--sampling", action="store_true",

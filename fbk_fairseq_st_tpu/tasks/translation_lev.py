@@ -1,10 +1,9 @@
 """translation_lev: translation with target noising for NAT training.
 
 Counterpart of fairseq/tasks/translation_lev.py: the decoder input is a
-noised copy of the target (--noise random_mask / full_mask / no_noise),
-built on device inside the jitted step (reference does it host-side in
-train_step). random_delete (used by the levenshtein model) is queued with
-that model.
+noised copy of the target (--noise random_delete / random_mask / full_mask /
+no_noise), built on device inside the jitted step (reference does it
+host-side in train_step).
 """
 
 from __future__ import annotations
@@ -34,11 +33,10 @@ class TranslationLevenshteinTask(TranslationTask):
             prev = batch["target"]
         elif noise in ("random_mask", "full_mask"):
             prev = self._masked_prev(batch["target"], rng, full=noise == "full_mask")
+        elif noise == "random_delete":
+            prev = self._random_delete(batch["target"], rng)
         else:
-            raise NotImplementedError(
-                "random_delete noise ships with the levenshtein model "
-                "(round-2 queue); use --noise random_mask/full_mask"
-            )
+            raise NotImplementedError(f"unknown noise {noise}")
         batch = dict(batch)
         batch["prev_output_tokens"] = prev
         return batch
@@ -61,6 +59,32 @@ class TranslationLevenshteinTask(TranslationTask):
         ranks = jnp.argsort(jnp.argsort(scores, axis=1), axis=1)
         mask = ranks < k
         return jnp.where(mask, d.unk(), target).astype(target.dtype)
+
+    def _random_delete(self, target, rng):
+        """Keep a uniform-random prefix of the score-sorted tokens, bos/eos
+        always kept, then compact left at fixed width (reference
+        translation_lev.py _random_delete; the levenshtein model's training
+        input)."""
+        d = self.target_dictionary
+        b, t = target.shape
+        pad_mask = target == d.pad()
+        special = (target == d.bos()) | (target == d.eos())
+        scores = jax.random.uniform(rng.next(), (b, t))
+        scores = jnp.where(special, 0.0, scores)  # always kept
+        scores = jnp.where(pad_mask, 1.0, scores)  # never kept
+        length = jnp.sum(~pad_mask, axis=1)
+        cutoff = 2 + (
+            jax.random.uniform(rng.next(), (b,))
+            * (length - 2).astype(jnp.float32)
+        ).astype(jnp.int32)
+        ranks = jnp.argsort(jnp.argsort(scores, axis=1), axis=1)
+        keep = ranks < cutoff[:, None]
+        # order-preserving compaction of the kept tokens
+        ar = jnp.arange(t)[None, :]
+        order = jnp.argsort(jnp.where(keep, ar, t + ar), axis=1)
+        out = jnp.take_along_axis(target, order, axis=1)
+        n_keep = jnp.sum(keep, axis=1, keepdims=True)
+        return jnp.where(ar < n_keep, out, d.pad()).astype(target.dtype)
 
     def build_generator(self, models, args):
         from ..generation.iterative_refinement_generator import (
