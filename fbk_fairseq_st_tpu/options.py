@@ -190,6 +190,9 @@ def add_optimization_args(parser):
     group.add_argument("--min-lr", default=-1, type=float, metavar="LR",
                        help="stop training when the learning rate reaches this minimum")
     group.add_argument("--use-bmuf", default=False, action="store_true")
+    from .optim.bmuf import add_bmuf_args
+
+    add_bmuf_args(group)
     return group
 
 

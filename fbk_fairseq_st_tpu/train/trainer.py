@@ -110,6 +110,11 @@ class Trainer:
             int(getattr(args, "log_sync_interval", 1) or 1), 1
         )
         self._pending_logs: list = []
+        self.bmuf = None
+        if getattr(args, "use_bmuf", False):
+            from ..optim.bmuf import BMUF
+
+            self.bmuf = BMUF(args)
 
         # frozen-parameter mask (models loading pretrained components expose
         # frozen_param_filter; reference freeze semantics
@@ -315,6 +320,10 @@ class Trainer:
             )
 
         self.set_num_updates(self._num_updates + 1)
+        if self.bmuf is not None:
+            self.train_state["params"] = self.bmuf.step(
+                self.train_state["params"], self._num_updates
+            )
 
         self._pending_logs.append((logging_output, gnorm, logging_meta, batches[-1]))
         if self._num_updates % self.log_sync_interval != 0:
