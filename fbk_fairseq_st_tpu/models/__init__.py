@@ -20,5 +20,6 @@ from . import (  # noqa: F401
     nat,
     transformer,
     transformer_lm,
+    wav2vec,
     vggtransformer,
 )

@@ -297,6 +297,24 @@ def add_interactive_args(parser):
     return group
 
 
+class _TolerantParser:
+    """add_argument that skips flags already registered elsewhere (e.g.
+    wav2vec's and binary_cross_entropy's shared --infonce) instead of
+    aborting the whole component's registration."""
+
+    def __init__(self, parser):
+        self._parser = parser
+
+    def add_argument(self, *a, **k):
+        try:
+            return self._parser.add_argument(*a, **k)
+        except argparse.ArgumentError:
+            return None
+
+    def __getattr__(self, name):
+        return getattr(self._parser, name)
+
+
 def parse_args_and_arch(
     parser: argparse.ArgumentParser,
     input_args: Optional[List[str]] = None,
@@ -339,7 +357,7 @@ def parse_args_and_arch(
     ]:
         name = getattr(args, attr, None)
         if name is not None and name in registry_obj:
-            registry_obj.add_args(name, parser)
+            registry_obj.add_args(name, _TolerantParser(parser))
 
     # composite criterions (ctc_multi_loss) delegate to an underlying
     # criterion whose flags must also be parseable

@@ -151,14 +151,17 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _cast_batch(self, batch):
-        if "src_tokens" in batch:
-            batch = dict(batch)
-            # audio frontends take float features; text models take int ids
-            if jnp.issubdtype(batch["src_tokens"].dtype, jnp.floating):
-                batch["src_tokens"] = batch["src_tokens"].astype(self.compute_dtype)
-            return batch
-        # nested multilingual batch
-        return {k: self._cast_batch(v) for k, v in batch.items()}
+        for key in ("src_tokens", "source"):
+            if key in batch:
+                batch = dict(batch)
+                # audio frontends take float features; text models take ids
+                if jnp.issubdtype(batch[key].dtype, jnp.floating):
+                    batch[key] = batch[key].astype(self.compute_dtype)
+                return batch
+        if all(isinstance(v, dict) for v in batch.values()):
+            # nested multilingual batch
+            return {k: self._cast_batch(v) for k, v in batch.items()}
+        return batch
 
     def _loss_fn(self, params, model_state, batch, rng_key, update_seed):
         rng = RngStream(rng_key)
