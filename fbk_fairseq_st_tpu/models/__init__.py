@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     conv_transformer,
     conv_transformer_context,
     fconv,
+    fconv_self_att,
     lightconv,
     lstm,
     masked_lm,

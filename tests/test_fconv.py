@@ -81,3 +81,100 @@ def test_fconv_train_generate(tmp_path):
         ]
     )
     assert scorer.stat.predlen > 0
+
+
+def test_fconv_self_att_train_and_generate(tmp_path, capsys):
+    """fconv_self_att with gated, downsampled self-attention end-to-end."""
+    import os
+
+    from fbk_fairseq_st_tpu.cli import generate as generate_cli
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    from .test_translation import create_translation_data
+
+    data_dir, save_dir = str(tmp_path / "d"), str(tmp_path / "s")
+    create_translation_data(data_dir)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "translation", "-s", "en", "-t", "de",
+            "--arch", "fconv_self_att_wp",
+            "--criterion", "cross_entropy",
+            "--optimizer", "nag", "--lr", "0.05", "--momentum", "0.99",
+            "--clip-norm", "0.1",
+            "--lr-scheduler", "fixed",
+            "--max-tokens", "200", "--max-epoch", "1",
+            "--encoder-layers", "[(16, 3)] * 2",
+            "--decoder-layers", "[(16, 4)] * 2",
+            "--encoder-embed-dim", "16",
+            "--decoder-embed-dim", "16",
+            "--decoder-out-embed-dim", "16",
+            "--self-attention", "True",
+            "--multihead-self-attention-nheads", "2",
+            "--encoder-attention", "True",
+            "--encoder-attention-nheads", "2",
+            "--max-source-positions", "64", "--max-target-positions", "64",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+    generate_cli.cli_main(
+        [
+            data_dir,
+            "--task", "translation", "-s", "en", "-t", "de",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--beam", "2", "--max-tokens", "200",
+            "--gen-subset", "test", "--max-len-b", "8",
+            "--log-format", "none",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert any(line.startswith("H-") for line in out.splitlines())
+
+
+def test_fconv_self_att_incremental_equals_full():
+    """decode_step (full-width re-decode) matches the training forward."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fbk_fairseq_st_tpu import registry
+
+    from .utils import dummy_dictionary
+
+    d = dummy_dictionary(20)
+
+    class T:
+        source_dictionary = d
+        target_dictionary = d
+
+    args = argparse.Namespace(
+        arch="fconv_self_att_wp",
+        encoder_layers="[(8, 3)] * 2", decoder_layers="[(8, 4)] * 2",
+        encoder_embed_dim=8, decoder_embed_dim=8, decoder_out_embed_dim=8,
+        self_attention="True", multihead_self_attention_nheads=2,
+        max_source_positions=32, max_target_positions=32,
+    )
+    registry.apply_architecture(args)
+    m = registry.MODELS["fconv_self_att"].build_model(args, T())
+    v = m.init(jax.random.PRNGKey(0))
+
+    src = jnp.array([[4, 5, 6, 2]])
+    lengths = jnp.array([4])
+    prev = jnp.array([[2, 7, 8, 9]])
+    enc, _ = m.encode(v, src, lengths)
+    (full_logits, _), _ = m.forward(
+        v, {"src_tokens": src, "src_lengths": lengths,
+            "prev_output_tokens": prev},
+    )
+    cache = m.init_cache(v, {}, 8, enc)
+    for t in range(prev.shape[1]):
+        step_logits, cache, _ = m.decode_step(
+            v, prev[:, t: t + 1], cache, t, enc
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits), np.asarray(full_logits[:, t]),
+            rtol=2e-4, atol=2e-4,
+        )
