@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     fconv,
     fconv_self_att,
     lightconv,
+    lm_variants,
     lstm,
     masked_lm,
     multi_task,

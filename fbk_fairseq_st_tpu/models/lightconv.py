@@ -153,13 +153,15 @@ def lightconv_encoder_layer(params, cfg: LightConvLayerConfig, x,
     return x
 
 
-def init_lightconv_decoder_layer(key, cfg: LightConvLayerConfig):
+def init_lightconv_decoder_layer(key, cfg: LightConvLayerConfig,
+                                 no_encoder_attn: bool = False):
     ks = jax.random.split(key, 6)
     p = init_lightconv_encoder_layer(ks[0], cfg)
-    p["encoder_attn"] = init_mha(
-        ks[1], MHAConfig(cfg.embed_dim, cfg.heads, dropout=cfg.attention_dropout)
-    )
-    p["encoder_attn_ln"] = init_layer_norm(cfg.embed_dim)
+    if not no_encoder_attn:
+        p["encoder_attn"] = init_mha(
+            ks[1], MHAConfig(cfg.embed_dim, cfg.heads, dropout=cfg.attention_dropout)
+        )
+        p["encoder_attn_ln"] = init_layer_norm(cfg.embed_dim)
     return p
 
 
@@ -197,6 +199,19 @@ def lightconv_decoder_layer(params, cfg: LightConvLayerConfig, x,
     x = residual + x
     if not cfg.normalize_before:
         x = layer_norm(params["conv_ln"], x)
+
+    if "encoder_attn" not in params:  # decoder-only LM layer
+        residual = x
+        if cfg.normalize_before:
+            x = layer_norm(params["final_ln"], x)
+        x = jax.nn.relu(linear(params["fc1"], x))
+        x = dropout(x, cfg.relu_dropout, rng, deterministic)
+        x = linear(params["fc2"], x)
+        x = dropout(x, cfg.dropout, rng, deterministic)
+        x = residual + x
+        if not cfg.normalize_before:
+            x = layer_norm(params["final_ln"], x)
+        return x, new_cache
 
     residual = x
     if cfg.normalize_before:

@@ -276,6 +276,32 @@ def roberta_large_architecture(args):
     base_architecture(args)
 
 
+@register_model("xlmr")
+class XLMRModel(RobertaModel):
+    """XLM-R (reference roberta/model_xlmr.py:15-37): RoBERTa trained on
+    CommonCrawl-100; sentencepiece BPE by default in from_pretrained."""
+
+
+@register_model_architecture("xlmr", "xlmr_base")
+def xlmr_base_architecture(args):
+    base_architecture(args)
+
+
+@register_model_architecture("xlmr", "xlmr_large")
+def xlmr_large_architecture(args):
+    roberta_large_architecture(args)
+
+
+@register_model("camembert")
+class CamembertModel(RobertaModel):
+    """CamemBERT (reference roberta/model_camembert.py): French RoBERTa."""
+
+
+@register_model_architecture("camembert", "camembert_base")
+def camembert_base_architecture(args):
+    base_architecture(args)
+
+
 @register_model_architecture("roberta", "xlm")
 def xlm_architecture(args):
     args.encoder_layers = getattr(args, "encoder_layers", 16)

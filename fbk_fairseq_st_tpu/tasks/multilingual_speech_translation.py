@@ -287,12 +287,12 @@ class MultilingualSpeechTranslationTask(SpeechRecognitionTask):
         return self.dicts[self.args.target_lang]
 
 
-@register_task("multilingual_speech_translation_with_transcription")
+@register_task("multilingual_speech_translation_with_transcr")
 class MultilingualSpeechTranslationWithTranscriptionTask(
     MultilingualSpeechTranslationTask
 ):
     """Adds source-language transcripts per pair (reference second task in
-    multilingual_speech_translation.py)."""
+    multilingual_speech_translation.py:211)."""
 
     def _load_pair_dataset(self, split, lang_pair):
         src, tgt = lang_pair.split("-")

@@ -73,7 +73,8 @@ class SentencePredictionDataset(Dataset):
                 )
             else:
                 target = np.array(
-                    [int(s["target"]) for s in samples], np.int64
+                    [int(np.asarray(s["target"]).reshape(-1)[0]) for s in samples],
+                    np.int64,
                 )
         nsentences = len(samples)
         if pad_to_bsz is not None and pad_to_bsz > nsentences:

@@ -114,3 +114,60 @@ def test_lm_train_and_eval(tmp_path):
     )
     assert total > 0
     assert np.isfinite(avg_nll)
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "arch,extra",
+    [
+        ("fconv_lm", ["--decoder-layers", "[(16, 3)] * 2",
+                      "--decoder-embed-dim", "16",
+                      "--decoder-out-embed-dim", "16"]),
+        ("lstm_lm", ["--decoder-layers", "2", "--decoder-embed-dim", "16",
+                     "--decoder-hidden-size", "16",
+                     "--decoder-out-embed-dim", "16"]),
+        ("lightconv_lm", ["--decoder-layers", "2",
+                          "--decoder-embed-dim", "16",
+                          "--decoder-conv-dim", "16",
+                          "--decoder-ffn-embed-dim", "32",
+                          "--decoder-attention-heads", "2",
+                          "--decoder-kernel-size-list", "[3, 5]"]),
+    ],
+)
+def test_lm_variants_train_and_eval(tmp_path, arch, extra):
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    create_lm_data(data_dir)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "language_modeling",
+            "--arch", arch,
+            "--criterion", "cross_entropy",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "fixed",
+            "--tokens-per-sample", "32",
+            "--max-tokens", "256", "--max-epoch", "1",
+            "--log-format", "none",
+        ] + extra
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+    import io
+    from contextlib import redirect_stdout
+
+    from fbk_fairseq_st_tpu.cli import eval_lm as eval_lm_cli
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eval_lm_cli.cli_main(
+            [
+                data_dir,
+                "--task", "language_modeling",
+                "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+                "--tokens-per-sample", "32",
+                "--max-tokens", "256",
+                "--gen-subset", "valid",
+                "--log-format", "none",
+            ]
+        )

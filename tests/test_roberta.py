@@ -125,7 +125,8 @@ def test_label_offset_mapping(tmp_path):
     task = TASKS["sentence_prediction"].setup_task(args)
     task.load_dataset("train")
     ds = task.dataset("train")
-    classes = {int(ds[i]["target"]) for i in range(len(ds))}
+    classes = {int(np.asarray(ds[i]["target"]).reshape(-1)[0])
+               for i in range(len(ds))}
     assert classes <= {0, 1, 2} and len(classes) == 3
     # init token prepended
     assert ds[0]["source"][0] == 0
