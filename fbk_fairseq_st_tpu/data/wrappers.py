@@ -184,6 +184,54 @@ class SortDataset(BaseWrapperDataset):
         return np.lexsort(self.sort_order)
 
 
+class TransformEosLangPairDataset(BaseWrapperDataset):
+    """Replace the source EOS / target BOS with language tokens on the
+    collated batch (reference transform_eos_lang_pair_dataset.py; the
+    langtok mechanism of multilingual_translation)."""
+
+    def __init__(self, dataset, src_eos: int, new_src_eos=None,
+                 tgt_bos=None, new_tgt_bos=None):
+        super().__init__(dataset)
+        self.src_eos = src_eos
+        self.new_src_eos = new_src_eos
+        self.tgt_bos = tgt_bos
+        self.new_tgt_bos = new_tgt_bos
+
+    def collater(self, samples, **kwargs):
+        batch = self.dataset.collater(samples, **kwargs)
+        if not batch:
+            return batch
+        if self.new_src_eos is not None:
+            src = np.asarray(batch["net_input"]["src_tokens"]).copy()
+            if src.shape[1] > 0:
+                # left-padded sources end in EOS; fixed-shape pad rows do
+                # not — replace only where the EOS actually sits
+                last = src[:, -1]
+                src[:, -1] = np.where(
+                    last == self.src_eos, self.new_src_eos, last
+                )
+                # right-padded sources: EOS at position length-1
+                lengths = np.asarray(batch["net_input"]["src_lengths"])
+                rows = np.arange(src.shape[0])
+                idx = np.clip(lengths - 1, 0, src.shape[1] - 1)
+                vals = src[rows, idx]
+                src[rows, idx] = np.where(
+                    vals == self.src_eos, self.new_src_eos, vals
+                )
+            batch["net_input"]["src_tokens"] = src
+        if (
+            self.new_tgt_bos is not None
+            and "prev_output_tokens" in batch.get("net_input", {})
+        ):
+            prev = np.asarray(batch["net_input"]["prev_output_tokens"]).copy()
+            first = prev[:, 0]
+            prev[:, 0] = np.where(
+                first == self.tgt_bos, self.new_tgt_bos, first
+            )
+            batch["net_input"]["prev_output_tokens"] = prev
+        return batch
+
+
 class OffsetTokensDataset(BaseWrapperDataset):
     """Add a constant to every token (reference offset_tokens_dataset.py;
     used to map label-dictionary ids to 0-based class indices)."""

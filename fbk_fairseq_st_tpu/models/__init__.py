@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     multi_task,
     roberta,
     multilingual_conv_transformer,
+    multilingual_transformer,
     multitask_conv_transformer,
     nat,
     transformer,

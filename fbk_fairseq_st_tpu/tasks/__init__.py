@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     masked_lm,
     multilingual_speech_translation,
     multilingual_speech_translation_kd,
+    multilingual_translation,
     multitask_speech_translation,
     sentence_prediction,
     speech_recognition,
