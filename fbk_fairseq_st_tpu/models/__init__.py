@@ -7,6 +7,7 @@ from .transformer_decoder import (  # noqa: F401
     TriangleTransformerDecoder,
 )
 from . import (  # noqa: F401
+    bart,
     conv_transformer,
     conv_transformer_context,
     fconv,

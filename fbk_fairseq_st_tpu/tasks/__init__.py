@@ -3,6 +3,7 @@
 from .base import Task  # noqa: F401
 from . import (  # noqa: F401
     audio_pretraining,
+    denoising,
     language_modeling,
     masked_lm,
     multilingual_speech_translation,
