@@ -9,9 +9,11 @@ from . import (  # noqa: F401
     ctc,
     knowledge_distillation,
     label_smoothed_cross_entropy,
+    label_smoothed_cross_entropy_with_alignment,
     masked_lm,
     nat_loss,
     label_smoothed_cross_entropy_ctx_reg,
     sentence_prediction,
+    sentence_ranking,
     vocab_parallel_cross_entropy,
 )

@@ -31,7 +31,12 @@ class LanguagePairDataset(Dataset):
         shuffle: bool = True,
         input_feeding: bool = True,
         append_eos_to_target: bool = False,
+        align_dataset=None,
     ):
+        # align_dataset[i]: (n_pairs, 2) int array of (src, tgt) index pairs
+        # (reference transformer_align supervision; collated into a dense
+        # per-target-position weight grid so the loss stays fixed-shape)
+        self.align_dataset = align_dataset
         self.src = src
         self.tgt = tgt
         self.src_sizes = np.array(src_sizes)
@@ -53,7 +58,10 @@ class LanguagePairDataset(Dataset):
             eos = self.tgt_dict.eos()
             if tgt_item[-1] != eos:
                 tgt_item = np.concatenate([tgt_item, [eos]])
-        return {"id": index, "source": src_item, "target": tgt_item}
+        item = {"id": index, "source": src_item, "target": tgt_item}
+        if self.align_dataset is not None:
+            item["alignment"] = np.asarray(self.align_dataset[index])
+        return item
 
     def __len__(self):
         return len(self.src)
@@ -128,6 +136,29 @@ class LanguagePairDataset(Dataset):
         }
         if prev_output_tokens is not None:
             batch["net_input"]["prev_output_tokens"] = prev_output_tokens
+        if self.align_dataset is not None and target is not None:
+            # dense (B, T_tgt, T_src) alignment weights: for every aligned
+            # (src, tgt) pair, 1/#alignments-of-that-tgt (the reference
+            # align_weights normalization, lspcwa criterion :59-71)
+            t_tgt, t_src = target.shape[1], src_tokens.shape[1]
+            weights = np.zeros((target.shape[0], t_tgt, t_src), np.float32)
+            ordered = [samples[i] for i in sort_order]
+            for row, s in enumerate(ordered):
+                align = s.get("alignment")
+                if align is None or len(align) == 0:
+                    continue
+                align = align[
+                    (align[:, 0] < t_src) & (align[:, 1] < t_tgt)
+                ]
+                if self.left_pad_source:
+                    # src positions count from the right-aligned sentence
+                    offset = t_src - src_lengths[row]
+                    align = align.copy()
+                    align[:, 0] += offset
+                counts = np.bincount(align[:, 1], minlength=t_tgt)
+                w = 1.0 / np.maximum(counts[align[:, 1]], 1)
+                weights[row, align[:, 1], align[:, 0]] = w
+            batch["align_weights"] = weights
         return batch
 
     def num_tokens(self, index):

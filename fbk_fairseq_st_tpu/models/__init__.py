@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     multitask_conv_transformer,
     nat,
     transformer,
+    transformer_align,
     transformer_lm,
     wav2vec,
     vggtransformer,

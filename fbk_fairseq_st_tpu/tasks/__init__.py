@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     multilingual_translation,
     multitask_speech_translation,
     sentence_prediction,
+    sentence_ranking,
     speech_recognition,
     speech_recognition_context,
     speech_translation_ctc,

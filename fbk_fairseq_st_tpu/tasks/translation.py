@@ -24,7 +24,7 @@ logger = logging.getLogger(__name__)
 def load_langpair_dataset(
     data_path, split, src, src_dict, tgt, tgt_dict, combine, dataset_impl,
     upsample_primary, left_pad_source, left_pad_target,
-    max_source_positions, max_target_positions,
+    max_source_positions, max_target_positions, load_alignments=False,
 ):
     def split_exists(split_k, src_l, tgt_l, lang, path):
         filename = os.path.join(path, f"{split_k}.{src_l}-{tgt_l}.{lang}")
@@ -78,6 +78,25 @@ def load_langpair_dataset(
             )
         return [ds.size(i) for i in range(len(ds))]
 
+    align_dataset = None
+    if load_alignments:
+        # raw "srcidx-tgtidx ..." lines per sentence pair (the reference
+        # binarizes these with --align-suffix; here they are read directly)
+        align_path = os.path.join(data_path, f"{split}.{src}-{tgt}.align")
+        if os.path.exists(align_path):
+            import numpy as np
+
+            align_dataset = []
+            with open(align_path) as f:
+                for line in f:
+                    pairs = [
+                        tuple(map(int, p.split("-"))) for p in line.split()
+                    ]
+                    align_dataset.append(
+                        np.array(pairs, np.int64).reshape(-1, 2)
+                    )
+            assert len(align_dataset) == len(src_dataset)
+
     return LanguagePairDataset(
         src_dataset,
         _sizes(src_dataset),
@@ -89,6 +108,7 @@ def load_langpair_dataset(
         left_pad_target=left_pad_target,
         max_source_positions=max_source_positions,
         max_target_positions=max_target_positions,
+        align_dataset=align_dataset,
     )
 
 
@@ -156,6 +176,7 @@ class TranslationTask(Task):
             left_pad_target=self.args.left_pad_target,
             max_source_positions=self.args.max_source_positions,
             max_target_positions=self.args.max_target_positions,
+            load_alignments=getattr(self.args, "load_alignments", False),
         )
 
     @property

@@ -270,6 +270,14 @@ class Trainer:
                 continue
             if v is not None and hasattr(v, "ndim"):
                 b[k] = v
+            elif isinstance(v, dict):
+                # auxiliary per-option inputs (sentence_ranking net_input{N})
+                sub = {
+                    kk: vv for kk, vv in v.items()
+                    if vv is not None and hasattr(vv, "ndim")
+                }
+                if sub:
+                    b[k] = sub
         return b
 
     def _step_rng(self):

@@ -130,3 +130,70 @@ def test_label_offset_mapping(tmp_path):
     assert classes <= {0, 1, 2} and len(classes) == 3
     # init token prepended
     assert ds[0]["source"][0] == 0
+
+
+def make_ranking_data(root, n_options=3, n=16):
+    from fbk_fairseq_st_tpu.cli import preprocess as preprocess_cli
+
+    rng = np.random.RandomState(0)
+    raw = os.path.join(root, "raw")
+    os.makedirs(raw, exist_ok=True)
+    files = {}
+    for kind in ["input0"] + [f"input{i+1}" for i in range(n_options)]:
+        files[kind] = {}
+    labels = {}
+    for split, count in [("train", n), ("valid", 4)]:
+        for kind in files:
+            files[kind][split] = []
+        labels[split] = []
+        for _ in range(count):
+            for kind in files:
+                length = rng.randint(2, 6)
+                files[kind][split].append(
+                    " ".join(f"w{rng.randint(12)}" for _ in range(length))
+                )
+            labels[split].append(rng.randint(n_options))
+    for kind in files:
+        for split in ("train", "valid"):
+            with open(os.path.join(raw, f"{split}.{kind}"), "w") as f:
+                f.write("\n".join(files[kind][split]) + "\n")
+        preprocess_cli.cli_main(
+            [
+                "--only-source",
+                "--trainpref", os.path.join(raw, f"train.{kind}"),
+                "--validpref", os.path.join(raw, f"valid.{kind}"),
+                "--destdir", os.path.join(root, kind),
+                "--dataset-impl", "mmap",
+            ]
+        )
+    os.makedirs(os.path.join(root, "label"), exist_ok=True)
+    for split in ("train", "valid"):
+        with open(os.path.join(root, "label", f"{split}.label"), "w") as f:
+            f.write("\n".join(str(x) for x in labels[split]) + "\n")
+
+
+def test_sentence_ranking_finetune(tmp_path):
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    root = str(tmp_path)
+    make_ranking_data(root)
+    save_dir = os.path.join(root, "ckpt")
+    train_cli.cli_main(
+        [
+            root,
+            "--save-dir", save_dir,
+            "--task", "sentence_ranking",
+            "--num-classes", "3",
+            "--init-token", "0", "--separator-token", "2",
+            "--arch", "roberta_base",
+            "--criterion", "sentence_ranking",
+            "--optimizer", "adam", "--lr", "0.0005",
+            "--lr-scheduler", "fixed",
+            "--max-positions", "64",
+            "--max-sentences", "4", "--max-epoch", "1",
+            "--encoder-layers", "2", "--encoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)

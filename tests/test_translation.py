@@ -152,3 +152,42 @@ def test_generate_with_alignment(mt_trained, capsys):
     # pairs formatted as src-tgt ints
     first = a_lines[0].split("\t")[1].split()
     assert all("-" in p for p in first)
+
+
+def test_transformer_align_train(tmp_path):
+    """Supervised alignment training (transformer_align +
+    label_smoothed_cross_entropy_with_alignment)."""
+    data_dir, save_dir = str(tmp_path / "d"), str(tmp_path / "s")
+    create_translation_data(data_dir)
+    # raw alignment files: monotone identity alignments
+    raw = os.path.join(data_dir, "raw")
+    for split in ("train", "valid", "test"):
+        with open(os.path.join(raw, f"{split}.en")) as f:
+            lines = f.readlines()
+        with open(
+            os.path.join(data_dir, f"{split}.en-de.align"), "w"
+        ) as f:
+            for line in lines:
+                n = len(line.split())
+                f.write(" ".join(f"{i}-{i}" for i in range(n)) + "\n")
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "translation", "-s", "en", "-t", "de",
+            "--load-alignments",
+            "--arch", "transformer_align",
+            "--alignment-layer", "1", "--alignment-heads", "1",
+            "--criterion", "label_smoothed_cross_entropy_with_alignment",
+            "--label-smoothing", "0.1", "--alignment-lambda", "0.05",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "fixed",
+            "--max-tokens", "200", "--max-epoch", "1",
+            "--encoder-layers", "2", "--decoder-layers", "2",
+            "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+            "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+            "--max-source-positions", "64", "--max-target-positions", "64",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
