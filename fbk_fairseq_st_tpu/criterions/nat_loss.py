@@ -61,6 +61,16 @@ class NATLoss(Criterion):
                 per_factor[name + "-loss"] = factor_loss
                 if spec.get("nll_loss", False):
                     nll_loss = nll_loss + factor_nll
+            if "length_out" in extra:
+                length_lprobs = jax.nn.log_softmax(
+                    extra["length_out"].astype(jnp.float32), axis=-1
+                )
+                length_nll = -jnp.take_along_axis(
+                    length_lprobs, extra["length_tgt"][:, None], axis=-1
+                )[:, 0]
+                length_loss = jnp.mean(length_nll)
+                loss = loss + self.length_loss_factor * length_loss
+                per_factor["length-loss"] = length_loss
             nsentences = batch["target"].shape[0]
             logging_output = {
                 "loss": loss,

@@ -143,6 +143,218 @@ class CMLMTransformerModel(TransformerModel):
 
 
 # ---------------------------------------------------------------------------
+# vanilla / iterative NAT
+# ---------------------------------------------------------------------------
+
+def uniform_copy_embeddings(src_embed, src_mask, tgt_mask):
+    """Map source embeddings onto target positions proportionally
+    (reference nonautoregressive_transformer.py forward_embedding's
+    uniform copy): tgt position t reads src position
+    floor(t * src_len / tgt_len)."""
+    B, Ts, D = src_embed.shape
+    Tt = tgt_mask.shape[1]
+    src_len = jnp.maximum(jnp.sum(src_mask, axis=1), 1)  # (B,)
+    tgt_len = jnp.maximum(jnp.sum(tgt_mask, axis=1), 1)
+    t = jnp.arange(Tt)[None, :]
+    idx = jnp.clip(
+        (t * src_len[:, None]) // tgt_len[:, None], 0, Ts - 1
+    ).astype(jnp.int32)
+    copied = jnp.take_along_axis(src_embed, idx[:, :, None], axis=1)
+    return copied * tgt_mask[:, :, None].astype(copied.dtype)
+
+
+@register_model("nonautoregressive_transformer")
+class NATransformerModel(CMLMTransformerModel):
+    """Vanilla NAT (Gu et al. 2018): predict every target position in one
+    shot from a fully-masked decoder input, with length prediction.
+
+    Counterpart of fairseq/models/nat/nonautoregressive_transformer.py:
+    50-190; use --noise full_mask with the translation_lev task. Optional
+    --src-embedding-copy replaces the unk input embeddings with
+    uniformly-copied source embeddings (:209-217)."""
+
+    def __init__(self, *args, src_embedding_copy: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.src_embedding_copy = src_embedding_copy
+
+    @staticmethod
+    def add_args(parser):
+        TransformerModel.add_args(parser)
+        parser.add_argument("--src-embedding-copy", action="store_true",
+                            help="copy encoder word embeddings as the "
+                                 "initial decoder input")
+
+    @classmethod
+    def build_model(cls, args, task):
+        nat_base_architecture(args)
+        base = TransformerModel.build_model.__func__(
+            TransformerModel, args, task
+        )
+        d = task.target_dictionary
+        return cls(
+            base.encoder_cfg, base.decoder_cfg, base.share_all_embeddings,
+            unk=d.unk(), bos=d.bos(), eos=d.eos(), pad=d.pad(),
+            src_embedding_copy=getattr(args, "src_embedding_copy", False),
+        )
+
+    def _decoder_inputs(self, variables, batch, enc):
+        if not self.src_embedding_copy:
+            return None
+        from ..ops.core import embedding
+
+        enc_params, _ = self._split_params(variables["params"])
+        src_embed = embedding(
+            enc_params["embed_tokens"], batch["src_tokens"]
+        )
+        src_mask = batch["src_tokens"] != self.pad
+        tgt_mask = batch["prev_output_tokens"] != self.pad
+        return uniform_copy_embeddings(src_embed, src_mask, tgt_mask)
+
+    def forward(self, variables, batch, rng: Optional[RngStream] = None,
+                training=False):
+        enc_params, dec_params = self._split_params(variables["params"])
+        enc = self.encoder(
+            enc_params, batch["src_tokens"], batch["src_lengths"],
+            rng=rng, deterministic=not training,
+        )
+        length_out = self.forward_length(variables, enc)
+        word_ins_out, extra = self.decoder(
+            dec_params,
+            batch["prev_output_tokens"],
+            encoder_out=enc.encoder_out,
+            encoder_padding_mask=enc.encoder_padding_mask,
+            rng=rng, deterministic=not training, causal=False,
+            token_embeddings=self._decoder_inputs(variables, batch, enc),
+        )
+        extra["encoder_out"] = enc
+        extra["length_out"] = length_out
+        extra["length_tgt"] = self.length_targets(batch["target"])
+        extra["word_ins_mask"] = batch["prev_output_tokens"] == self.unk
+        return (word_ins_out, extra), {}
+
+
+@register_model_architecture(
+    "nonautoregressive_transformer", "nonautoregressive_transformer"
+)
+def nat_base_architecture(args):
+    args.src_embedding_copy = getattr(args, "src_embedding_copy", False)
+    args.encoder_normalize_before = getattr(
+        args, "encoder_normalize_before", False
+    )
+    args.decoder_normalize_before = getattr(
+        args, "decoder_normalize_before", False
+    )
+    args.share_decoder_input_output_embed = getattr(
+        args, "share_decoder_input_output_embed", True
+    )
+    transformer_base(args)
+
+
+@register_model_architecture(
+    "nonautoregressive_transformer", "nonautoregressive_transformer_wmt_en_de"
+)
+def nat_wmt_en_de(args):
+    nat_base_architecture(args)
+
+
+@register_model("iterative_nonautoregressive_transformer")
+class IterNATransformerModel(NATransformerModel):
+    """Iterative NAT (Lee et al. 2018): unroll --train-step refinement
+    passes at training time, feeding each pass's (optionally
+    stochastically sampled) predictions into the next.
+
+    Counterpart of fairseq/models/nat/
+    iterative_nonautoregressive_transformer.py:31-199."""
+
+    def __init__(self, *args, train_step: int = 4, dae_ratio: float = 0.5,
+                 stochastic_approx: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.train_step = train_step
+        self.stochastic_approx = stochastic_approx
+
+    @staticmethod
+    def add_args(parser):
+        NATransformerModel.add_args(parser)
+        parser.add_argument("--train-step", type=int, default=4,
+                            help="number of refinement iterations during "
+                                 "training")
+        parser.add_argument("--stochastic-approx", action="store_true",
+                            help="sample from the categorical (Gumbel) "
+                                 "instead of argmax between iterations")
+
+    @classmethod
+    def build_model(cls, args, task):
+        iter_nat_base_architecture(args)
+        base = TransformerModel.build_model.__func__(
+            TransformerModel, args, task
+        )
+        d = task.target_dictionary
+        return cls(
+            base.encoder_cfg, base.decoder_cfg, base.share_all_embeddings,
+            unk=d.unk(), bos=d.bos(), eos=d.eos(), pad=d.pad(),
+            src_embedding_copy=getattr(args, "src_embedding_copy", False),
+            train_step=getattr(args, "train_step", 4),
+            stochastic_approx=getattr(args, "stochastic_approx", False),
+        )
+
+    def forward(self, variables, batch, rng: Optional[RngStream] = None,
+                training=False):
+        enc_params, dec_params = self._split_params(variables["params"])
+        enc = self.encoder(
+            enc_params, batch["src_tokens"], batch["src_lengths"],
+            rng=rng, deterministic=not training,
+        )
+        length_out = self.forward_length(variables, enc)
+        prev = batch["prev_output_tokens"].astype(jnp.int32)
+        tgt = batch["target"]
+        word_ins_mask = prev == self.unk
+
+        losses = {}
+        word_ins_out = None
+        for t in range(self.train_step):
+            word_ins_out, _ = self.decoder(
+                dec_params, prev,
+                encoder_out=enc.encoder_out,
+                encoder_padding_mask=enc.encoder_padding_mask,
+                rng=rng, deterministic=not training, causal=False,
+            )
+            losses[f"word_ins_{t}"] = {
+                "out": word_ins_out,
+                "tgt": tgt,
+                "mask": word_ins_mask,
+                "ls": 0.1,
+                "nll_loss": t == 0,
+            }
+            if t < self.train_step - 1:
+                logits32 = word_ins_out.astype(jnp.float32)
+                if self.stochastic_approx and rng is not None and training:
+                    pred = jax.random.categorical(rng.next(), logits32)
+                else:
+                    pred = jnp.argmax(logits32, axis=-1)
+                pred = jax.lax.stop_gradient(pred).astype(jnp.int32)
+                prev = jnp.where(word_ins_mask, pred, prev)
+
+        extra = {
+            "encoder_out": enc,
+            "losses": losses,
+            "length_out": length_out,
+            "length_tgt": self.length_targets(tgt),
+            "word_ins_mask": word_ins_mask,
+        }
+        return (word_ins_out, extra), {}
+
+
+@register_model_architecture(
+    "iterative_nonautoregressive_transformer",
+    "iterative_nonautoregressive_transformer",
+)
+def iter_nat_base_architecture(args):
+    args.train_step = getattr(args, "train_step", 4)
+    args.stochastic_approx = getattr(args, "stochastic_approx", False)
+    nat_base_architecture(args)
+
+
+# ---------------------------------------------------------------------------
 # Levenshtein transformer
 # ---------------------------------------------------------------------------
 

@@ -114,9 +114,16 @@ class TransformerDecoder:
 
     # -- shared embedding/entry ---------------------------------------------
 
-    def _embed(self, params, tokens, dtype, rng, deterministic, step=None):
+    def _embed(self, params, tokens, dtype, rng, deterministic, step=None,
+               token_embeddings=None):
         cfg = self.cfg
-        x = self.embed_scale * embedding(params["embed_tokens"], tokens, dtype)
+        if token_embeddings is not None:
+            # NAT src-embedding-copy: caller supplies the input embeddings
+            x = self.embed_scale * token_embeddings.astype(dtype)
+        else:
+            x = self.embed_scale * embedding(
+                params["embed_tokens"], tokens, dtype
+            )
         if self.pos is not None:
             pos_params = params.get("embed_positions", {})
             x = x + self.pos.from_ids(pos_params, tokens, dtype, step=step)
@@ -145,6 +152,7 @@ class TransformerDecoder:
         features_only: bool = False,
         need_attn: bool = False,
         causal: bool = True,
+        token_embeddings=None,
     ):
         """prev_output_tokens: (B, T) -> logits (B, T, V).
 
@@ -154,7 +162,10 @@ class TransformerDecoder:
         """
         rng = rng or RngStream(None)
         dtype = encoder_out.dtype if encoder_out is not None else jnp.float32
-        x = self._embed(params, prev_output_tokens, dtype, rng, deterministic)
+        x = self._embed(
+            params, prev_output_tokens, dtype, rng, deterministic,
+            token_embeddings=token_embeddings,
+        )
         mask = causal_mask(x.shape[1]) if causal else None
         attn = None
         n = len(params["layers"])

@@ -169,3 +169,64 @@ def test_levenshtein_generate(lev_trained, capsys):
     out = capsys.readouterr().out
     h_lines = [l for l in out.splitlines() if l.startswith("H-")]
     assert h_lines, "no hypotheses generated"
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "arch,extra_args,noise",
+    [
+        ("nonautoregressive_transformer", ["--src-embedding-copy"],
+         "full_mask"),
+        ("iterative_nonautoregressive_transformer",
+         ["--train-step", "2", "--stochastic-approx"], "full_mask"),
+    ],
+)
+def test_nat_variants_train_and_decode(tmp_path, arch, extra_args, noise,
+                                       capsys):
+    import os
+
+    from fbk_fairseq_st_tpu.cli import generate as generate_cli
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    from .test_translation import create_translation_data
+
+    data_dir, save_dir = str(tmp_path / "d"), str(tmp_path / "s")
+    create_translation_data(data_dir)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "translation_lev",
+            "-s", "en", "-t", "de",
+            "--noise", noise,
+            "--arch", arch,
+            "--criterion", "nat_loss",
+            "--label-smoothing", "0.1",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "fixed",
+            "--max-tokens", "200", "--max-epoch", "1",
+            "--encoder-layers", "2", "--decoder-layers", "2",
+            "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+            "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+            "--max-source-positions", "64", "--max-target-positions", "64",
+            "--log-format", "none",
+        ] + extra_args
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+    generate_cli.cli_main(
+        [
+            data_dir,
+            "--task", "translation_lev",
+            "-s", "en", "-t", "de",
+            "--noise", noise,
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--max-tokens", "200",
+            "--gen-subset", "test", "--max-len-b", "16",
+            "--iter-decode-max-iter", "2",
+            "--log-format", "none",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert any(line.startswith("H-") for line in out.splitlines())
