@@ -2,6 +2,7 @@
 
 from .base import Criterion  # noqa: F401
 from . import (  # noqa: F401
+    adaptive_loss,
     binary_cross_entropy,
     cross_entropy_dualdecoder,
     cross_entropy_acc,

@@ -59,6 +59,8 @@ class TransformerDecoderConfig(NamedTuple):
     layernorm_embedding: bool = False
     no_token_positional_embeddings: bool = False
     no_encoder_attn: bool = False
+    adaptive_softmax_cutoff: Optional[tuple] = None
+    adaptive_softmax_factor: float = 4.0
 
     @property
     def layer_cfg(self) -> TransformerLayerConfig:
@@ -106,7 +108,14 @@ class TransformerDecoder:
             p["final_ln"] = init_layer_norm(cfg.embed_dim)
         if cfg.layernorm_embedding:
             p["layernorm_embedding"] = init_layer_norm(cfg.embed_dim)
-        if not cfg.share_input_output_embed:
+        if cfg.adaptive_softmax_cutoff is not None:
+            from ..ops.adaptive_softmax import init_adaptive_softmax
+
+            p["adaptive_softmax"] = init_adaptive_softmax(
+                ks[-1], cfg.vocab_size, cfg.embed_dim,
+                cfg.adaptive_softmax_cutoff, cfg.adaptive_softmax_factor,
+            )
+        elif not cfg.share_input_output_embed:
             p["embed_out"] = normal_init(
                 ks[-1], (cfg.vocab_size, cfg.embed_dim), std=cfg.embed_dim ** -0.5
             )
@@ -133,6 +142,21 @@ class TransformerDecoder:
         return x
 
     def output_layer(self, params, x):
+        if self.cfg.adaptive_softmax_cutoff is not None:
+            from ..ops.adaptive_softmax import (
+                _parse_cutoff,
+                adaptive_log_probs,
+            )
+
+            # composed log-probs; log_softmax over them is the identity,
+            # so downstream consumers can treat them as logits
+            return adaptive_log_probs(
+                params["adaptive_softmax"],
+                _parse_cutoff(
+                    self.cfg.adaptive_softmax_cutoff, self.cfg.vocab_size
+                ),
+                x,
+            ).astype(x.dtype)
         if self.cfg.share_input_output_embed:
             w = params["embed_tokens"]["w"]
         else:

@@ -56,6 +56,17 @@ class TransformerLanguageModel(Model):
                 args, "no_token_positional_embeddings", False
             ),
             no_encoder_attn=True,
+            adaptive_softmax_cutoff=(
+                tuple(
+                    int(x)
+                    for x in str(args.adaptive_softmax_cutoff).split(",")
+                )
+                if getattr(args, "adaptive_softmax_cutoff", None)
+                else None
+            ),
+            adaptive_softmax_factor=getattr(
+                args, "adaptive_softmax_factor", 4.0
+            ),
         )
         return cls(cfg)
 

@@ -171,3 +171,66 @@ def test_lm_variants_train_and_eval(tmp_path, arch, extra):
                 "--log-format", "none",
             ]
         )
+
+
+def test_adaptive_softmax_lm(tmp_path):
+    """transformer_lm with adaptive softmax + adaptive_loss: log-prob
+    composition is exact (sums to 1) and training runs end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu.ops.adaptive_softmax import (
+        adaptive_log_probs,
+        _parse_cutoff,
+        init_adaptive_softmax,
+    )
+
+    vocab, dim = 50, 16
+    cutoff = _parse_cutoff("10,30", vocab)
+    p = init_adaptive_softmax(jax.random.PRNGKey(0), vocab, dim, cutoff)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 5, dim))
+    lp = adaptive_log_probs(p, cutoff, x)
+    assert lp.shape == (3, 5, vocab)
+    sums = jnp.exp(jax.scipy.special.logsumexp(lp, axis=-1))
+    np.testing.assert_allclose(np.asarray(sums), 1.0, rtol=1e-5)
+
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    create_lm_data(data_dir)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "language_modeling",
+            "--arch", "transformer_lm",
+            "--criterion", "adaptive_loss",
+            "--adaptive-softmax-cutoff", "8,12",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "fixed",
+            "--tokens-per-sample", "32",
+            "--max-tokens", "256", "--max-epoch", "1",
+            "--decoder-layers", "2", "--decoder-embed-dim", "16",
+            "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def test_adaptive_input_embeddings():
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu.ops.adaptive_softmax import (
+        adaptive_embed,
+        _parse_cutoff,
+        init_adaptive_input,
+    )
+
+    vocab, out_dim = 40, 16
+    cutoff = _parse_cutoff("8,20", vocab)
+    p = init_adaptive_input(jax.random.PRNGKey(0), vocab, 1, 16, 2.0,
+                            out_dim, cutoff)
+    ids = jnp.array([[0, 5, 9, 25, 39], [1, 7, 19, 20, 2]])
+    emb = adaptive_embed(p, cutoff, ids)
+    assert emb.shape == (2, 5, out_dim)
+    # padding row embeds to zero (zero embedding + linear proj no bias)
+    np.testing.assert_allclose(np.asarray(emb[1, 0]), 0.0, atol=1e-7)
