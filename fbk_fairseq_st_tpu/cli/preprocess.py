@@ -68,12 +68,25 @@ def main(args):
         ]
         assert langs, "specify --source-lang and/or --target-lang"
 
+    joined_dict = None
+    if getattr(args, "joined_dictionary", False) and len(langs) > 1:
+        # one dictionary over both sides (fairseq --joined-dictionary)
+        assert args.trainpref, "--trainpref required to build a dictionary"
+        joined_dict = build_dictionary(
+            [f"{args.trainpref}.{lang}" for lang in langs],
+            threshold=args.thresholdsrc,
+            nwords=args.nwordssrc,
+            padding_factor=args.padding_factor,
+        )
+
     for lang in langs:
         dict_path = os.path.join(
             args.destdir, f"dict.{lang}.txt" if lang else "dict.txt"
         )
         existing = args.srcdict if lang == args.source_lang else args.tgtdict
-        if existing:
+        if joined_dict is not None:
+            d = joined_dict
+        elif existing:
             d = Dictionary.load(existing)
         else:
             assert args.trainpref, "--trainpref required to build a dictionary"

@@ -32,11 +32,14 @@ class LanguagePairDataset(Dataset):
         input_feeding: bool = True,
         append_eos_to_target: bool = False,
         align_dataset=None,
+        eos=None,
     ):
         # align_dataset[i]: (n_pairs, 2) int array of (src, tgt) index pairs
         # (reference transformer_align supervision; collated into a dense
         # per-target-position weight grid so the loss stays fixed-shape)
         self.align_dataset = align_dataset
+        # eos override for mBART-style '[lang]'-terminated targets
+        self.eos = eos
         self.src = src
         self.tgt = tgt
         self.src_sizes = np.array(src_sizes)
@@ -101,7 +104,8 @@ class LanguagePairDataset(Dataset):
             if self.input_feeding:
                 prev_output_tokens = collate_tokens(
                     [s["target"] for s in samples],
-                    self.tgt_dict.pad(), self.tgt_dict.eos(),
+                    self.tgt_dict.pad(),
+                    self.eos if self.eos is not None else self.tgt_dict.eos(),
                     left_pad=self.left_pad_target,
                     move_eos_to_beginning=True,
                     pad_to_length=pad_to_tgt_len,

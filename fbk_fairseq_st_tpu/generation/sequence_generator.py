@@ -98,11 +98,15 @@ class SequenceGenerator:
         no_repeat_ngram_size: int = 0,
         search_strategy=None,
         seed: int = 1,
+        eos: Optional[int] = None,
     ):
         self.tgt_dict = tgt_dict
         self.pad = tgt_dict.pad()
         self.unk = tgt_dict.unk()
-        self.eos = tgt_dict.eos()
+        # eos override: mBART-style generation terminates on the target
+        # language token instead of </s> (reference
+        # translation_from_pretrained_bart.py:92-104)
+        self.eos = eos if eos is not None else tgt_dict.eos()
         self.vocab_size = len(tgt_dict)
         self.beam_size = min(beam_size, self.vocab_size - 1)
         self.max_len_a = max_len_a

@@ -13,9 +13,9 @@ import numpy as np
 
 
 class SequenceScorer:
-    def __init__(self, tgt_dict, compute_alignment: bool = False):
+    def __init__(self, tgt_dict, compute_alignment: bool = False, eos=None):
         self.pad = tgt_dict.pad()
-        self.eos = tgt_dict.eos()
+        self.eos = eos if eos is not None else tgt_dict.eos()
         self.compute_alignment = compute_alignment
 
     def generate(self, models, sample, prefix_tokens=None, **kwargs):

@@ -156,7 +156,10 @@ class TransformerModel(Model):
         tgt_dict = task.target_dictionary
         share_all = getattr(args, "share_all_embeddings", False)
         if share_all:
-            if src_dict != tgt_dict:
+            if src_dict is not tgt_dict and (
+                getattr(src_dict, "symbols", None)
+                != getattr(tgt_dict, "symbols", None)
+            ):
                 raise ValueError(
                     "--share-all-embeddings requires a joined dictionary"
                 )

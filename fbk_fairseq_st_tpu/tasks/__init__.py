@@ -18,5 +18,6 @@ from . import (  # noqa: F401
     speech_translation_ctc_kd,
     speech_translation_dualdecoding,
     translation,
+    translation_from_pretrained,
     translation_lev,
 )

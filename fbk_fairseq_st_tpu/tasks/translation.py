@@ -25,6 +25,7 @@ def load_langpair_dataset(
     data_path, split, src, src_dict, tgt, tgt_dict, combine, dataset_impl,
     upsample_primary, left_pad_source, left_pad_target,
     max_source_positions, max_target_positions, load_alignments=False,
+    prepend_bos=False, append_source_id=False,
 ):
     def split_exists(split_k, src_l, tgt_l, lang, path):
         filename = os.path.join(path, f"{split_k}.{src_l}-{tgt_l}.{lang}")
@@ -78,6 +79,26 @@ def load_langpair_dataset(
             )
         return [ds.size(i) for i in range(len(ds))]
 
+    eos = None
+    if prepend_bos:
+        from ..data.wrappers import PrependTokenDataset
+
+        src_dataset = PrependTokenDataset(src_dataset, src_dict.bos())
+        tgt_dataset = PrependTokenDataset(tgt_dataset, tgt_dict.bos())
+    if append_source_id:
+        # mBART layout: '[src]' appended to sources, '[tgt]' to targets,
+        # and generation terminates on '[tgt]' (reference
+        # translation.py load_langpair_dataset append_source_id branch)
+        from ..data.wrappers import AppendTokenDataset
+
+        src_dataset = AppendTokenDataset(
+            src_dataset, src_dict.index("[{}]".format(src))
+        )
+        tgt_dataset = AppendTokenDataset(
+            tgt_dataset, tgt_dict.index("[{}]".format(tgt))
+        )
+        eos = tgt_dict.index("[{}]".format(tgt))
+
     align_dataset = None
     if load_alignments:
         # raw "srcidx-tgtidx ..." lines per sentence pair (the reference
@@ -109,6 +130,7 @@ def load_langpair_dataset(
         max_source_positions=max_source_positions,
         max_target_positions=max_target_positions,
         align_dataset=align_dataset,
+        eos=eos,
     )
 
 

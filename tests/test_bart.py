@@ -184,3 +184,64 @@ def test_bart_classification_head():
     }
     (logits, _), _ = m.forward(v, batch, classification_head_name="h")
     assert logits.shape == (2, 3)
+
+
+def test_translation_from_pretrained_bart(tmp_path, capsys):
+    """mBART fine-tuning layout: [lang] appended, generation terminates on
+    the target-language token."""
+    from fbk_fairseq_st_tpu.cli import generate as generate_cli
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    from .test_translation import create_translation_data
+
+    from fbk_fairseq_st_tpu.cli import preprocess as preprocess_cli
+
+    data_dir, save_dir = str(tmp_path / "d"), str(tmp_path / "s")
+    create_translation_data(data_dir)
+    # rebuild with one joined dictionary (mBART requirement)
+    raw = os.path.join(data_dir, "raw")
+    preprocess_cli.cli_main(
+        [
+            "--source-lang", "en", "--target-lang", "de",
+            "--joined-dictionary",
+            "--trainpref", os.path.join(raw, "train"),
+            "--validpref", os.path.join(raw, "valid"),
+            "--testpref", os.path.join(raw, "test"),
+            "--destdir", data_dir,
+            "--dataset-impl", "mmap",
+        ]
+    )
+    common = [
+        "--task", "translation_from_pretrained_bart",
+        "-s", "en", "-t", "de",
+        "--langs", "en,de",
+    ]
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--arch", "mbart_base",
+            "--criterion", "label_smoothed_cross_entropy",
+            "--label-smoothing", "0.1",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "fixed",
+            "--max-tokens", "200", "--max-epoch", "1",
+            "--encoder-layers", "2", "--decoder-layers", "2",
+            "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+            "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+            "--max-source-positions", "64", "--max-target-positions", "64",
+            "--log-format", "none",
+        ] + common
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+    generate_cli.cli_main(
+        [
+            data_dir,
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--beam", "2", "--max-tokens", "200",
+            "--gen-subset", "test", "--max-len-b", "10",
+            "--log-format", "none",
+        ] + common
+    )
+    out = capsys.readouterr().out
+    assert any(line.startswith("H-") for line in out.splitlines())
