@@ -75,9 +75,11 @@ def collate_tokens(
     for i, v in enumerate(values):
         v = np.asarray(v)
         if move_eos_to_beginning:
-            assert v[-1] == eos_idx
+            # rows may end in a language token instead of </s> (mBART
+            # add_lang_token batches can mix languages): rotate whatever
+            # terminator the row actually has
             dst = np.empty_like(v)
-            dst[0] = eos_idx
+            dst[0] = v[-1]
             dst[1:] = v[:-1]
         else:
             dst = v

@@ -6,6 +6,8 @@ from . import (  # noqa: F401
     denoising,
     language_modeling,
     masked_lm,
+    multilingual_denoising,
+    multilingual_masked_lm,
     multilingual_speech_translation,
     multilingual_speech_translation_kd,
     multilingual_translation,

@@ -208,3 +208,98 @@ def test_masked_lm_train(tmp_path):
         ]
     )
     assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def make_multilingual_lm_data(root, langs=("aa", "bb"), n=(20, 8)):
+    """Per-language subdirs sharing one dictionary."""
+    from fbk_fairseq_st_tpu.cli import preprocess as preprocess_cli
+
+    rng = np.random.RandomState(0)
+    raw = root.rstrip("/") + "_raw"  # outside root: the task
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(root, exist_ok=True)
+    # scans root subdirs as languages; one shared vocab across languages
+    for li, (lang, count) in enumerate(zip(langs, n)):
+        for split, cnt in [("train", count), ("valid", 4)]:
+            with open(os.path.join(raw, f"{split}.{lang}"), "w") as f:
+                for _ in range(cnt):
+                    f.write(
+                        " ".join(f"tok{rng.randint(15)}"
+                                 for _ in range(rng.randint(4, 10))) + "\n"
+                    )
+    # build one dict from all languages
+    import shutil
+
+    first = True
+    for lang in langs:
+        dest = os.path.join(root, lang)
+        args = [
+            "--only-source",
+            "--trainpref", os.path.join(raw, f"train.{lang}"),
+            "--validpref", os.path.join(raw, f"valid.{lang}"),
+            "--destdir", dest,
+            "--dataset-impl", "mmap",
+        ]
+        if not first:
+            args += ["--srcdict", os.path.join(root, "dict.txt")]
+        preprocess_cli.cli_main(args)
+        if first:
+            shutil.copy(
+                os.path.join(dest, "dict.txt"), os.path.join(root, "dict.txt")
+            )
+            first = False
+
+
+def test_multilingual_masked_lm_train(tmp_path):
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    root = str(tmp_path / "data")
+    make_multilingual_lm_data(root)
+    save_dir = str(tmp_path / "ckpt")
+    train_cli.cli_main(
+        [
+            root,
+            "--save-dir", save_dir,
+            "--task", "multilingual_masked_lm",
+            "--multilang-sampling-alpha", "0.5",
+            "--arch", "bert_base",
+            "--criterion", "masked_lm",
+            "--optimizer", "adam", "--lr", "0.0005",
+            "--lr-scheduler", "fixed",
+            "--tokens-per-sample", "32",
+            "--max-tokens", "256", "--max-epoch", "1",
+            "--encoder-layers", "2", "--encoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def test_multilingual_denoising_train(tmp_path):
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    root = str(tmp_path / "data")
+    make_multilingual_lm_data(root)
+    save_dir = str(tmp_path / "ckpt")
+    train_cli.cli_main(
+        [
+            root,
+            "--save-dir", save_dir,
+            "--task", "multilingual_denoising",
+            "--add-lang-token",
+            "--mask", "0.3", "--replace-length", "1",
+            "--arch", "mbart_base",
+            "--criterion", "cross_entropy",
+            "--optimizer", "adam", "--lr", "0.0005",
+            "--lr-scheduler", "fixed",
+            "--tokens-per-sample", "32",
+            "--max-tokens", "256", "--max-epoch", "1",
+            "--encoder-layers", "2", "--decoder-layers", "2",
+            "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+            "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
