@@ -76,6 +76,10 @@ def main(args):
         )
     )
 
+    if hasattr(task, "set_trainer"):
+        # semisupervised online back-translation reads live params
+        task.set_trainer(trainer)
+
     extra_state, epoch_itr = checkpoint_utils.load_checkpoint(args, trainer, task)
 
     lr = trainer.get_lr()
@@ -99,6 +103,8 @@ def main(args):
         and epoch_itr.epoch < max_epoch
         and trainer.get_num_updates() < max_update
     ):
+        if hasattr(task, "set_epoch_updates"):
+            task.set_epoch_updates(trainer.get_num_updates())
         valid_losses = train(args, trainer, task, epoch_itr, max_update)
         if should_stop_early(args, valid_losses[0]):
             logger.info(

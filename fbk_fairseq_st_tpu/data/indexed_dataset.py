@@ -163,6 +163,12 @@ def dataset_exists(path: str, impl: str) -> bool:
         return IndexedRawTextDataset.exists(path)
     if impl == "mmap":
         return MMapIndexedDataset.exists(path)
+    if impl is None:  # infer: any known on-disk format
+        return (
+            IndexedDataset.exists(path)
+            or MMapIndexedDataset.exists(path)
+            or IndexedRawTextDataset.exists(path)
+        )
     return IndexedDataset.exists(path)
 
 

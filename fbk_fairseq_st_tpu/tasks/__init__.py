@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     multilingual_speech_translation_kd,
     multilingual_translation,
     multitask_speech_translation,
+    semisupervised_translation,
     sentence_prediction,
     sentence_ranking,
     speech_recognition,

@@ -125,3 +125,46 @@ def test_langtok_replacement(tmp_path):
     assert (src[:, -1] == de_tok).all()
     prev = np.asarray(sub["net_input"]["prev_output_tokens"])
     assert (prev[:, 0] == de_tok).all()
+
+
+def test_semisupervised_translation_train(tmp_path):
+    """Parallel + online backtranslation + denoising multitask."""
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    create_data(data_dir, pairs=(("en", "de"),))
+    # monolingual target data ({split}.de files via --only-source layout)
+    raw = os.path.join(data_dir, "raw")
+    preprocess_cli.cli_main(
+        [
+            "--only-source", "--source-lang", "de",
+            "--srcdict", os.path.join(data_dir, "dict.de.txt"),
+            "--trainpref", os.path.join(raw, "train.en-de"),
+            "--destdir", data_dir,
+            "--dataset-impl", "mmap",
+        ]
+    )
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "semisupervised_translation",
+            "--lang-pairs", "en-de",
+            "--lambda-parallel-config", "1.0",
+            "--lambda-otf-bt-config", "0.5",
+            "--lambda-denoising-config", "0.5",
+            "--bt-beam-size", "1",
+            "--encoder-langtok", "tgt", "--decoder-langtok",
+            "--arch", "multilingual_transformer_iwslt_de_en",
+            "--share-encoders", "--share-decoders",
+            "--criterion", "label_smoothed_cross_entropy",
+            "--label-smoothing", "0.1",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "fixed",
+            "--max-tokens", "150", "--max-epoch", "1", "--max-update", "3",
+            "--encoder-layers", "1", "--decoder-layers", "1",
+            "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+            "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+            "--max-source-positions", "64", "--max-target-positions", "64",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
