@@ -26,8 +26,25 @@ logging.basicConfig(
 logger = logging.getLogger("fbk_fairseq_st_tpu.cli.preprocess")
 
 
-def build_dictionary(filenames, threshold=-1, nwords=-1, padding_factor=8):
-    d = Dictionary()
+def _dictionary_hooks(args):
+    """Tasks may use a custom dictionary class (BertDictionary,
+    MaskedLMDictionary, ...) — the fairseq-preprocess --task mechanism:
+    the task's dictionary_class/load_dictionary drive binarization."""
+    from ..registry import TASKS
+
+    task_name = getattr(args, "task", None)
+    if task_name and task_name in TASKS:
+        task_cls = TASKS[task_name]
+        dict_cls = getattr(task_cls, "dictionary_class", None)
+        dict_cls = dict_cls() if callable(dict_cls) else Dictionary
+        loader = getattr(task_cls, "load_dictionary", Dictionary.load)
+        return dict_cls, loader
+    return Dictionary, Dictionary.load
+
+
+def build_dictionary(filenames, threshold=-1, nwords=-1, padding_factor=8,
+                     dict_cls=Dictionary):
+    d = dict_cls()
     for filename in filenames:
         with open(filename, "r", encoding="utf-8") as f:
             for line in f:
@@ -68,6 +85,7 @@ def main(args):
         ]
         assert langs, "specify --source-lang and/or --target-lang"
 
+    dict_cls, dict_loader = _dictionary_hooks(args)
     joined_dict = None
     if getattr(args, "joined_dictionary", False) and len(langs) > 1:
         # one dictionary over both sides (fairseq --joined-dictionary)
@@ -77,6 +95,7 @@ def main(args):
             threshold=args.thresholdsrc,
             nwords=args.nwordssrc,
             padding_factor=args.padding_factor,
+            dict_cls=dict_cls,
         )
 
     for lang in langs:
@@ -87,7 +106,7 @@ def main(args):
         if joined_dict is not None:
             d = joined_dict
         elif existing:
-            d = Dictionary.load(existing)
+            d = dict_loader(existing)
         else:
             assert args.trainpref, "--trainpref required to build a dictionary"
             threshold = (
@@ -99,6 +118,7 @@ def main(args):
                 threshold=threshold,
                 nwords=nwords,
                 padding_factor=args.padding_factor,
+                dict_cls=dict_cls,
             )
         d.save(dict_path)
         logger.info(f"[{lang}] dictionary: {len(d)} types")

@@ -4,12 +4,14 @@ from .base import Criterion  # noqa: F401
 from . import (  # noqa: F401
     adaptive_loss,
     binary_cross_entropy,
+    composite_loss,
     cross_entropy_dualdecoder,
     cross_entropy_acc,
     cross_entropy_multi_task,
     ctc,
     knowledge_distillation,
     label_smoothed_cross_entropy,
+    legacy_masked_lm,
     label_smoothed_cross_entropy_with_alignment,
     masked_lm,
     nat_loss,

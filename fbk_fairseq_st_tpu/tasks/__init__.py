@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     audio_pretraining,
     denoising,
     language_modeling,
+    legacy_masked_lm,
     masked_lm,
     multilingual_denoising,
     multilingual_masked_lm,

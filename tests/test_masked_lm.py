@@ -303,3 +303,101 @@ def test_multilingual_denoising_train(tmp_path):
         ]
     )
     assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def make_legacy_lm_data(root, langs=None):
+    """Monolingual data with a MaskedLMDictionary-compatible dict.txt."""
+    from fbk_fairseq_st_tpu.cli import preprocess as preprocess_cli
+
+    rng = np.random.RandomState(0)
+    raw = root.rstrip("/") + "_raw"
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(root, exist_ok=True)
+    names = langs or [None]
+    for lang in names:
+        suffix = f".{lang}" if lang else ""
+        for split, cnt in [("train", 20), ("valid", 5)]:
+            with open(os.path.join(raw, split + suffix), "w") as f:
+                for _ in range(cnt):
+                    f.write(
+                        " ".join(f"tok{rng.randint(15)}"
+                                 for _ in range(rng.randint(4, 10))) + "\n"
+                    )
+    first = True
+    for lang in names:
+        suffix = f".{lang}" if lang else ""
+        args = [
+            "--only-source",
+            "--task",
+            "cross_lingual_lm" if langs else "legacy_masked_lm",
+            "--trainpref", os.path.join(raw, "train" + suffix),
+            "--validpref", os.path.join(raw, "valid" + suffix),
+            "--destdir", root,
+            "--dataset-impl", "mmap",
+        ]
+        if not first:
+            args += ["--srcdict", os.path.join(root, "dict.txt")]
+        preprocess_cli.cli_main(args)
+        if lang:
+            import shutil
+
+            for split in ("train", "valid"):
+                for ext in ("bin", "idx"):
+                    shutil.move(
+                        os.path.join(root, f"{split}.{ext}"),
+                        os.path.join(root, f"{split}.{lang}.{ext}"),
+                    )
+        first = False
+
+
+def test_legacy_masked_lm_train(tmp_path):
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    root = str(tmp_path / "data")
+    make_legacy_lm_data(root)
+    save_dir = str(tmp_path / "ckpt")
+    train_cli.cli_main(
+        [
+            root,
+            "--save-dir", save_dir,
+            "--task", "legacy_masked_lm",
+            "--arch", "bert_base",
+            "--criterion", "legacy_masked_lm_loss",
+            "--optimizer", "adam", "--lr", "0.0005",
+            "--lr-scheduler", "fixed",
+            "--tokens-per-sample", "32",
+            "--max-sentences", "4", "--max-epoch", "1",
+            "--encoder-layers", "2", "--encoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+            "--max-positions", "64",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def test_cross_lingual_lm_train(tmp_path):
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    root = str(tmp_path / "data")
+    make_legacy_lm_data(root, langs=["aa", "bb"])
+    save_dir = str(tmp_path / "ckpt")
+    train_cli.cli_main(
+        [
+            root,
+            "--save-dir", save_dir,
+            "--task", "cross_lingual_lm",
+            "--monolingual-langs", "aa,bb",
+            "--arch", "xlm_base",
+            "--criterion", "legacy_masked_lm_loss",
+            "--optimizer", "adam", "--lr", "0.0005",
+            "--lr-scheduler", "fixed",
+            "--tokens-per-sample", "32",
+            "--max-sentences", "4", "--max-epoch", "1",
+            "--encoder-layers", "2", "--encoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--encoder-attention-heads", "2",
+            "--max-positions", "64",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
