@@ -31,9 +31,13 @@ class NATLoss(Criterion):
 
     def _label_smoothed_ce(self, logits, target, mask, ls):
         lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(
-            lprobs, target[..., None].astype(jnp.int32), axis=-1
-        )[..., 0]
+        if target.ndim == logits.ndim:
+            # soft labels (insertion transformer): CE against a distribution
+            nll = -jnp.sum(target.astype(jnp.float32) * lprobs, axis=-1)
+        else:
+            nll = -jnp.take_along_axis(
+                lprobs, target[..., None].astype(jnp.int32), axis=-1
+            )[..., 0]
         per_tok = (
             (1.0 - ls) * nll + ls * (-jnp.mean(lprobs, axis=-1))
             if ls > 0 else nll

@@ -741,6 +741,246 @@ class LevenshteinTransformerModel(TransformerModel):
         return output_tokens, output_scores
 
 
+# ---------------------------------------------------------------------------
+# insertion transformer
+# ---------------------------------------------------------------------------
+
+def get_insertion_targets(prev_tokens, tgt_tokens, pad, vocab_size: int,
+                          tau=None):
+    """Soft per-slot insertion labels (reference insertion_transformer.py
+    _get_ins_targets :57-95 + NegativeDistanceScore :22-50): slot j (the gap
+    after prev position j) is trained on a distribution over the unmatched
+    target tokens of that gap, weighted by the balanced-binary-tree score
+    softmax(-|n/2 - k| / tau) (uniform when tau is None); empty slots are
+    trained to emit pad. Returns (B, L-1, V)."""
+    from ..ops.edit_distance import lcs_matched_masks
+
+    B, Lp = prev_tokens.shape
+    prev_len = jnp.sum(prev_tokens != pad, axis=1)
+    tgt_len = jnp.sum(tgt_tokens != pad, axis=1)
+    matched_prev, matched_tgt = lcs_matched_masks(
+        prev_tokens, prev_len, tgt_tokens, tgt_len
+    )
+    tgt_mask = tgt_tokens != pad
+    unmatched = tgt_mask & ~matched_tgt
+
+    # gap rank per tgt position, position-within-gap, gap sizes
+    rank_before = jnp.cumsum(matched_tgt.astype(jnp.int32), axis=1)
+    rank_before = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), rank_before[:, :-1]], axis=1
+    )  # gap id g (number of matched tgt before this position)
+    Lt = tgt_tokens.shape[1]
+
+    # position within gap: cumcount of unmatched per gap
+    def cumcount(um, gap_id):
+        # k[j] = number of unmatched tokens with the same gap id before j
+        one = um.astype(jnp.int32)
+        cum = jnp.cumsum(one) - one  # exclusive prefix count (all gaps)
+        # offset[g] = total unmatched before gap g's first element
+        per_gap = jax.ops.segment_sum(one, gap_id, num_segments=Lp + 1)
+        gap_offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(per_gap)[:-1]]
+        )
+        return cum - gap_offsets[gap_id]
+
+    def row_labels(um, gap_id, toks, m_prev):
+        k = cumcount(um, gap_id)  # (Lt,)
+        n = jax.ops.segment_sum(
+            um.astype(jnp.float32), gap_id, num_segments=Lp + 1
+        )[gap_id]  # span size per token
+        if tau is None:
+            w = jnp.where(um, 1.0 / jnp.maximum(n, 1.0), 0.0)
+        else:
+            s = -jnp.abs(n / 2.0 - k.astype(jnp.float32)) / tau
+            e = jnp.where(um, jnp.exp(s), 0.0)
+            z = jax.ops.segment_sum(e, gap_id, num_segments=Lp + 1)[gap_id]
+            w = jnp.where(um, e / jnp.maximum(z, 1e-9), 0.0)
+        # slot index for gap g: position of the g-th matched prev token
+        ar = jnp.arange(Lp)
+        matched_pos = jnp.sort(jnp.where(m_prev, ar, Lp))
+        n_matched = jnp.sum(m_prev)
+        slot_of_gap = jnp.concatenate(
+            [jnp.full(1, Lp, jnp.int32), matched_pos.astype(jnp.int32)]
+        )  # gap 0 = before first token: dropped (bos always matches)
+        slots = slot_of_gap[gap_id]  # (Lt,)
+        labels = jnp.zeros((Lp - 1, vocab_size), jnp.float32)
+        labels = labels.at[slots, toks].add(jnp.where(um, w, 0.0),
+                                            mode="drop")
+        # empty real slots -> emit pad
+        filled = jax.ops.segment_sum(
+            um.astype(jnp.float32), slots, num_segments=Lp
+        )[: Lp - 1]
+        real_slot = (jnp.arange(Lp - 1) + 1) < jnp.sum(m_prev)  # interior
+        labels = labels.at[:, pad].add(
+            jnp.where(real_slot & (filled == 0), 1.0, 0.0)
+        )
+        return labels
+
+    return jax.vmap(row_labels)(
+        unmatched, rank_before, tgt_tokens.astype(jnp.int32), matched_prev
+    )
+
+
+def apply_ins_words_between(tokens, scores, pred, pred_scores, pad):
+    """Interleave one predicted token into each gap whose prediction is not
+    pad, at fixed width (reference insertion_transformer.py
+    _apply_ins_words :104-121)."""
+    B, L = tokens.shape
+    in_mask = tokens != pad
+    ins = (
+        (pred != pad) & in_mask[:, 1:]
+    ).astype(jnp.int32)  # one slot per gap
+    in_len = jnp.sum(in_mask, axis=1)
+    cum = jnp.cumsum(ins, axis=1)
+    cum = jnp.minimum(cum, (L - in_len)[:, None])
+    ins = jnp.diff(
+        jnp.concatenate([jnp.zeros((B, 1), cum.dtype), cum], axis=1)
+    )
+    out_tokens = jnp.full((B, L), pad, tokens.dtype)
+    out_scores = jnp.zeros_like(scores)
+    newpos = jnp.concatenate(
+        [jnp.zeros((B, 1), cum.dtype), jnp.arange(1, L)[None, :] + cum],
+        axis=1,
+    )
+    newpos = jnp.where(in_mask, newpos, L)
+    out_tokens = jax.vmap(lambda o, p, t: o.at[p].set(t, mode="drop"))(
+        out_tokens, newpos, tokens
+    )
+    out_scores = jax.vmap(lambda o, p, s: o.at[p].set(s, mode="drop"))(
+        out_scores, newpos, scores
+    )
+    # insertion for gap j lands right after token j
+    ins_pos = jnp.where(
+        ins > 0, jnp.arange(L - 1)[None, :] + cum, L
+    )
+    out_tokens = jax.vmap(lambda o, p, t: o.at[p].set(t, mode="drop"))(
+        out_tokens, ins_pos, pred.astype(tokens.dtype)
+    )
+    out_scores = jax.vmap(lambda o, p, s: o.at[p].set(s, mode="drop"))(
+        out_scores, ins_pos, pred_scores
+    )
+    return out_tokens, out_scores
+
+
+@register_model("insertion_transformer")
+class InsertionTransformerModel(LevenshteinTransformerModel):
+    """Insertion-based NAT (Stern et al. 2019): one token per slot per
+    refinement pass, trained with balanced-tree soft labels.
+
+    Counterpart of fairseq/models/nat/insertion_transformer.py:22-280."""
+
+    def __init__(self, *args, label_tau=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.label_tau = label_tau
+
+    @staticmethod
+    def add_args(parser):
+        TransformerModel.add_args(parser)
+        parser.add_argument("--label-tau", default=None, type=float)
+
+    @classmethod
+    def build_model(cls, args, task):
+        insertion_base_architecture(args)
+        base = TransformerModel.build_model.__func__(
+            TransformerModel, args, task
+        )
+        d = task.target_dictionary
+        return cls(
+            base.encoder_cfg, base.decoder_cfg, base.share_all_embeddings,
+            unk=d.unk(), bos=d.bos(), eos=d.eos(), pad=d.pad(),
+            label_tau=getattr(args, "label_tau", None),
+            label_smoothing=getattr(args, "label_smoothing", 0.0),
+        )
+
+    def init(self, key):
+        variables = TransformerModel.init(self, key)
+        from ..ops.core import init_linear
+
+        d = self.decoder_cfg.embed_dim
+        variables["params"]["pool_out"] = init_linear(
+            jax.random.fold_in(key, 4321), 2 * d, d
+        )
+        return variables
+
+    def forward_word_ins(self, params, tokens, enc, rng=None,
+                         deterministic=True):
+        """Pairwise-pooled slot features -> vocab logits (B, L-1, V)."""
+        from ..ops.core import linear
+
+        _, dec_params = self._split_params(params)
+        f = self.decoder(
+            dec_params, tokens,
+            encoder_out=enc.encoder_out,
+            encoder_padding_mask=enc.encoder_padding_mask,
+            rng=rng, deterministic=deterministic,
+            features_only=True, causal=False,
+        )[0]
+        pooled = linear(
+            params["pool_out"],
+            jnp.concatenate([f[:, :-1, :], f[:, 1:, :]], axis=2),
+        )
+        return self.decoder.output_layer(dec_params, pooled)
+
+    def forward(self, variables, batch, rng: Optional[RngStream] = None,
+                training=False):
+        params = variables["params"]
+        enc_params, _ = self._split_params(params)
+        enc = self.encoder(
+            enc_params, batch["src_tokens"], batch["src_lengths"],
+            rng=rng, deterministic=not training,
+        )
+        prev = batch["prev_output_tokens"].astype(jnp.int32)
+        tgt = batch["target"].astype(jnp.int32)
+        word_ins_out = self.forward_word_ins(
+            params, prev, enc, rng, not training
+        )
+        word_ins_tgt = get_insertion_targets(
+            prev, tgt, self.pad, word_ins_out.shape[-1], tau=self.label_tau
+        )
+        extra = {
+            "encoder_out": enc,
+            "losses": {
+                "word_ins": {
+                    "out": word_ins_out,
+                    "tgt": word_ins_tgt,
+                    "mask": prev[:, 1:] != self.pad,
+                    "ls": self.label_smoothing,
+                    "nll_loss": True,
+                },
+            },
+        }
+        return (word_ins_out, extra), {}
+
+    def refinement_step(self, variables, output_tokens, output_scores,
+                        encoder_out: EncoderOut, eos_penalty: float = 0.0,
+                        max_ratio=None):
+        lprobs = jax.nn.log_softmax(
+            self.forward_word_ins(
+                variables["params"], output_tokens, encoder_out
+            ).astype(jnp.float32),
+            axis=-1,
+        )
+        if eos_penalty > 0.0:
+            lprobs = lprobs.at[:, :, self.pad].add(-eos_penalty)
+        scores = jnp.max(lprobs, axis=-1)
+        pred = jnp.argmax(lprobs, axis=-1).astype(jnp.int32)
+        return apply_ins_words_between(
+            output_tokens, output_scores, pred, scores, self.pad
+        )
+
+
+@register_model_architecture("insertion_transformer",
+                             "insertion_transformer")
+def insertion_base_architecture(args):
+    """Reference insertion_transformer.py:240-280."""
+    args.label_tau = getattr(args, "label_tau", None)
+    args.early_exit = getattr(args, "early_exit", "6,6,6")
+    args.share_decoder_input_output_embed = getattr(
+        args, "share_decoder_input_output_embed", False
+    )
+    transformer_base(args)
+
+
 @register_model_architecture(
     "levenshtein_transformer", "levenshtein_transformer"
 )

@@ -181,6 +181,7 @@ import pytest as _pytest
          "full_mask"),
         ("iterative_nonautoregressive_transformer",
          ["--train-step", "2", "--stochastic-approx"], "full_mask"),
+        ("insertion_transformer", ["--label-tau", "1.0"], "random_delete"),
     ],
 )
 def test_nat_variants_train_and_decode(tmp_path, arch, extra_args, noise,
