@@ -57,6 +57,10 @@ class NATLoss(Criterion):
             nll_loss = 0.0
             per_factor = {}
             for name, spec in extra["losses"].items():
+                if "loss" in spec:  # pre-computed factor (CRF NLL)
+                    loss = loss + spec.get("factor", 1.0) * spec["loss"]
+                    per_factor[name + "-loss"] = spec["loss"]
+                    continue
                 factor_loss, factor_nll = self._label_smoothed_ce(
                     spec["out"], spec["tgt"], spec["mask"],
                     spec.get("ls", 0.0),

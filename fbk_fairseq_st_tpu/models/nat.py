@@ -742,6 +742,131 @@ class LevenshteinTransformerModel(TransformerModel):
 
 
 # ---------------------------------------------------------------------------
+# NA-CRF transformer
+# ---------------------------------------------------------------------------
+
+@register_model("nacrf_transformer")
+class NACRFTransformerModel(NATransformerModel):
+    """NAT with a dynamic (low-rank, beam-approximated) CRF over the output
+    tokens (Sun et al. 2019).
+
+    Counterpart of fairseq/models/nat/nat_crf_transformer.py:20-107; the
+    CRF forward/Viterbi run as lax.scan (ops/dynamic_crf.py)."""
+
+    def __init__(self, *args, crf_lowrank_approx=32, crf_beam_approx=64,
+                 word_ins_loss_factor=0.5, label_smoothing=0.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.crf_lowrank_approx = crf_lowrank_approx
+        self.crf_beam_approx = crf_beam_approx
+        self.word_ins_loss_factor = word_ins_loss_factor
+        self.label_smoothing = label_smoothing
+
+    @staticmethod
+    def add_args(parser):
+        NATransformerModel.add_args(parser)
+        parser.add_argument("--crf-lowrank-approx", type=int,
+                            help="rank of the CRF transition approximation")
+        parser.add_argument("--crf-beam-approx", type=int,
+                            help="beam for approximating the normalizer")
+        parser.add_argument("--word-ins-loss-factor", type=float,
+                            help="weight of the NAT loss co-trained with "
+                                 "the CRF loss")
+
+    @classmethod
+    def build_model(cls, args, task):
+        nacrf_base_architecture(args)
+        base = TransformerModel.build_model.__func__(
+            TransformerModel, args, task
+        )
+        d = task.target_dictionary
+        return cls(
+            base.encoder_cfg, base.decoder_cfg, base.share_all_embeddings,
+            unk=d.unk(), bos=d.bos(), eos=d.eos(), pad=d.pad(),
+            src_embedding_copy=getattr(args, "src_embedding_copy", False),
+            crf_lowrank_approx=args.crf_lowrank_approx,
+            crf_beam_approx=args.crf_beam_approx,
+            word_ins_loss_factor=args.word_ins_loss_factor,
+            label_smoothing=getattr(args, "label_smoothing", 0.0),
+        )
+
+    def init(self, key):
+        from ..ops.dynamic_crf import init_dynamic_crf
+
+        variables = super().init(key)
+        variables["params"]["crf"] = init_dynamic_crf(
+            jax.random.fold_in(key, 888), self.decoder_cfg.vocab_size,
+            self.crf_lowrank_approx,
+        )
+        return variables
+
+    def forward(self, variables, batch, rng: Optional[RngStream] = None,
+                training=False):
+        from ..ops.dynamic_crf import crf_log_likelihood
+
+        (word_ins_out, extra), state = super().forward(
+            variables, batch, rng, training
+        )
+        tgt = batch["target"].astype(jnp.int32)
+        mask = tgt != self.pad
+        crf_ll = crf_log_likelihood(
+            variables["params"]["crf"], word_ins_out, tgt, mask,
+            beam=self.crf_beam_approx,
+        )
+        crf_nll = jnp.mean(
+            -crf_ll / jnp.maximum(jnp.sum(mask, axis=1), 1)
+        )
+        extra["losses"] = {
+            "word_ins": {
+                "out": word_ins_out,
+                "tgt": tgt,
+                "mask": mask,
+                "ls": self.label_smoothing,
+                "nll_loss": True,
+                "factor": self.word_ins_loss_factor,
+            },
+            "word_crf": {"loss": crf_nll},
+        }
+        extra.pop("word_ins_mask", None)
+        return (word_ins_out, extra), state
+
+    def forward_decoder_step(self, variables, output_tokens, output_scores,
+                             encoder_out: EncoderOut):
+        """Emissions -> CRF Viterbi over the beam (reference :73-98)."""
+        from ..ops.dynamic_crf import crf_viterbi
+
+        _, dec_params = self._split_params(variables["params"])
+        emissions, _ = self.decoder(
+            dec_params, output_tokens,
+            encoder_out=encoder_out.encoder_out,
+            encoder_padding_mask=encoder_out.encoder_padding_mask,
+            causal=False,
+        )
+        masks = output_tokens != self.pad
+        scores, tokens = crf_viterbi(
+            variables["params"]["crf"], emissions, masks,
+            beam=self.crf_beam_approx,
+        )
+        new_tokens = jnp.where(masks, tokens.astype(jnp.int32), output_tokens)
+        new_scores = jnp.where(masks, scores, output_scores)
+        return new_tokens, new_scores
+
+
+@register_model_architecture("nacrf_transformer", "nacrf_transformer")
+def nacrf_base_architecture(args):
+    """Reference nat_crf_transformer.py:100-107."""
+    args.crf_lowrank_approx = getattr(args, "crf_lowrank_approx", 32)
+    args.crf_beam_approx = getattr(args, "crf_beam_approx", 64)
+    args.word_ins_loss_factor = getattr(args, "word_ins_loss_factor", 0.5)
+    args.encoder_normalize_before = getattr(
+        args, "encoder_normalize_before", True
+    )
+    args.decoder_normalize_before = getattr(
+        args, "decoder_normalize_before", True
+    )
+    nat_base_architecture(args)
+
+
+# ---------------------------------------------------------------------------
 # insertion transformer
 # ---------------------------------------------------------------------------
 

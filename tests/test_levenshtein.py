@@ -182,6 +182,9 @@ import pytest as _pytest
         ("iterative_nonautoregressive_transformer",
          ["--train-step", "2", "--stochastic-approx"], "full_mask"),
         ("insertion_transformer", ["--label-tau", "1.0"], "random_delete"),
+        ("nacrf_transformer",
+         ["--crf-lowrank-approx", "4", "--crf-beam-approx", "4",
+          "--word-ins-loss-factor", "0.5"], "full_mask"),
     ],
 )
 def test_nat_variants_train_and_decode(tmp_path, arch, extra_args, noise,
