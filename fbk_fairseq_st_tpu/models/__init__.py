@@ -23,7 +23,9 @@ from . import (  # noqa: F401
     multitask_conv_transformer,
     nat,
     transformer,
+    huggingface_gpt2,
     transformer_align,
+    transformer_from_pretrained_xlm,
     transformer_lm,
     wav2vec,
     vggtransformer,

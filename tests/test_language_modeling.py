@@ -234,3 +234,87 @@ def test_adaptive_input_embeddings():
     assert emb.shape == (2, 5, out_dim)
     # padding row embeds to zero (zero embedding + linear proj no bias)
     np.testing.assert_allclose(np.asarray(emb[1, 0]), 0.0, atol=1e-7)
+
+
+def test_hf_gpt2_lm_train(tmp_path):
+    """Hugging Face Flax GPT-2 inside the training loop."""
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    create_lm_data(data_dir)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "language_modeling",
+            "--arch", "hf_gpt2",
+            "--criterion", "cross_entropy",
+            "--optimizer", "adam", "--lr", "0.0001",
+            "--lr-scheduler", "fixed",
+            "--tokens-per-sample", "32",
+            "--max-tokens", "128", "--max-epoch", "1",
+            "--embed-dim", "16", "--num-layers", "2",
+            "--num-attention-heads", "2",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def test_transformer_from_pretrained_xlm(tmp_path):
+    """XLM-pretrained NMT warm start: matching leaves copied into both
+    encoder and decoder."""
+    import argparse
+    import pickle
+
+    import jax
+
+    from fbk_fairseq_st_tpu import registry
+
+    from .utils import dummy_dictionary
+
+    d = dummy_dictionary(20)
+    d.add_symbol("<mask>")
+
+    class T:
+        source_dictionary = d
+        target_dictionary = d
+        dictionary = d
+
+    common = dict(
+        encoder_layers=2, decoder_layers=2,
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        max_source_positions=32, max_target_positions=32,
+    )
+    xlm_args = argparse.Namespace(
+        arch="xlm_base", tokens_per_sample=32, max_positions=32,
+        encoder_layers=2, encoder_embed_dim=16, encoder_ffn_embed_dim=32,
+        encoder_attention_heads=2,
+    )
+    registry.apply_architecture(xlm_args)
+    xlm = registry.MODELS["masked_lm"].build_model(xlm_args, T())
+    xlm_vars = xlm.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "xlm.pt")
+    with open(ckpt, "wb") as f:
+        pickle.dump({"model": xlm_vars["params"]}, f)
+
+    args = argparse.Namespace(
+        arch="transformer_from_pretrained_xlm",
+        pretrained_xlm_checkpoint=ckpt,
+        **common,
+    )
+    registry.apply_architecture(args)
+    m = registry.MODELS["transformer_from_pretrained_xlm"].build_model(
+        args, T()
+    )
+    v = m.init(jax.random.PRNGKey(1))
+    got = np.asarray(
+        v["params"]["encoder"]["layers"][0]["fc1"]["w"]
+    )
+    want = np.asarray(xlm_vars["params"]["layers"][0]["fc1"]["w"])
+    np.testing.assert_array_equal(got, want)
+    # decoder self-attn warm-started too
+    got_d = np.asarray(
+        v["params"]["decoder"]["layers"][1]["fc1"]["w"]
+    )
+    want_d = np.asarray(xlm_vars["params"]["layers"][1]["fc1"]["w"])
+    np.testing.assert_array_equal(got_d, want_d)
