@@ -53,13 +53,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with the batch axis sharded over 'data'."""
+    """Device-put a host batch with the batch axis sharded over 'data'.
+
+    Arrays already committed with the target sharding pass through
+    untouched — re-issuing device_put for staged buffers costs a device
+    round-trip per leaf (very expensive over a tunneled TPU) and the
+    prefetch pipeline stages batches ahead of the step."""
     sharding = batch_sharding(mesh)
+    repl = replicated(mesh)
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, sharding)
-        return jax.device_put(x, replicated(mesh))
+        want = sharding if (hasattr(x, "ndim") and x.ndim >= 1) else repl
+        if isinstance(x, jax.Array) and x.sharding == want:
+            return x
+        return jax.device_put(x, want)
 
     return jax.tree_util.tree_map(put, batch)
 

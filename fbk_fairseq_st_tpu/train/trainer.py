@@ -348,8 +348,20 @@ class Trainer:
         """Sync any deferred logging outputs to the host (no-op when
         log_sync_interval == 1 and nothing is pending)."""
         out = None
-        for logging_output, gnorm, meta, last_batch in self._pending_logs:
-            # host-side logging (device sync happens here)
+        if not self._pending_logs:
+            return out
+        # ONE device->host transfer for every pending scalar: fetching them
+        # leaf-by-leaf costs a round-trip each (ruinous on a tunneled TPU)
+        fetched = jax.device_get(
+            [(lo, gn) for lo, gn, _, _ in self._pending_logs]
+        )
+        pending = [
+            (flo, fgn, meta, last_batch)
+            for (flo, fgn), (_, _, meta, last_batch) in zip(
+                fetched, self._pending_logs
+            )
+        ]
+        for logging_output, gnorm, meta, last_batch in pending:
             logging_output = {
                 k: float(np.asarray(v)) for k, v in logging_output.items()
             }
