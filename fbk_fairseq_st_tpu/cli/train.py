@@ -17,7 +17,7 @@ import sys
 import numpy as np
 
 from .. import options
-from ..data.iterators import GroupedIterator
+from ..data.iterators import DevicePrefetchIterator, GroupedIterator
 from ..registry import TASKS
 from ..train import checkpoint as checkpoint_utils
 from ..train import metrics
@@ -157,6 +157,12 @@ def train(args, trainer, task, epoch_itr, max_update):
         if epoch_itr.epoch <= len(args.update_freq)
         else args.update_freq[-1]
     )
+    if getattr(args, "device_prefetch", 2) > 0:
+        # overlap host->device batch transfer with the running step
+        itr = DevicePrefetchIterator(
+            itr, trainer.stage_sample,
+            lookahead=getattr(args, "device_prefetch", 2),
+        )
     itr = GroupedIterator(itr, update_freq)
     progress = progress_bar(
         itr,

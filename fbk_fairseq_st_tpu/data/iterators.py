@@ -80,6 +80,47 @@ def _chunks(itr, n):
         yield chunk
 
 
+class DevicePrefetchIterator(CountingIterator):
+    """Background-thread staging of collated batches onto the device.
+
+    The host->device transfer of a batch otherwise serializes with the
+    train step (and is very expensive over slow host links); staging
+    ``lookahead`` batches ahead overlaps the DMA with compute — the
+    trainer's shard_batch then passes the already-placed arrays through.
+    This is the TPU counterpart of the reference's pin_memory +
+    non_blocking CUDA copies."""
+
+    def __init__(self, iterable, stage_fn, lookahead: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(lookahead, 1))
+        self._sentinel = object()
+        self._err: Optional[BaseException] = None
+        start = getattr(iterable, "n", 0)
+        total = len(iterable)
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(stage_fn(item))
+            except BaseException as e:  # propagate to consumer
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+        def gen():
+            while True:
+                item = self._q.get()
+                if item is self._sentinel:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+
+        super().__init__(gen(), start=start, total=total)
+
+
 class ShardedIterator(CountingIterator):
     """Pick every num_shards-th element, filling short shards with a fill
     value so all ranks run the same step count (reference iterators.py)."""

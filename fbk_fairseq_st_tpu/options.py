@@ -72,6 +72,9 @@ def get_parser(desc: str, default_task: str = "speech_recognition"):
     parser.add_argument("--profile", action="store_true", default=False,
                         help="record a jax.profiler trace of the run to "
                              "<save-dir>/profile (view in TensorBoard)")
+    parser.add_argument("--device-prefetch", type=int, default=2, metavar="N",
+                        help="stage N collated batches on device ahead of "
+                             "the step (0 disables)")
     parser.add_argument("--log-sync-interval", type=int, default=1, metavar="N",
                         help="sync logging outputs to host every N updates "
                              "(>1 overlaps host dispatch with device compute; "

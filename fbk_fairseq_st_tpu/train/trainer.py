@@ -280,6 +280,42 @@ class Trainer:
                     b[k] = sub
         return b
 
+    def stage_sample(self, sample):
+        """Device-put a collated host batch ahead of its step (used by the
+        DevicePrefetchIterator so the DMA overlaps compute). Metadata
+        (ntokens/nsentences/langtok strings) stays host-side; train_step's
+        shard_batch recognizes the staged arrays and passes them through."""
+        if not sample:
+            return sample
+        if "net_input" not in sample:
+            if all(isinstance(v, dict) for v in sample.values()):
+                return {k: self.stage_sample(v) for k, v in sample.items()}
+            return sample
+        sharding = batch_sharding(self.mesh)
+
+        def put(x):
+            if (
+                x is not None
+                and hasattr(x, "ndim")
+                and x.ndim >= 1
+                and not isinstance(x, jax.Array)
+            ):
+                return jax.device_put(x, sharding)
+            return x
+
+        staged = dict(sample)
+        staged["net_input"] = {
+            k: put(v) for k, v in sample["net_input"].items()
+        }
+        for k, v in sample.items():
+            if k in ("net_input", "id", "ntokens", "nsentences"):
+                continue
+            if isinstance(v, dict):
+                staged[k] = {kk: put(vv) for kk, vv in v.items()}
+            else:
+                staged[k] = put(v)
+        return staged
+
     def _step_rng(self):
         # seed-per-update (reference trainer.py:655-661)
         return jax.random.fold_in(self._root_key, self._num_updates + 1)
