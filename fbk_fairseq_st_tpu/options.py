@@ -72,6 +72,11 @@ def get_parser(desc: str, default_task: str = "speech_recognition"):
     parser.add_argument("--profile", action="store_true", default=False,
                         help="record a jax.profiler trace of the run to "
                              "<save-dir>/profile (view in TensorBoard)")
+    parser.add_argument("--prng-impl", default="rbg",
+                        choices=["rbg", "threefry2x32"],
+                        help="PRNG for dropout masks: rbg rides the TPU "
+                             "hardware RNG (fast), threefry2x32 is bitwise "
+                             "reproducible across backends")
     parser.add_argument("--device-prefetch", type=int, default=2, metavar="N",
                         help="stage N collated batches on device ahead of "
                              "the step (0 disables)")
