@@ -31,6 +31,13 @@ class IterativeRefinementGenerator:
         self._jitted = {}
 
     def generate(self, models, sample, prefix_tokens=None, **kwargs):
+        if len(models) > 1 and all(
+            hasattr(m, "refinement_step") for m, _ in models
+        ):
+            # Levenshtein ensemble: average the edit-head log-probs
+            from .nonautoregressive_ensembles import EnsembleLevT
+
+            models = [(EnsembleLevT(models), None)]
         model, variables = models[0]
         net_input = sample["net_input"]
         src_tokens = jnp.asarray(net_input["src_tokens"])

@@ -55,6 +55,7 @@ class TransformerEncoderConfig(NamedTuple):
     no_scale_embedding: bool = False
     layernorm_embedding: bool = False
     no_token_positional_embeddings: bool = False
+    layerdrop: float = 0.0
 
     @property
     def layer_cfg(self) -> TransformerLayerConfig:
@@ -118,11 +119,21 @@ class TransformerEncoder:
         x = dropout(x, cfg.dropout, rng, deterministic)
         padding_mask = src_tokens == cfg.padding_idx
         for lp in params["layers"]:
-            x = encoder_layer(
+            y = encoder_layer(
                 lp, cfg.layer_cfg, x,
                 key_padding_mask=padding_mask,
                 rng=rng, deterministic=deterministic,
             )
+            if cfg.layerdrop > 0 and not deterministic:
+                # LayerDrop (Fan et al. 2019): skip whole layers during
+                # training; the dropped layer's compute still runs under the
+                # static program and is masked out (trading FLOPs for one
+                # compiled shape, like every other TPU branch here)
+                keep = jax.random.bernoulli(
+                    rng.next(), 1.0 - cfg.layerdrop
+                )
+                y = jnp.where(keep, y, x)
+            x = y
         if "final_ln" in params:
             x = layer_norm(params["final_ln"], x)
         return EncoderOut(
@@ -185,6 +196,7 @@ class TransformerModel(Model):
             no_scale_embedding=getattr(args, "no_scale_embedding", False),
             layernorm_embedding=getattr(args, "layernorm_embedding", False),
             no_token_positional_embeddings=args.no_token_positional_embeddings,
+            layerdrop=getattr(args, "encoder_layerdrop", 0.0) or 0.0,
         )
         decoder_cfg = TransformerDecoderConfig(
             vocab_size=len(tgt_dict),
@@ -206,6 +218,7 @@ class TransformerModel(Model):
             no_scale_embedding=getattr(args, "no_scale_embedding", False),
             layernorm_embedding=getattr(args, "layernorm_embedding", False),
             no_token_positional_embeddings=args.no_token_positional_embeddings,
+            layerdrop=getattr(args, "decoder_layerdrop", 0.0) or 0.0,
         )
         return cls(encoder_cfg, decoder_cfg, share_all)
 

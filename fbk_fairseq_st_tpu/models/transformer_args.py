@@ -60,6 +60,14 @@ def add_transformer_args(parser) -> None:
                         help="add layernorm to embedding")
     parser.add_argument("--no-scale-embedding", action="store_true",
                         help="if True, dont scale embeddings")
+    parser.add_argument("--encoder-layerdrop", type=float, metavar="D",
+                        default=0, help="LayerDrop probability for encoder")
+    parser.add_argument("--decoder-layerdrop", type=float, metavar="D",
+                        default=0, help="LayerDrop probability for decoder")
+    parser.add_argument("--encoder-layers-to-keep", default=None,
+                        help="layers to keep when pruning (comma-separated)")
+    parser.add_argument("--decoder-layers-to-keep", default=None,
+                        help="layers to keep when pruning (comma-separated)")
     parser.add_argument("--adaptive-softmax-cutoff", metavar="EXPR",
                         help="comma separated list of adaptive softmax cutoff points")
     parser.add_argument("--adaptive-softmax-dropout", type=float, metavar="D",

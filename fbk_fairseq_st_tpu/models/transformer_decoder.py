@@ -61,6 +61,9 @@ class TransformerDecoderConfig(NamedTuple):
     no_encoder_attn: bool = False
     adaptive_softmax_cutoff: Optional[tuple] = None
     adaptive_softmax_factor: float = 4.0
+    layerdrop: float = 0.0
+    adaptive_input_cutoff: Optional[tuple] = None
+    adaptive_input_factor: float = 4.0
 
     @property
     def layer_cfg(self) -> TransformerLayerConfig:
@@ -93,10 +96,24 @@ class TransformerDecoder:
     def init(self, key) -> Dict[str, Any]:
         cfg = self.cfg
         ks = jax.random.split(key, cfg.layers + 3)
+        if cfg.adaptive_input_cutoff is not None:
+            from ..ops.adaptive_softmax import init_adaptive_input
+
+            embed_p = {
+                "adaptive_input": init_adaptive_input(
+                    ks[0], cfg.vocab_size, cfg.padding_idx, cfg.embed_dim,
+                    cfg.adaptive_input_factor, cfg.embed_dim,
+                    cfg.adaptive_input_cutoff,
+                )
+            }
+        else:
+            embed_p = {
+                "embed_tokens": init_embedding(
+                    ks[0], cfg.vocab_size, cfg.embed_dim, cfg.padding_idx
+                )
+            }
         p: Dict[str, Any] = {
-            "embed_tokens": init_embedding(
-                ks[0], cfg.vocab_size, cfg.embed_dim, cfg.padding_idx
-            ),
+            **embed_p,
             "layers": [
                 init_decoder_layer(ks[1 + i], cfg.layer_cfg, cfg.no_encoder_attn)
                 for i in range(cfg.layers)
@@ -129,6 +146,14 @@ class TransformerDecoder:
         if token_embeddings is not None:
             # NAT src-embedding-copy: caller supplies the input embeddings
             x = self.embed_scale * token_embeddings.astype(dtype)
+        elif "adaptive_input" in params:
+            from ..ops.adaptive_softmax import _parse_cutoff, adaptive_embed
+
+            x = self.embed_scale * adaptive_embed(
+                params["adaptive_input"],
+                _parse_cutoff(cfg.adaptive_input_cutoff, cfg.vocab_size),
+                tokens, dtype,
+            )
         else:
             x = self.embed_scale * embedding(
                 params["embed_tokens"], tokens, dtype
@@ -142,6 +167,16 @@ class TransformerDecoder:
         return x
 
     def output_layer(self, params, x):
+        if (
+            "adaptive_input" in params
+            and self.cfg.share_input_output_embed
+            and self.cfg.adaptive_softmax_cutoff is None
+        ):
+            raise ValueError(
+                "adaptive input embeddings cannot be tied to a dense output "
+                "projection; use --adaptive-softmax-cutoff or disable "
+                "--share-decoder-input-output-embed"
+            )
         if self.cfg.adaptive_softmax_cutoff is not None:
             from ..ops.adaptive_softmax import (
                 _parse_cutoff,
@@ -194,7 +229,7 @@ class TransformerDecoder:
         attn = None
         n = len(params["layers"])
         for i, lp in enumerate(params["layers"]):
-            x, a, _ = decoder_layer(
+            y, a, _ = decoder_layer(
                 lp,
                 self.cfg.layer_cfg,
                 x,
@@ -205,6 +240,12 @@ class TransformerDecoder:
                 deterministic=deterministic,
                 need_attn=need_attn and i == n - 1,
             )
+            if self.cfg.layerdrop > 0 and not deterministic:
+                keep = jax.random.bernoulli(
+                    rng.next(), 1.0 - self.cfg.layerdrop
+                )
+                y = jnp.where(keep, y, x)
+            x = y
             if a is not None:
                 attn = a
         if "final_ln" in params:

@@ -28,6 +28,10 @@ class TransformerLanguageModel(Model):
     def add_args(parser):
         add_transformer_args(parser)
         parser.add_argument("--decoder-input-dim", type=int, metavar="N")
+        parser.add_argument("--adaptive-input", action="store_true")
+        parser.add_argument("--adaptive-input-cutoff", metavar="EXPR",
+                            help="comma separated adaptive input cutoffs")
+        parser.add_argument("--adaptive-input-factor", type=float, metavar="N")
 
     @classmethod
     def build_model(cls, args, task):
@@ -67,6 +71,19 @@ class TransformerLanguageModel(Model):
             adaptive_softmax_factor=getattr(
                 args, "adaptive_softmax_factor", 4.0
             ),
+            layerdrop=getattr(args, "decoder_layerdrop", 0.0) or 0.0,
+            adaptive_input_cutoff=(
+                tuple(
+                    int(x)
+                    for x in str(args.adaptive_input_cutoff).split(",")
+                )
+                if getattr(args, "adaptive_input", False)
+                and getattr(args, "adaptive_input_cutoff", None)
+                else None
+            ),
+            adaptive_input_factor=getattr(
+                args, "adaptive_input_factor", 4.0
+            ) or 4.0,
         )
         return cls(cfg)
 

@@ -261,6 +261,36 @@ def verify_checkpoint_directory(save_dir: str) -> None:
         raise e
 
 
+def prune_layers(params, args):
+    """LayerDrop pruning: keep only --{encoder,decoder}-layers-to-keep in
+    the loaded tree (reference checkpoint_utils.prune_state_dict). A model
+    trained with LayerDrop stays usable after removing whole layers."""
+
+    def subset(tree, keep):
+        if isinstance(tree, dict):
+            return {
+                k: (
+                    [v[i] for i in keep]
+                    if k == "layers" and isinstance(v, list)
+                    else subset(v, keep)
+                )
+                for k, v in tree.items()
+            }
+        return tree
+
+    for side in ("encoder", "decoder"):
+        spec = getattr(args, f"{side}_layers_to_keep", None)
+        if not spec:
+            continue
+        keep = sorted(int(x) for x in str(spec).split(","))
+        if side in params:
+            params = dict(params)
+            params[side] = subset(params[side], keep)
+            setattr(args, f"{side}_layers", len(keep))
+            setattr(args, f"{side}_layers_to_keep", None)
+    return params
+
+
 def load_model_ensemble_and_task(filenames: List[str], arg_overrides=None, task=None):
     """Rebuild models from checkpointed args (reference
     checkpoint_utils.py:181-215)."""
@@ -277,11 +307,16 @@ def load_model_ensemble_and_task(filenames: List[str], arg_overrides=None, task=
         if arg_overrides is not None:
             for k, v in arg_overrides.items():
                 setattr(args, k, v)
+        params = jax.tree_util.tree_map(np.asarray, state["model"])
+        if getattr(args, "encoder_layers_to_keep", None) or getattr(
+            args, "decoder_layers_to_keep", None
+        ):
+            params = prune_layers(params, args)
         if task is None:
             task = TASKS[args.task].setup_task(args)
         model = registry.build_model(args, task)
         variables = {
-            "params": jax.tree_util.tree_map(np.asarray, state["model"]),
+            "params": params,
             "state": state.get("model_state") or {},
         }
         ensemble.append((model, variables))

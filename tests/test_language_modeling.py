@@ -318,3 +318,65 @@ def test_transformer_from_pretrained_xlm(tmp_path):
     )
     want_d = np.asarray(xlm_vars["params"]["layers"][1]["fc1"]["w"])
     np.testing.assert_array_equal(got_d, want_d)
+
+
+def test_layerdrop_and_pruning(tmp_path):
+    """Train with --decoder-layerdrop then load with
+    --decoder-layers-to-keep pruning half the stack."""
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    create_lm_data(data_dir)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "language_modeling",
+            "--arch", "transformer_lm",
+            "--criterion", "cross_entropy",
+            "--decoder-layerdrop", "0.5",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "fixed",
+            "--tokens-per-sample", "32",
+            "--max-tokens", "256", "--max-epoch", "1",
+            "--decoder-layers", "4", "--decoder-embed-dim", "16",
+            "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+            "--log-format", "none",
+        ]
+    )
+    from fbk_fairseq_st_tpu.train.checkpoint import load_model_ensemble
+
+    ensemble, args = load_model_ensemble(
+        [os.path.join(save_dir, "checkpoint_last.pt")],
+        arg_overrides={"decoder_layers_to_keep": "0,2"},
+    )
+    model, variables = ensemble[0]
+    assert len(variables["params"]["decoder"]["layers"]) == 2
+    assert args.decoder_layers == 2
+    # pruned model still scores
+    import jax.numpy as jnp
+
+    batch = {"src_tokens": jnp.array([[2, 5, 6, 7]])}
+    (logits, _), _ = model.forward(variables, batch)
+    assert logits.shape[0] == 1
+
+
+def test_adaptive_input_lm_train(tmp_path):
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    create_lm_data(data_dir)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "language_modeling",
+            "--arch", "transformer_lm",
+            "--criterion", "adaptive_loss",
+            "--adaptive-input", "--adaptive-input-cutoff", "8,12",
+            "--adaptive-input-factor", "2",
+            "--adaptive-softmax-cutoff", "8,12",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "fixed",
+            "--tokens-per-sample", "32",
+            "--max-tokens", "256", "--max-epoch", "1",
+            "--decoder-layers", "2", "--decoder-embed-dim", "16",
+            "--decoder-ffn-embed-dim", "32", "--decoder-attention-heads", "2",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)

@@ -234,3 +234,28 @@ def test_nat_variants_train_and_decode(tmp_path, arch, extra_args, noise,
     )
     out = capsys.readouterr().out
     assert any(line.startswith("H-") for line in out.splitlines())
+
+
+def test_levenshtein_ensemble_decode(lev_trained, capsys):
+    """EnsembleLevT: two model copies, averaged edit heads."""
+    import os
+
+    from fbk_fairseq_st_tpu.cli import generate as generate_cli
+
+    data_dir, save_dir = lev_trained
+    ckpt = os.path.join(save_dir, "checkpoint_last.pt")
+    generate_cli.cli_main(
+        [
+            data_dir,
+            "--task", "translation_lev",
+            "-s", "en", "-t", "de",
+            "--noise", "random_delete",
+            "--path", f"{ckpt}:{ckpt}",
+            "--max-tokens", "200",
+            "--gen-subset", "test", "--max-len-b", "16",
+            "--iter-decode-max-iter", "2",
+            "--log-format", "none",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert any(line.startswith("H-") for line in out.splitlines())
