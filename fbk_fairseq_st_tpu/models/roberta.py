@@ -276,6 +276,122 @@ def roberta_large_architecture(args):
     base_architecture(args)
 
 
+class RobertaHubInterface:
+    """Convenience wrapper for a loaded RoBERTa (reference
+    roberta/hub_interface.py:20-190): encode/decode, feature extraction,
+    classification-head prediction and <mask> filling."""
+
+    def __init__(self, args, task, model, variables):
+        self.args = args
+        self.task = task
+        self.model = model
+        self.variables = variables
+        self.bpe = None
+        try:
+            from ..data.encoders import build_bpe
+
+            if getattr(args, "bpe", None):
+                self.bpe = build_bpe(args)
+        except Exception:  # optional dependency missing
+            self.bpe = None
+
+    @property
+    def dictionary(self):
+        return self.task.source_dictionary
+
+    def encode(self, sentence: str, *addl_sentences, no_separator=False):
+        import numpy as np
+
+        if self.bpe is not None:
+            sentence = self.bpe.encode(sentence)
+        text = "<s> " + sentence + " </s>"
+        for s in addl_sentences:
+            if self.bpe is not None:
+                s = self.bpe.encode(s)
+            text += (" </s>" if not no_separator else "") + " " + s + " </s>"
+        ids = self.dictionary.encode_line(
+            text, add_if_not_exist=False, append_eos=False
+        )
+        return np.asarray(ids, np.int64)
+
+    def decode(self, tokens) -> str:
+        import numpy as np
+
+        tokens = np.asarray(tokens)
+        if len(tokens) and tokens[0] == self.dictionary.bos():
+            tokens = tokens[1:]
+        sentences = []
+        cur = []
+        for t in tokens:
+            if t == self.dictionary.eos():
+                if cur:
+                    sentences.append(cur)
+                cur = []
+            else:
+                cur.append(int(t))
+        if cur:
+            sentences.append(cur)
+        out = [
+            self.dictionary.string(np.asarray(s)) for s in sentences
+        ]
+        if self.bpe is not None:
+            out = [self.bpe.decode(s) for s in out]
+        return out[0] if len(out) == 1 else out
+
+    def extract_features(self, tokens):
+        import jax.numpy as jnp
+
+        tokens = jnp.asarray(tokens)[None] if jnp.asarray(tokens).ndim == 1 \
+            else jnp.asarray(tokens)
+        (feats, _), _ = self.model.forward(
+            self.variables, {"src_tokens": tokens}, features_only=True
+        )
+        return feats
+
+    def predict(self, head: str, tokens, return_logits: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        tokens = jnp.asarray(tokens)
+        if tokens.ndim == 1:
+            tokens = tokens[None]
+        (logits, _), _ = self.model.forward(
+            self.variables, {"src_tokens": tokens},
+            classification_head_name=head,
+        )
+        if return_logits:
+            return logits
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    def fill_mask(self, masked_input: str, topk: int = 5):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        assert "<mask>" in masked_input
+        tokens = self.encode(masked_input.replace("<mask>", " <mask> "))
+        mask_idx = self.dictionary.index("<mask>")
+        pos = int(np.nonzero(tokens == mask_idx)[0][0])
+        (logits, _), _ = self.model.forward(
+            self.variables, {"src_tokens": jnp.asarray(tokens)[None]}
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[0, pos]
+        values, indices = jax.lax.top_k(probs, topk)
+        out = []
+        for v, i in zip(np.asarray(values), np.asarray(indices)):
+            word = self.dictionary[int(i)]
+            if self.bpe is not None:
+                try:
+                    word = self.bpe.decode(word)
+                except Exception:
+                    pass
+            out.append(
+                (masked_input.replace("<mask>", word.strip()), float(v),
+                 word.strip())
+            )
+        return out
+
+
 @register_model("xlmr")
 class XLMRModel(RobertaModel):
     """XLM-R (reference roberta/model_xlmr.py:15-37): RoBERTa trained on

@@ -197,3 +197,41 @@ def test_sentence_ranking_finetune(tmp_path):
         ]
     )
     assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def test_roberta_hub_interface():
+    """encode/decode, extract_features, predict, fill_mask."""
+    import argparse
+
+    import jax
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.models.roberta import RobertaHubInterface
+
+    d = dummy_dictionary(30)
+    d.add_symbol("<mask>")
+
+    class T:
+        source_dictionary = d
+        target_dictionary = d
+
+    args = argparse.Namespace(
+        arch="roberta_base", tokens_per_sample=32,
+        encoder_layers=2, encoder_embed_dim=16, encoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, max_positions=32, bpe=None,
+    )
+    registry.apply_architecture(args)
+    m = registry.MODELS["roberta"].build_model(args, T())
+    m.register_classification_head("h", num_classes=3)
+    v = m.init(jax.random.PRNGKey(0))
+    hub = RobertaHubInterface(args, T(), m, v)
+
+    toks = hub.encode("tok4 tok5")
+    assert toks[0] == d.bos() and toks[-1] == d.eos()
+    assert hub.decode(toks) == "tok4 tok5"
+    feats = hub.extract_features(toks)
+    assert feats.shape[-1] == 16
+    lp = hub.predict("h", toks)
+    assert lp.shape == (1, 3)
+    fills = hub.fill_mask("tok4 <mask> tok5", topk=3)
+    assert len(fills) == 3 and all(len(f) == 3 for f in fills)
