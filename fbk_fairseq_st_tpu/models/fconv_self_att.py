@@ -243,6 +243,8 @@ class FConvSelfAttModel(Model):
         self.num_attention_layers = sum(1 for a in cfg.decoder_attention if a)
         self.max_source_positions = cfg.max_positions
         self.max_target_positions = cfg.max_positions
+        self.pretrained_model = None  # set for the fusion variant
+        self.pretrained_params = None
 
     @staticmethod
     def add_args(parser):
@@ -268,11 +270,7 @@ class FConvSelfAttModel(Model):
     @classmethod
     def build_model(cls, args, task):
         base_architecture(args)
-        if eval(str(getattr(args, "pretrained", "False"))):  # noqa: S307
-            raise NotImplementedError(
-                "the --pretrained fusion variant of fconv_self_att is not "
-                "implemented"
-            )
+        pretrained = eval(str(getattr(args, "pretrained", "False")))  # noqa: S307
         enc_convs = tuple(eval(args.encoder_layers))  # noqa: S307
         dec_convs = tuple(eval(args.decoder_layers))  # noqa: S307
         cfg = FConvSelfAttConfig(
@@ -305,7 +303,24 @@ class FConvSelfAttModel(Model):
                 getattr(args, "max_target_positions", 1024),
             ),
         )
-        return cls(cfg)
+        model = cls(cfg)
+        if pretrained:
+            # model fusion (reference fconv_self_att.py:111-147 and
+            # :376-478): a frozen copy of a pretrained checkpoint runs in
+            # parallel; gates over the concatenated fc2 features pick
+            # between the two before the output projection
+            from ..train.checkpoint import load_model_ensemble
+
+            ensemble, _ = load_model_ensemble(
+                [args.pretrained_checkpoint], task=task
+            )
+            pre_model, pre_vars = ensemble[0]
+            assert isinstance(pre_model, FConvSelfAttModel), (
+                "--pretrained-checkpoint must hold an fconv_self_att model"
+            )
+            model.pretrained_model = pre_model
+            model.pretrained_params = pre_vars["params"]
+        return model
 
     # -- init -----------------------------------------------------------------
 
@@ -408,6 +423,23 @@ class FConvSelfAttModel(Model):
         p["dec_fc3"] = _init_fc(
             ks[10], cfg.decoder_out_embed_dim, cfg.tgt_vocab, cfg.dropout
         )
+        if self.pretrained_model is not None:
+            # frozen pretrained copy (gradients stopped in forward) + the
+            # gating / joining fusion stack (reference :104-127)
+            o = cfg.decoder_out_embed_dim
+            fk = jax.random.fold_in(key, 777)
+            fks = jax.random.split(fk, 6)
+            p["pretrained"] = self.pretrained_params
+            p["gate1"] = _init_fc(fks[0], 2 * o, o)
+            p["gate2"] = _init_fc(fks[1], 2 * o, o)
+            p["joining"] = {
+                "l1": _init_fc(fks[2], 2 * o, 2 * o),
+                "ln1": {"scale": jnp.ones(2 * o), "bias": jnp.zeros(2 * o)},
+                "l2": _init_fc(fks[3], o, 2 * o),
+                "ln2": {"scale": jnp.ones(2 * o), "bias": jnp.zeros(2 * o)},
+                "l3": _init_fc(fks[4], o, o),
+                "ln3": {"scale": jnp.ones(o), "bias": jnp.zeros(o)},
+            }
         return {"params": p, "state": {}}
 
     # -- encoder ---------------------------------------------------------------
@@ -446,19 +478,30 @@ class FConvSelfAttModel(Model):
         if training and self.num_attention_layers:
             x = grad_multiply(x, 1.0 / (2.0 * self.num_attention_layers))
         y = (x + input_embedding) * math.sqrt(0.5)
+        extras = {"y": y}
+        if self.pretrained_model is not None and "pretrained" in p:
+            # CompositeEncoder: the frozen pretrained encoder runs on the
+            # same source (reference :57-66); gradients stopped
+            pre_p = jax.lax.stop_gradient(p["pretrained"])
+            pre_enc, _ = self.pretrained_model.encode(
+                {"params": pre_p, "state": {}}, src_tokens, src_lengths,
+            )
+            extras["pre_x"] = pre_enc.encoder_out
+            extras["pre_y"] = pre_enc.extras["y"]
         return (
             EncoderOut(
                 encoder_out=x,
                 encoder_padding_mask=padding_mask,
                 src_lengths=src_lengths,
-                extras={"y": y},
+                extras=extras,
             ),
             {},
         )
 
     # -- decoder ----------------------------------------------------------------
 
-    def _decode(self, p, prev_tokens, enc: EncoderOut, rng, deterministic):
+    def _decode(self, p, prev_tokens, enc: EncoderOut, rng, deterministic,
+                features: bool = False):
         cfg = self.cfg
         enc_a, enc_b = enc.encoder_out, enc.extras["y"]
         pos = self.pos_dec.from_ids(p["decoder_pos"], prev_tokens)
@@ -494,6 +537,38 @@ class FConvSelfAttModel(Model):
 
         x = linear(p["dec_fc2"], x)
         x = dropout(x, cfg.dropout, rng, deterministic)
+
+        if self.pretrained_model is not None and "pretrained" in p:
+            # gated fusion with the frozen pretrained decoder's fc2 features
+            # (reference :447-470)
+            from ..ops.core import layer_norm
+
+            pre_p = jax.lax.stop_gradient(p["pretrained"])
+            pre_enc = EncoderOut(
+                encoder_out=enc.extras["pre_x"],
+                encoder_padding_mask=enc.encoder_padding_mask,
+                src_lengths=enc.src_lengths,
+                extras={"y": enc.extras["pre_y"]},
+            )
+            trained_x, _ = self.pretrained_model._decode(
+                pre_p, prev_tokens, pre_enc, rng, True, features=True
+            )
+            trained_x = jax.lax.stop_gradient(trained_x)
+            y = jnp.concatenate([x, trained_x], axis=-1)
+            g1 = jax.nn.sigmoid(linear(p["gate1"], y))
+            g2 = jax.nn.sigmoid(linear(p["gate2"], y))
+            fusion = jnp.concatenate([g1 * x, g2 * trained_x], axis=-1)
+            j = p["joining"]
+            fusion = jax.nn.glu(
+                layer_norm(j["ln1"], linear(j["l1"], fusion)), axis=-1
+            )
+            fusion = jax.nn.glu(
+                layer_norm(j["ln2"], linear(j["l2"], fusion)), axis=-1
+            )
+            x = layer_norm(j["ln3"], linear(j["l3"], fusion))
+
+        if features:
+            return x, {"attn": avg_attn}
         return linear(p["dec_fc3"], x), {"attn": avg_attn}
 
     def forward(self, variables, batch, rng: Optional[RngStream] = None,

@@ -178,3 +178,57 @@ def test_fconv_self_att_incremental_equals_full():
             np.asarray(step_logits), np.asarray(full_logits[:, t]),
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_fconv_self_att_fusion(tmp_path, capsys):
+    """--pretrained fusion: frozen pretrained copy + gated joining."""
+    import os
+
+    from fbk_fairseq_st_tpu.cli import generate as generate_cli
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    from .test_translation import create_translation_data
+
+    data_dir = str(tmp_path / "d")
+    create_translation_data(data_dir)
+    tiny = [
+        "--task", "translation", "-s", "en", "-t", "de",
+        "--criterion", "cross_entropy",
+        "--optimizer", "nag", "--lr", "0.05", "--momentum", "0.99",
+        "--clip-norm", "0.1", "--lr-scheduler", "fixed",
+        "--max-tokens", "200", "--max-epoch", "1",
+        "--encoder-layers", "[(16, 3)] * 2",
+        "--decoder-layers", "[(16, 4)] * 2",
+        "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+        "--decoder-out-embed-dim", "16",
+        "--self-attention", "True",
+        "--multihead-self-attention-nheads", "2",
+        "--max-source-positions", "64", "--max-target-positions", "64",
+        "--log-format", "none",
+    ]
+    pre_dir = str(tmp_path / "pre")
+    train_cli.cli_main(
+        [data_dir, "--save-dir", pre_dir, "--arch", "fconv_self_att_wp"]
+        + tiny
+    )
+    fuse_dir = str(tmp_path / "fuse")
+    ckpt = os.path.join(pre_dir, "checkpoint_last.pt")
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", fuse_dir, "--arch", "fconv_self_att_wp",
+            "--pretrained", "True", "--pretrained-checkpoint", ckpt,
+        ] + tiny
+    )
+    assert "checkpoint_last.pt" in os.listdir(fuse_dir)
+    generate_cli.cli_main(
+        [
+            data_dir,
+            "--task", "translation", "-s", "en", "-t", "de",
+            "--path", os.path.join(fuse_dir, "checkpoint_last.pt"),
+            "--beam", "1", "--max-tokens", "200",
+            "--gen-subset", "test", "--max-len-b", "8",
+            "--log-format", "none",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert any(line.startswith("H-") for line in out.splitlines())
