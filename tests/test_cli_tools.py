@@ -131,3 +131,50 @@ def test_ne_terms_accuracy(tmp_path, capsys):
     assert entities["PER"]["found"] == 0  # case-sensitive miss
     assert entities["PER"]["ci_found"] == 1  # case-insensitive hit
     assert entities["LOC"]["found"] == 1
+
+
+def test_resegment_mustc_with_alignments(tmp_path):
+    """Resegmentation: proportional cut on source, fast_align snapping on
+    the target side."""
+    from fbk_fairseq_st_tpu.scripts import resegment_data_mustc as rs
+
+    orig_yaml = tmp_path / "orig.yaml"
+    orig_yaml.write_text(
+        "- {duration: 4.0, offset: 0.0, wav: a.wav}\n"
+        "- {duration: 4.0, offset: 4.0, wav: a.wav}\n"
+    )
+    new_yaml = tmp_path / "new.yaml"
+    # one new segment covering second half of seg1 + first half of seg2
+    new_yaml.write_text("- {duration: 4.0, offset: 2.0, wav: a.wav}\n")
+    src = tmp_path / "src.txt"
+    src.write_text("s1 s2 s3 s4\nt1 t2 t3 t4\n")
+    tgt = tmp_path / "tgt.txt"
+    tgt.write_text("S1 S2 S3 S4\nT1 T2 T3 T4\n")
+    align = tmp_path / "align.txt"
+    # monotone word alignments i-i
+    align.write_text("0-0 1-1 2-2 3-3\n0-0 1-1 2-2 3-3\n")
+    out_src = tmp_path / "out.src"
+    out_tgt = tmp_path / "out.tgt"
+    rs.cli_main(
+        [
+            "--orig-yaml", str(orig_yaml),
+            "--new-yaml", str(new_yaml),
+            "--orig-text", str(src), str(tgt),
+            "--output", str(out_src), str(out_tgt),
+            "--text-alignments", str(align),
+        ]
+    )
+    assert out_src.read_text().strip() == "s3 s4 t1 t2"
+    assert out_tgt.read_text().strip() == "S3 S4 T1 T2"
+
+
+def test_resegment_alignment_outlier_skipped():
+    """An isolated far-away alignment link does not drag the cut point."""
+    from fbk_fairseq_st_tpu.scripts.resegment_data_mustc import (
+        _snap_target_cut,
+    )
+
+    # src words 0..3 -> tgt mostly 0..3, but src 0 links to tgt 20 (outlier)
+    aligns = {0: 20, 1: 1, 2: 2, 3: 3}
+    span = _snap_target_cut(aligns, 0, 4, 30)
+    assert span == (1, 21) or span[0] == 1  # outlier skipped at the low end
