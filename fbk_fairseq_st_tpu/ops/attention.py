@@ -38,6 +38,17 @@ class MHAConfig(NamedTuple):
     init_variance: float = 1.0
 
 
+# --use-pallas-attention: route eligible full-sequence attention through the
+# fused Pallas flash kernel (no (T,S) score matrix in HBM). Module-level so
+# every model picks it up without threading a flag through each config.
+_FLASH_ATTENTION = False
+
+
+def set_flash_attention(enabled: bool) -> None:
+    global _FLASH_ATTENTION
+    _FLASH_ATTENTION = bool(enabled)
+
+
 def init_mha(key, cfg: MHAConfig):
     """Separate q/k/v/out projections.
 
@@ -149,6 +160,36 @@ def mha(
                 cache["v"].astype(q.dtype), v, cache_index, axis=2
             )
             new_cache = {"k": k, "v": v}
+
+    if (
+        _FLASH_ATTENTION
+        and cache is None
+        and attn_mask is None
+        and cfg.penalty is None
+        and not need_weights
+        and (deterministic or cfg.dropout == 0.0 or rng is None)
+    ):
+        from .pallas.attention_kernel import NEG_INF as FLASH_NEG_INF
+        from .pallas.attention_kernel import flash_attention
+
+        b, h, tq, hd = q.shape
+        s = k.shape[2]
+        if key_padding_mask is not None:
+            bias = jnp.where(key_padding_mask, FLASH_NEG_INF, 0.0).astype(
+                jnp.float32
+            )
+        else:
+            bias = jnp.zeros((b, s), jnp.float32)
+        bias = jnp.repeat(bias, h, axis=0)  # (B*H, S)
+        out = flash_attention(
+            q.reshape(b * h, tq, hd),
+            k.reshape(b * h, s, hd),
+            v.reshape(b * h, s, hd),
+            bias,
+            1.0,  # q is pre-scaled above
+        ).reshape(b, h, tq, hd)
+        out = linear(params["out"], _merge_heads(out))
+        return out, None, new_cache
 
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

@@ -72,6 +72,10 @@ def get_parser(desc: str, default_task: str = "speech_recognition"):
     parser.add_argument("--profile", action="store_true", default=False,
                         help="record a jax.profiler trace of the run to "
                              "<save-dir>/profile (view in TensorBoard)")
+    parser.add_argument("--use-pallas-attention", action="store_true",
+                        default=False,
+                        help="route eligible full-sequence attention through "
+                             "the fused Pallas flash kernel")
     parser.add_argument("--prng-impl", default="rbg",
                         choices=["rbg", "threefry2x32"],
                         help="PRNG for dropout masks: rbg rides the TPU "
@@ -391,6 +395,11 @@ def parse_args_and_arch(
     # apply arch defaults
     if getattr(args, "arch", None) in registry.ARCHITECTURES:
         registry.apply_architecture(args)
+
+    if getattr(args, "use_pallas_attention", False):
+        from .ops.attention import set_flash_attention
+
+        set_flash_attention(True)
 
     if getattr(args, "cpu", False):
         # the axon TPU plugin ignores the JAX_PLATFORMS env var, so --cpu
