@@ -280,3 +280,244 @@ def test_beam_search_outputs_identical():
             float(ref_hypos[b][0]["score"]),
             rtol=1e-3, atol=1e-3,
         )
+
+
+def test_ctc_compression_encoder_match():
+    """CTC-compressed encoder outputs match the reference (ctc_multi_loss
+    configuration with in-encoder compression)."""
+    import torch
+
+    import jax
+
+    ref_ct = _load_reference()
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    d_ref = make_dict(RefDictionary)
+    d_ref.add_symbol("<ctc_blank>")
+
+    class RT:
+        target_dictionary = d_ref
+        source_dictionary = None
+
+    args = argparse.Namespace(**TINY)
+    args.criterion = "ctc_multi_loss"
+    args.encoder_layerdrop = 0
+    args.decoder_layerdrop = 0
+    args.ctc_compress_out = True
+    args.ctc_encoder_layer = 1
+    args.ctc_compress_strategy = "avg"
+    args.decoder_output_dim = TINY["decoder_embed_dim"]
+    args.no_attn_2d = True
+    args.quant_noise_pq = 0
+    ref_ct.base_architecture(args)
+    args.ctc_compress_out = True  # base_architecture may reset it
+    args.criterion = "ctc_multi_loss"
+    torch.manual_seed(0)
+    ref_model = ref_ct.ConvolutionalTransformerModel.build_model(args, RT())
+    ref_model.eval()
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+    d_my.add_symbol("<ctc_blank>")
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = None
+
+    my_args = argparse.Namespace(
+        arch="conv_transformer", no_attn_2d=True, **{
+            **TINY, "criterion": "ctc_multi_loss"
+        }
+    )
+    my_args.ctc_compress_out = True
+    my_args.ctc_encoder_layer = 1
+    my_args.ctc_compress_strategy = "avg"
+    registry.apply_architecture(my_args)
+    my_args.ctc_compress_out = True
+    my_model = registry.build_model(my_args, MT())
+    variables = my_model.init(jax.random.PRNGKey(0))
+    variables = port_weights(ref_model, variables)
+    # ctc head: reference encoder.ctc_fc (raw_state_dict_upgrade moves it)
+    import jax.numpy as jnp
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    ctc_key = (
+        "encoder.ctc_fc" if "encoder.ctc_fc.weight" in sd else "ctc_fc"
+    )
+    tgt = variables["params"]["encoder"].get("ctc_fc") or variables[
+        "params"
+    ].get("ctc_fc")
+    assert tgt is not None
+    tgt["w"] = jnp.asarray(sd[ctc_key + ".weight"].T)
+    tgt["b"] = jnp.asarray(sd[ctc_key + ".bias"])
+
+    fbank, lengths, _ = make_inputs(seed=5)
+    with torch.no_grad():
+        ref_enc = ref_model.encoder(
+            torch.tensor(fbank), torch.tensor(lengths)
+        )
+    enc, _ = my_model.encode(
+        variables, jnp.asarray(fbank), jnp.asarray(lengths)
+    )
+    ref_x = ref_enc.encoder_out.numpy()  # (T', B, C)
+    ref_mask = (
+        ref_enc.encoder_padding_mask.numpy()
+        if ref_enc.encoder_padding_mask is not None else None
+    )
+    my_x = np.asarray(enc.encoder_out).transpose(1, 0, 2)  # to (T', B, C)
+    my_mask = np.asarray(enc.encoder_padding_mask)
+    # my fixed-shape output may be wider than the reference's dynamic one:
+    # compare the valid region per row
+    t_ref = ref_x.shape[0]
+    for b in range(ref_x.shape[1]):
+        valid = (
+            (~ref_mask[b]).sum() if ref_mask is not None else t_ref
+        )
+        np.testing.assert_allclose(
+            my_x[:valid, b], ref_x[:valid, b], rtol=3e-4, atol=3e-4,
+            err_msg=f"row {b}",
+        )
+        assert (~my_mask[b]).sum() == valid
+
+
+def test_text_transformer_beam_equivalence():
+    """fairseq core transformer: ported weights -> matching logits and
+    identical beam-3 decodes."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    _load_reference()
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+    from fairseq.models.transformer import (
+        TransformerModel as RefTransformer,
+        base_architecture as ref_base,
+    )
+
+    d_ref = make_dict(RefDictionary)
+
+    class RT:
+        target_dictionary = d_ref
+        source_dictionary = d_ref
+
+    args = argparse.Namespace(
+        encoder_layers=2, decoder_layers=2,
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        max_source_positions=64, max_target_positions=64,
+        dropout=0.1, encoder_layerdrop=0, decoder_layerdrop=0,
+        share_decoder_input_output_embed=False, share_all_embeddings=False,
+        encoder_learned_pos=False, decoder_learned_pos=False,
+        encoder_layers_to_keep=None, decoder_layers_to_keep=None,
+        quant_noise_pq=0, quant_noise_pq_block_size=8, quant_noise_scalar=0,
+    )
+    ref_base(args)
+    torch.manual_seed(0)
+    ref_model = RefTransformer.build_model(args, RT())
+    ref_model.eval()
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = d_my
+
+    my_args = argparse.Namespace(
+        arch="transformer",
+        encoder_layers=2, decoder_layers=2,
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        max_source_positions=64, max_target_positions=64,
+    )
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, MT())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    p = variables["params"]
+
+    def lin(dst, prefix):
+        dst["w"] = jnp.asarray(sd[prefix + ".weight"].T)
+        if prefix + ".bias" in sd:
+            dst["b"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def ln(dst, prefix):
+        dst["scale"] = jnp.asarray(sd[prefix + ".weight"])
+        dst["bias"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def attn(dst, prefix):
+        for mine, ref in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                          ("out", "out_proj")):
+            lin(dst[mine], f"{prefix}.{ref}")
+
+    for side, n_layers in (("encoder", 2), ("decoder", 2)):
+        tree = p[side]
+        tree["embed_tokens"]["w"] = jnp.asarray(
+            sd[f"{side}.embed_tokens.weight"]
+        )
+        for i in range(n_layers):
+            lp = tree["layers"][i]
+            pre = f"{side}.layers.{i}"
+            attn(lp["self_attn"], pre + ".self_attn")
+            ln(lp["self_attn_ln"], pre + ".self_attn_layer_norm")
+            if side == "decoder":
+                attn(lp["encoder_attn"], pre + ".encoder_attn")
+                ln(lp["encoder_attn_ln"], pre + ".encoder_attn_layer_norm")
+            lin(lp["fc1"], pre + ".fc1")
+            lin(lp["fc2"], pre + ".fc2")
+            ln(lp["final_ln"], pre + ".final_layer_norm")
+    if "decoder.output_projection.weight" in sd:
+        p["decoder"]["embed_out"] = jnp.asarray(
+            sd["decoder.output_projection.weight"]
+        )
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(4, 20, size=(3, 9)).astype(np.int64)
+    src[:, -1] = 2  # eos
+    lengths = np.array([9, 9, 9], np.int64)
+    prev = rng.randint(4, 20, size=(3, 5)).astype(np.int64)
+    prev[:, 0] = 2
+
+    with torch.no_grad():
+        ref_logits = ref_model(
+            torch.tensor(src), torch.tensor(lengths), torch.tensor(prev)
+        )[0].numpy()
+    (my_logits, _), _ = my_model.forward(
+        variables,
+        {"src_tokens": src, "src_lengths": lengths,
+         "prev_output_tokens": prev},
+    )
+    np.testing.assert_allclose(
+        np.asarray(my_logits), ref_logits, rtol=2e-4, atol=2e-4
+    )
+
+    from fairseq.sequence_generator import SequenceGenerator as RefGen
+
+    ref_gen = RefGen([ref_model], d_ref, beam_size=3, max_len_b=8)
+    with torch.no_grad():
+        ref_hypos = ref_gen.generate(
+            [ref_model],
+            {"net_input": {"src_tokens": torch.tensor(src),
+                           "src_lengths": torch.tensor(lengths)}},
+        )
+    from fbk_fairseq_st_tpu.generation import SequenceGenerator
+
+    my_gen = SequenceGenerator(d_my, beam_size=3, max_len_b=8)
+    my_hypos = my_gen.generate(
+        [(my_model, variables)],
+        {"net_input": {"src_tokens": src, "src_lengths": lengths},
+         "id": np.arange(3)},
+    )
+    for b in range(3):
+        assert (
+            np.asarray(my_hypos[b][0]["tokens"]).tolist()
+            == ref_hypos[b][0]["tokens"].numpy().tolist()
+        ), b
