@@ -521,3 +521,130 @@ def test_text_transformer_beam_equivalence():
             np.asarray(my_hypos[b][0]["tokens"]).tolist()
             == ref_hypos[b][0]["tokens"].numpy().tolist()
         ), b
+
+
+def test_lstm_beam_equivalence():
+    """fairseq LSTM (Luong attention, input feeding): ported weights ->
+    matching logits and identical beam decodes."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    _load_reference()
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+    from fairseq.models.lstm import (
+        LSTMModel as RefLSTM,
+        base_architecture as ref_base,
+    )
+
+    d_ref = make_dict(RefDictionary)
+
+    class RT:
+        target_dictionary = d_ref
+        source_dictionary = d_ref
+
+    args = argparse.Namespace(
+        encoder_embed_dim=16, encoder_hidden_size=16, encoder_layers=1,
+        encoder_bidirectional=False, decoder_embed_dim=16,
+        decoder_hidden_size=16, decoder_out_embed_dim=16, decoder_layers=1,
+        decoder_attention="1", dropout=0.0,
+        encoder_dropout_in=0, encoder_dropout_out=0,
+        decoder_dropout_in=0, decoder_dropout_out=0,
+        max_source_positions=64, max_target_positions=64,
+        share_decoder_input_output_embed=False, share_all_embeddings=False,
+        adaptive_softmax_cutoff=None, criterion="cross_entropy",
+    )
+    ref_base(args)
+    torch.manual_seed(0)
+    ref_model = RefLSTM.build_model(args, RT())
+    ref_model.eval()
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = d_my
+
+    my_args = argparse.Namespace(
+        arch="lstm", encoder_embed_dim=16, encoder_hidden_size=16,
+        encoder_layers=1, decoder_embed_dim=16, decoder_hidden_size=16,
+        decoder_out_embed_dim=16, decoder_layers=1, decoder_attention="1",
+        max_source_positions=64, max_target_positions=64, dropout=0.0,
+    )
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, MT())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    p = variables["params"]
+    p["encoder_embed"]["w"] = jnp.asarray(sd["encoder.embed_tokens.weight"])
+    p["decoder_embed"]["w"] = jnp.asarray(sd["decoder.embed_tokens.weight"])
+    p["encoder_fwd"][0]["wi"] = jnp.asarray(sd["encoder.lstm.weight_ih_l0"].T)
+    p["encoder_fwd"][0]["wh"] = jnp.asarray(sd["encoder.lstm.weight_hh_l0"].T)
+    p["encoder_fwd"][0]["b"] = jnp.asarray(
+        sd["encoder.lstm.bias_ih_l0"] + sd["encoder.lstm.bias_hh_l0"]
+    )
+    p["decoder_cells"][0]["wi"] = jnp.asarray(
+        sd["decoder.layers.0.weight_ih"].T
+    )
+    p["decoder_cells"][0]["wh"] = jnp.asarray(
+        sd["decoder.layers.0.weight_hh"].T
+    )
+    p["decoder_cells"][0]["b"] = jnp.asarray(
+        sd["decoder.layers.0.bias_ih"] + sd["decoder.layers.0.bias_hh"]
+    )
+    p["attn_input_proj"]["w"] = jnp.asarray(
+        sd["decoder.attention.input_proj.weight"].T
+    )
+    p["attn_output_proj"]["w"] = jnp.asarray(
+        sd["decoder.attention.output_proj.weight"].T
+    )
+    p["fc_out"]["w"] = jnp.asarray(sd["decoder.fc_out.weight"].T)
+    p["fc_out"]["b"] = jnp.asarray(sd["decoder.fc_out.bias"])
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(4, 20, size=(2, 7)).astype(np.int64)
+    src[:, -1] = 2
+    lengths = np.array([7, 7], np.int64)
+    prev = rng.randint(4, 20, size=(2, 4)).astype(np.int64)
+    prev[:, 0] = 2
+
+    with torch.no_grad():
+        ref_logits = ref_model(
+            torch.tensor(src), torch.tensor(lengths), torch.tensor(prev)
+        )[0].numpy()
+    (my_logits, _), _ = my_model.forward(
+        variables,
+        {"src_tokens": src, "src_lengths": lengths,
+         "prev_output_tokens": prev},
+    )
+    np.testing.assert_allclose(
+        np.asarray(my_logits), ref_logits, rtol=3e-4, atol=3e-4
+    )
+
+    from fairseq.sequence_generator import SequenceGenerator as RefGen
+
+    ref_gen = RefGen([ref_model], d_ref, beam_size=2, max_len_b=8)
+    with torch.no_grad():
+        ref_hypos = ref_gen.generate(
+            [ref_model],
+            {"net_input": {"src_tokens": torch.tensor(src),
+                           "src_lengths": torch.tensor(lengths)}},
+        )
+    from fbk_fairseq_st_tpu.generation import SequenceGenerator
+
+    my_gen = SequenceGenerator(d_my, beam_size=2, max_len_b=8)
+    my_hypos = my_gen.generate(
+        [(my_model, variables)],
+        {"net_input": {"src_tokens": src, "src_lengths": lengths},
+         "id": np.arange(2)},
+    )
+    for b in range(2):
+        assert (
+            np.asarray(my_hypos[b][0]["tokens"]).tolist()
+            == ref_hypos[b][0]["tokens"].numpy().tolist()
+        ), b
