@@ -648,3 +648,156 @@ def test_lstm_beam_equivalence():
             np.asarray(my_hypos[b][0]["tokens"]).tolist()
             == ref_hypos[b][0]["tokens"].numpy().tolist()
         ), b
+
+
+def test_fconv_beam_equivalence():
+    """fairseq ConvS2S (weight-normed GLU convs + fconv attention):
+    ported weights -> matching logits and identical beam decodes."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    _load_reference()
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+    from fairseq.models.fconv import (
+        FConvModel as RefFConv,
+        base_architecture as ref_base,
+    )
+
+    d_ref = make_dict(RefDictionary)
+
+    class RT:
+        target_dictionary = d_ref
+        source_dictionary = d_ref
+
+    args = argparse.Namespace(
+        encoder_embed_dim=16, decoder_embed_dim=16, decoder_out_embed_dim=16,
+        encoder_layers="[(16, 3)] * 2", decoder_layers="[(16, 3)] * 2",
+        decoder_attention="True", dropout=0.0,
+        max_source_positions=64, max_target_positions=64,
+        share_input_output_embed=False,
+        encoder_embed_path=None, decoder_embed_path=None,
+        criterion="cross_entropy",
+    )
+    ref_base(args)
+    torch.manual_seed(0)
+    ref_model = RefFConv.build_model(args, RT())
+    ref_model.eval()
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = d_my
+
+    my_args = argparse.Namespace(
+        arch="fconv",
+        encoder_embed_dim=16, decoder_embed_dim=16, decoder_out_embed_dim=16,
+        encoder_layers="[(16, 3)] * 2", decoder_layers="[(16, 3)] * 2",
+        decoder_attention="True", dropout=0.0,
+        max_source_positions=64, max_target_positions=64,
+    )
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, MT())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    p = variables["params"]
+
+    def wn_linear(prefix):
+        """weight-norm reconstruction for Linear: (out, in) -> (in, out)."""
+        v = sd[prefix + ".weight_v"]
+        g = sd[prefix + ".weight_g"]
+        norm = np.linalg.norm(v, axis=1, keepdims=True)
+        return (g * v / norm).T
+
+    def wn_conv(prefix):
+        """ConvTBC weight norm: v (K, in, out), g (1, 1, out)."""
+        v = sd[prefix + ".weight_v"]
+        g = sd[prefix + ".weight_g"]
+        norm = np.linalg.norm(
+            v.reshape(-1, v.shape[-1]), axis=0
+        )[None, None, :]
+        return g * v / norm
+
+    def set_lin(dst, prefix):
+        dst["w"] = jnp.asarray(wn_linear(prefix))
+        dst["b"] = jnp.asarray(sd[prefix + ".bias"])
+
+    for side in ("encoder", "decoder"):
+        key_embed = f"{side}_embed"
+        key_pos = f"{side}_pos"
+        p[key_embed]["w"] = jnp.asarray(sd[f"{side}.embed_tokens.weight"])
+        ref_pos = sd[f"{side}.embed_positions.weight"]
+        mine_pos = np.asarray(p[key_pos]["w"]).copy()
+        mine_pos[: ref_pos.shape[0]] = ref_pos
+        p[key_pos]["w"] = jnp.asarray(mine_pos)
+    set_lin(p["enc_fc1"], "encoder.fc1")
+    set_lin(p["enc_fc2"], "encoder.fc2")
+    set_lin(p["dec_fc1"], "decoder.fc1")
+    set_lin(p["dec_fc2"], "decoder.fc2")
+    set_lin(p["dec_fc3"], "decoder.fc3")
+    for i in range(2):
+        p["enc_convs"][i]["w"] = jnp.asarray(wn_conv(
+            f"encoder.convolutions.{i}"
+        ))
+        p["enc_convs"][i]["b"] = jnp.asarray(
+            sd[f"encoder.convolutions.{i}.bias"]
+        )
+        p["dec_convs"][i]["w"] = jnp.asarray(wn_conv(
+            f"decoder.convolutions.{i}"
+        ))
+        p["dec_convs"][i]["b"] = jnp.asarray(
+            sd[f"decoder.convolutions.{i}.bias"]
+        )
+        set_lin(p["dec_attn"][str(i)]["in_projection"],
+                f"decoder.attention.{i}.in_projection")
+        set_lin(p["dec_attn"][str(i)]["out_projection"],
+                f"decoder.attention.{i}.out_projection")
+
+    rng = np.random.RandomState(13)
+    src = rng.randint(4, 20, size=(2, 8)).astype(np.int64)
+    src[:, -1] = 2
+    lengths = np.array([8, 8], np.int64)
+    prev = rng.randint(4, 20, size=(2, 4)).astype(np.int64)
+    prev[:, 0] = 2
+
+    with torch.no_grad():
+        ref_logits = ref_model(
+            torch.tensor(src), torch.tensor(lengths), torch.tensor(prev)
+        )[0].numpy()
+    (my_logits, _), _ = my_model.forward(
+        variables,
+        {"src_tokens": src, "src_lengths": lengths,
+         "prev_output_tokens": prev},
+    )
+    np.testing.assert_allclose(
+        np.asarray(my_logits), ref_logits, rtol=3e-4, atol=3e-4
+    )
+
+    from fairseq.sequence_generator import SequenceGenerator as RefGen
+
+    ref_gen = RefGen([ref_model], d_ref, beam_size=2, max_len_b=8)
+    with torch.no_grad():
+        ref_hypos = ref_gen.generate(
+            [ref_model],
+            {"net_input": {"src_tokens": torch.tensor(src),
+                           "src_lengths": torch.tensor(lengths)}},
+        )
+    from fbk_fairseq_st_tpu.generation import SequenceGenerator
+
+    my_gen = SequenceGenerator(d_my, beam_size=2, max_len_b=8)
+    my_hypos = my_gen.generate(
+        [(my_model, variables)],
+        {"net_input": {"src_tokens": src, "src_lengths": lengths},
+         "id": np.arange(2)},
+    )
+    for b in range(2):
+        assert (
+            np.asarray(my_hypos[b][0]["tokens"]).tolist()
+            == ref_hypos[b][0]["tokens"].numpy().tolist()
+        ), b
