@@ -801,3 +801,159 @@ def test_fconv_beam_equivalence():
             np.asarray(my_hypos[b][0]["tokens"]).tolist()
             == ref_hypos[b][0]["tokens"].numpy().tolist()
         ), b
+
+
+def test_lightconv_beam_equivalence():
+    """fairseq LightConv (weight-softmax lightweight conv): ported weights
+    -> matching logits and identical beam decodes."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    _load_reference()
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+    from fairseq.models.lightconv import (
+        LightConvModel as RefLightConv,
+        base_architecture as ref_base,
+    )
+
+    d_ref = make_dict(RefDictionary)
+
+    class RT:
+        target_dictionary = d_ref
+        source_dictionary = d_ref
+
+    args = argparse.Namespace(
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_conv_dim=16, decoder_conv_dim=16,
+        encoder_glu=True, decoder_glu=True,
+        encoder_conv_type="lightweight", decoder_conv_type="lightweight",
+        weight_softmax=True, weight_dropout=0.0, dropout=0.0,
+        relu_dropout=0.0, input_dropout=0.0, attention_dropout=0.0,
+        encoder_kernel_size_list=[3], decoder_kernel_size_list=[3],
+        max_source_positions=64, max_target_positions=64,
+        share_decoder_input_output_embed=False, share_all_embeddings=False,
+        encoder_normalize_before=False, decoder_normalize_before=False,
+        encoder_learned_pos=False, decoder_learned_pos=False,
+        criterion="cross_entropy", adaptive_softmax_cutoff=None,
+    )
+    ref_base(args)
+    torch.manual_seed(0)
+    ref_model = RefLightConv.build_model(args, RT())
+    ref_model.eval()
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = d_my
+
+    my_args = argparse.Namespace(
+        arch="lightconv",
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_conv_dim=16, decoder_conv_dim=16,
+        encoder_glu=True, decoder_glu=True,
+        encoder_kernel_size_list="[3]", decoder_kernel_size_list="[3]",
+        dropout=0.0, weight_dropout=0.0, relu_dropout=0.0, input_dropout=0.0,
+        attention_dropout=0.0,
+        max_source_positions=64, max_target_positions=64,
+    )
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, MT())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    p = variables["params"]
+
+    def lin(dst, prefix):
+        dst["w"] = jnp.asarray(sd[prefix + ".weight"].T)
+        if prefix + ".bias" in sd:
+            dst["b"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def ln(dst, prefix):
+        dst["scale"] = jnp.asarray(sd[prefix + ".weight"])
+        dst["bias"] = jnp.asarray(sd[prefix + ".bias"])
+
+    p["encoder_embed"]["w"] = jnp.asarray(sd["encoder.embed_tokens.weight"])
+    p["decoder_embed"]["w"] = jnp.asarray(sd["decoder.embed_tokens.weight"])
+    p["embed_out"] = jnp.asarray(sd["decoder.embed_out"])
+
+    el = p["encoder_layers"][0]
+    lin(el["linear1"], "encoder.layers.0.linear1")
+    el["conv"]["weight"] = jnp.asarray(
+        sd["encoder.layers.0.conv.weight"][:, 0, :]
+    )
+    lin(el["linear2"], "encoder.layers.0.linear2")
+    lin(el["fc1"], "encoder.layers.0.fc1")
+    lin(el["fc2"], "encoder.layers.0.fc2")
+    ln(el["conv_ln"], "encoder.layers.0.layer_norms.0")
+    ln(el["final_ln"], "encoder.layers.0.layer_norms.1")
+
+    dl = p["decoder_layers"][0]
+    lin(dl["linear1"], "decoder.layers.0.linear1")
+    dl["conv"]["weight"] = jnp.asarray(
+        sd["decoder.layers.0.conv.weight"][:, 0, :]
+    )
+    lin(dl["linear2"], "decoder.layers.0.linear2")
+    lin(dl["fc1"], "decoder.layers.0.fc1")
+    lin(dl["fc2"], "decoder.layers.0.fc2")
+    ln(dl["conv_ln"], "decoder.layers.0.conv_layer_norm")
+    ln(dl["final_ln"], "decoder.layers.0.final_layer_norm")
+    for mine, ref in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                      ("out", "out_proj")):
+        lin(dl["encoder_attn"][mine],
+            f"decoder.layers.0.encoder_attn.{ref}")
+    ln(dl["encoder_attn_ln"], "decoder.layers.0.encoder_attn_layer_norm")
+
+    rng = np.random.RandomState(17)
+    src = rng.randint(4, 20, size=(2, 8)).astype(np.int64)
+    src[:, -1] = 2
+    lengths = np.array([8, 8], np.int64)
+    prev = rng.randint(4, 20, size=(2, 4)).astype(np.int64)
+    prev[:, 0] = 2
+
+    with torch.no_grad():
+        ref_logits = ref_model(
+            torch.tensor(src), torch.tensor(lengths), torch.tensor(prev)
+        )[0].numpy()
+    (my_logits, _), _ = my_model.forward(
+        variables,
+        {"src_tokens": src, "src_lengths": lengths,
+         "prev_output_tokens": prev},
+    )
+    np.testing.assert_allclose(
+        np.asarray(my_logits), ref_logits, rtol=3e-4, atol=3e-4
+    )
+
+    from fairseq.sequence_generator import SequenceGenerator as RefGen
+
+    ref_gen = RefGen([ref_model], d_ref, beam_size=2, max_len_b=8)
+    with torch.no_grad():
+        ref_hypos = ref_gen.generate(
+            [ref_model],
+            {"net_input": {"src_tokens": torch.tensor(src),
+                           "src_lengths": torch.tensor(lengths)}},
+        )
+    from fbk_fairseq_st_tpu.generation import SequenceGenerator
+
+    my_gen = SequenceGenerator(d_my, beam_size=2, max_len_b=8)
+    my_hypos = my_gen.generate(
+        [(my_model, variables)],
+        {"net_input": {"src_tokens": src, "src_lengths": lengths},
+         "id": np.arange(2)},
+    )
+    for b in range(2):
+        assert (
+            np.asarray(my_hypos[b][0]["tokens"]).tolist()
+            == ref_hypos[b][0]["tokens"].numpy().tolist()
+        ), b
