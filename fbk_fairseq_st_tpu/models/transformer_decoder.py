@@ -226,6 +226,9 @@ class TransformerDecoder:
             token_embeddings=token_embeddings,
         )
         mask = causal_mask(x.shape[1]) if causal else None
+        # mask pad keys in self-attention (fairseq transformer.py
+        # extract_features: self_attn_padding_mask when any pads)
+        self_kpm = prev_output_tokens == self.cfg.padding_idx
         attn = None
         n = len(params["layers"])
         for i, lp in enumerate(params["layers"]):
@@ -236,6 +239,7 @@ class TransformerDecoder:
                 encoder_out=encoder_out,
                 encoder_padding_mask=encoder_padding_mask,
                 self_attn_mask=mask,
+                self_attn_padding_mask=self_kpm,
                 rng=rng,
                 deterministic=deterministic,
                 need_attn=need_attn and i == n - 1,
@@ -347,6 +351,7 @@ class TriangleTransformerDecoder(TransformerDecoder):
         dtype = encoder_out.dtype if encoder_out is not None else jnp.float32
         x = self._embed(params, prev_output_tokens, dtype, rng, deterministic)
         mask = causal_mask(x.shape[1])
+        self_kpm = prev_output_tokens == self.cfg.padding_idx
         for lp in params["layers"]:
             x, _, _ = triangle_decoder_layer(
                 lp,
@@ -357,6 +362,7 @@ class TriangleTransformerDecoder(TransformerDecoder):
                 aux_decoder_out=aux_decoder_out,
                 aux_decoder_padding_mask=aux_decoder_padding_mask,
                 self_attn_mask=mask,
+                self_attn_padding_mask=self_kpm,
                 rng=rng,
                 deterministic=deterministic,
             )

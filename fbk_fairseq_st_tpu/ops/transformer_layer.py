@@ -184,6 +184,7 @@ def triangle_decoder_layer(
     aux_decoder_out=None,
     aux_decoder_padding_mask=None,
     self_attn_mask=None,
+    self_attn_padding_mask=None,
     rng: Optional[RngStream] = None,
     deterministic: bool = True,
     cache: Optional[Dict[str, Any]] = None,
@@ -205,6 +206,7 @@ def triangle_decoder_layer(
         params["self_attn"],
         cfg.self_attn_cfg,
         x,
+        key_padding_mask=self_attn_padding_mask,
         attn_mask=self_attn_mask,
         rng=rng,
         deterministic=deterministic,
@@ -282,6 +284,7 @@ def decoder_layer(
     encoder_out=None,
     encoder_padding_mask=None,
     self_attn_mask=None,
+    self_attn_padding_mask=None,
     rng: Optional[RngStream] = None,
     deterministic: bool = True,
     cache: Optional[Dict[str, Any]] = None,
@@ -300,6 +303,7 @@ def decoder_layer(
         params["self_attn"],
         cfg.self_attn_cfg,
         x,
+        key_padding_mask=self_attn_padding_mask,
         attn_mask=self_attn_mask,
         rng=rng,
         deterministic=deterministic,

@@ -957,3 +957,146 @@ def test_lightconv_beam_equivalence():
             np.asarray(my_hypos[b][0]["tokens"]).tolist()
             == ref_hypos[b][0]["tokens"].numpy().tolist()
         ), b
+
+
+def test_triangle_forward_equivalence():
+    """Triangle multi-task model (conv_transformer_triangle.py:19-105 +
+    triangle_transformer_layer.py:16-205): port the reference torch weights
+    (encoder, auxiliary transcript decoder, triangle target decoder with its
+    second cross-attention + fc_concat) and assert both decoders' logits
+    match under teacher forcing."""
+    import torch
+
+    _load_reference()
+    from examples.speech_recognition.models import (
+        conv_transformer_triangle as ref_tri,
+    )
+    from examples.speech_recognition.tasks.speech_translation_ctc import (
+        SpeechTranslationCTCTask,
+    )
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    tgt_ref = make_dict(RefDictionary)
+    src_ref = RefDictionary()
+    for i in range(12):
+        src_ref.add_symbol(f"s{i}")
+
+    class RefTask(SpeechTranslationCTCTask):
+        # shadow the base-class properties; __init__ intentionally skipped
+        def __init__(self):
+            pass
+
+        source_dictionary = src_ref
+        target_dictionary = tgt_ref
+
+    args = argparse.Namespace(**TINY)
+    args.encoder_layerdrop = 0
+    args.decoder_layerdrop = 0
+    args.ctc_compress_out = False
+    args.decoder_output_dim = TINY["decoder_embed_dim"]
+    args.no_attn_2d = True
+    args.quant_noise_pq = 0
+    args.auxiliary_decoder_embed_path = None
+    ref_tri.base_multilingual_architecture(args)
+    torch.manual_seed(0)
+    ref_model = ref_tri.ConvolutionalTransformerTriangle.build_model(
+        args, RefTask()
+    )
+    ref_model.eval()
+
+    # -- my model -------------------------------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    tgt_my = make_dict(Dictionary)
+    src_my = Dictionary()
+    for i in range(12):
+        src_my.add_symbol(f"s{i}")
+
+    class MyTask:
+        source_dictionary = src_my
+        target_dictionary = tgt_my
+
+    my_args = argparse.Namespace(
+        arch="conv_transformer_triangle", no_attn_2d=True, **TINY
+    )
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, MyTask())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    # encoder + shared target-decoder params (self/cross attn, ffn, embeds)
+    variables = port_weights(ref_model, variables)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    def lin(dst, prefix):
+        dst["w"] = jnp.asarray(sd[prefix + ".weight"].T)
+        if prefix + ".bias" in sd:
+            dst["b"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def ln(dst, prefix):
+        dst["scale"] = jnp.asarray(sd[prefix + ".weight"])
+        dst["bias"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def attn(dst, prefix):
+        for mine, ref in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                          ("out", "out_proj")):
+            lin(dst[mine], f"{prefix}.{ref}")
+
+    # triangle extras on each target-decoder layer
+    for i in range(TINY["decoder_layers"]):
+        lp = variables["params"]["decoder"]["layers"][i]
+        pre = f"decoder.layers.{i}"
+        attn(lp["aux_decoder_attn"], pre + ".aux_decoder_attn")
+        ln(lp["aux_decoder_attn_ln"], pre + ".aux_decoder_attn_layer_norm")
+        lin(lp["fc_concat"], pre + ".fc_concat")
+
+    # auxiliary (transcript) decoder
+    aux = variables["params"]["auxiliary_decoder"]
+    aux["embed_tokens"]["w"] = jnp.asarray(
+        sd["auxiliary_decoder.embed_tokens.weight"]
+    )
+    for i in range(TINY["decoder_layers"]):
+        lp = aux["layers"][i]
+        pre = f"auxiliary_decoder.layers.{i}"
+        attn(lp["self_attn"], pre + ".self_attn")
+        ln(lp["self_attn_ln"], pre + ".self_attn_layer_norm")
+        attn(lp["encoder_attn"], pre + ".encoder_attn")
+        ln(lp["encoder_attn_ln"], pre + ".encoder_attn_layer_norm")
+        lin(lp["fc1"], pre + ".fc1")
+        lin(lp["fc2"], pre + ".fc2")
+        ln(lp["final_ln"], pre + ".final_layer_norm")
+    aux["embed_out"] = jnp.asarray(
+        sd["auxiliary_decoder.output_projection.weight"]
+    )
+
+    fbank, lengths, prev = make_inputs()
+    rng = np.random.RandomState(7)
+    transcript_prev = rng.randint(
+        4, len(src_ref), size=(2, 5)
+    ).astype(np.int64)
+    transcript_prev[:, 0] = 2  # eos-as-bos
+    transcript_prev[1, -1] = src_ref.pad()  # exercise aux padding mask
+
+    with torch.no_grad():
+        ref_dec, ref_aux = ref_model(
+            torch.tensor(fbank),
+            torch.tensor(lengths),
+            torch.tensor(prev),
+            torch.tensor(transcript_prev),
+        )
+    batch = {
+        "src_tokens": fbank,
+        "src_lengths": lengths,
+        "prev_output_tokens": prev,
+        "transcript_prev_output_tokens": transcript_prev,
+    }
+    (my_dec, my_aux), _ = my_model.forward(variables, batch)
+    np.testing.assert_allclose(
+        np.asarray(my_aux[0]), ref_aux[0].numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(my_dec[0]), ref_dec[0].numpy(), rtol=2e-4, atol=2e-4
+    )
