@@ -959,17 +959,36 @@ def test_lightconv_beam_equivalence():
         ), b
 
 
-def test_triangle_forward_equivalence():
-    """Triangle multi-task model (conv_transformer_triangle.py:19-105 +
-    triangle_transformer_layer.py:16-205): port the reference torch weights
-    (encoder, auxiliary transcript decoder, triangle target decoder with its
-    second cross-attention + fc_concat) and assert both decoders' logits
-    match under teacher forcing."""
+_MULTITASK_REF = {
+    "conv_transformer_dualdecoder": (
+        "conv_transformer_dualdecoder", "ConvolutionalTransformerDualDecoder"
+    ),
+    "conv_transformer_triangle": (
+        "conv_transformer_triangle", "ConvolutionalTransformerTriangle"
+    ),
+    "conv_transformer_2stage": (
+        "conv_transformer_2stage", "ConvolutionalTransformer2Stage"
+    ),
+}
+
+
+@pytest.mark.parametrize("arch", sorted(_MULTITASK_REF))
+def test_multitask_forward_equivalence(arch):
+    """Multi-task (transcript + translation) models: dualdecoder / DirMul
+    (conv_transformer_dualdecoder.py:13-85), triangle
+    (conv_transformer_triangle.py:19-105 + triangle_transformer_layer.py
+    :16-205, with the second cross-attention + fc_concat), and 2stage
+    (conv_transformer_2stage.py:15-93, target decoder attends ONLY to aux
+    states). Port the reference torch weights and assert both decoders'
+    teacher-forced logits match."""
+    import importlib
+
     import torch
 
     _load_reference()
-    from examples.speech_recognition.models import (
-        conv_transformer_triangle as ref_tri,
+    mod_name, cls_name = _MULTITASK_REF[arch]
+    ref_mod = importlib.import_module(
+        f"examples.speech_recognition.models.{mod_name}"
     )
     from examples.speech_recognition.tasks.speech_translation_ctc import (
         SpeechTranslationCTCTask,
@@ -997,11 +1016,9 @@ def test_triangle_forward_equivalence():
     args.no_attn_2d = True
     args.quant_noise_pq = 0
     args.auxiliary_decoder_embed_path = None
-    ref_tri.base_multilingual_architecture(args)
+    ref_mod.base_multilingual_architecture(args)
     torch.manual_seed(0)
-    ref_model = ref_tri.ConvolutionalTransformerTriangle.build_model(
-        args, RefTask()
-    )
+    ref_model = getattr(ref_mod, cls_name).build_model(args, RefTask())
     ref_model.eval()
 
     # -- my model -------------------------------------------------------------
@@ -1020,9 +1037,7 @@ def test_triangle_forward_equivalence():
         source_dictionary = src_my
         target_dictionary = tgt_my
 
-    my_args = argparse.Namespace(
-        arch="conv_transformer_triangle", no_attn_2d=True, **TINY
-    )
+    my_args = argparse.Namespace(arch=arch, no_attn_2d=True, **TINY)
     registry.apply_architecture(my_args)
     my_model = registry.build_model(my_args, MyTask())
     variables = my_model.init(jax.random.PRNGKey(0))
@@ -1045,13 +1060,14 @@ def test_triangle_forward_equivalence():
                           ("out", "out_proj")):
             lin(dst[mine], f"{prefix}.{ref}")
 
-    # triangle extras on each target-decoder layer
-    for i in range(TINY["decoder_layers"]):
-        lp = variables["params"]["decoder"]["layers"][i]
-        pre = f"decoder.layers.{i}"
-        attn(lp["aux_decoder_attn"], pre + ".aux_decoder_attn")
-        ln(lp["aux_decoder_attn_ln"], pre + ".aux_decoder_attn_layer_norm")
-        lin(lp["fc_concat"], pre + ".fc_concat")
+    if arch == "conv_transformer_triangle":
+        # triangle extras on each target-decoder layer
+        for i in range(TINY["decoder_layers"]):
+            lp = variables["params"]["decoder"]["layers"][i]
+            pre = f"decoder.layers.{i}"
+            attn(lp["aux_decoder_attn"], pre + ".aux_decoder_attn")
+            ln(lp["aux_decoder_attn_ln"], pre + ".aux_decoder_attn_layer_norm")
+            lin(lp["fc_concat"], pre + ".fc_concat")
 
     # auxiliary (transcript) decoder
     aux = variables["params"]["auxiliary_decoder"]
