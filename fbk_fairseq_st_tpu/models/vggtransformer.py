@@ -207,7 +207,11 @@ class VGGTransformerEncoder:
         p["ln_out"] = init_layer_norm(self.cfg.encoder_output_dim)
         return p
 
-    def _context_mask(self, t: int):
+    def _context_mask(self, t: int, subsampling_factor: int):
+        """(left, right) context mask, scaled to post-conv frames (reference
+        lengths_to_attn_mask: contexts are input-frame-level, divided by the
+        conv subsampling and ceil'd; the right edge clamps the mask start to
+        the last column)."""
         ctx = self.cfg.transformer_context
         if ctx is None:
             return None
@@ -216,9 +220,12 @@ class VGGTransformerEncoder:
         k = jnp.arange(t)[None, :]
         mask = jnp.zeros((t, t), jnp.float32)
         if left is not None and left >= 0:
-            mask = jnp.where(k < q - left, NEG_INF, mask)
+            lc = math.ceil(left / subsampling_factor)
+            mask = jnp.where(k < q - lc, NEG_INF, mask)
         if right is not None and right >= 0:
-            mask = jnp.where(k > q + right, NEG_INF, mask)
+            rc = math.ceil(right / subsampling_factor)
+            start = jnp.minimum(q + rc + 1, t - 1)
+            mask = jnp.where(k >= start, NEG_INF, mask)
         return mask
 
     def __call__(self, params, x, src_lengths, rng=None, deterministic=True):
@@ -239,15 +246,15 @@ class VGGTransformerEncoder:
             src_lengths.astype(jnp.float32) / subsampling_factor
         ).astype(jnp.int32)
         padding_mask = lengths_to_padding_mask(lengths, t)
-        attn_mask = self._context_mask(t)
+        attn_mask = self._context_mask(t, subsampling_factor)
 
-        # the reference scales context/attn mask by the conv subsampling
         for i, tc in enumerate(self.cfg.transformer_config):
             if str(i) in params["proj"]:
                 h = linear(params["proj"][str(i)], h)
             h = encoder_layer(
                 params["layers"][i], _layer_cfg(tc), h,
                 key_padding_mask=padding_mask,
+                attn_mask=attn_mask,
                 rng=rng, deterministic=deterministic,
             )
             if self.sampling[i] != 1:
@@ -255,6 +262,8 @@ class VGGTransformerEncoder:
                 h = h[:, ::k]
                 lengths = jnp.ceil(lengths.astype(jnp.float32) / k).astype(jnp.int32)
                 padding_mask = lengths_to_padding_mask(lengths, h.shape[1])
+                if attn_mask is not None:
+                    attn_mask = attn_mask[::k, ::k]
         h = linear(params["fc_out"], h)
         h = layer_norm(params["ln_out"], h)
         return EncoderOut(
@@ -340,6 +349,7 @@ class VGGTransformerDecoder:
         x = embedding(params["embed_tokens"], prev_output_tokens, dtype)
         x = self._convs(params, x, rng, deterministic)
         mask = causal_mask(x.shape[1])
+        self_kpm = prev_output_tokens == self.padding_idx
         for i, tc in enumerate(self.transformer_config):
             if str(i) in params["proj"]:
                 x = linear(params["proj"][str(i)], x)
@@ -348,6 +358,7 @@ class VGGTransformerDecoder:
                 encoder_out=encoder_out,
                 encoder_padding_mask=encoder_padding_mask,
                 self_attn_mask=mask,
+                self_attn_padding_mask=self_kpm,
                 rng=rng, deterministic=deterministic,
             )
         if features_only:
@@ -546,7 +557,7 @@ class VGGTransformerEncoderModel(Model):
             transformer_config=_parse_config(
                 args.transformer_enc_config, DEFAULT_ENC_TRANSFORMER_CONFIG
             ),
-            encoder_output_dim=len(task.target_dictionary),
+            encoder_output_dim=args.enc_output_dim,
             in_channels=args.in_channels,
             transformer_context=_parse_config(
                 getattr(args, "transformer_context", None), None
@@ -558,17 +569,30 @@ class VGGTransformerEncoderModel(Model):
         return cls(enc_cfg, len(task.target_dictionary))
 
     def init(self, key):
-        return {"params": {"encoder": self.encoder.init(key)}, "state": {}}
+        ek, fk = jax.random.split(key)
+        return {
+            "params": {
+                "encoder": self.encoder.init(ek),
+                # separate vocab projection on top of the encoder output
+                # (reference VGGTransformerEncoderOnly.fc_out, :826)
+                "fc_out": init_linear(
+                    fk, self.enc_cfg.encoder_output_dim, self.vocab_size
+                ),
+            },
+            "state": {},
+        }
 
     def encode(self, variables, src_tokens, src_lengths, rng=None, training=False):
         enc = self.encoder(
             variables["params"]["encoder"], src_tokens, src_lengths,
             rng=rng, deterministic=not training,
         )
-        # encoder output IS the CTC logit stream
+        logits = linear(variables["params"]["fc_out"], enc.encoder_out)
+        # the projected vocab logits ARE the CTC stream / encoder output
         return (
             enc._replace(
-                ctc_out=enc.encoder_out,
+                encoder_out=logits,
+                ctc_out=logits,
                 ctc_padding_mask=enc.encoder_padding_mask,
                 ctc_lengths=enc.src_lengths,
             ),

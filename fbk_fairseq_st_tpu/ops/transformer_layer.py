@@ -80,10 +80,12 @@ def encoder_layer(
     cfg: TransformerLayerConfig,
     x,
     key_padding_mask=None,
+    attn_mask=None,
     rng: Optional[RngStream] = None,
     deterministic: bool = True,
 ):
-    """x: (B, T, D) -> (B, T, D)."""
+    """x: (B, T, D) -> (B, T, D). attn_mask: (T, T) additive fp32 (e.g. the
+    vggtransformer left/right context mask)."""
     act = get_activation(cfg.activation)
     rng = rng or RngStream(None)
 
@@ -95,6 +97,7 @@ def encoder_layer(
         cfg.self_attn_cfg,
         x,
         key_padding_mask=key_padding_mask,
+        attn_mask=attn_mask,
         rng=rng,
         deterministic=deterministic,
     )

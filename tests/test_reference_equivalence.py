@@ -1116,3 +1116,264 @@ def test_multitask_forward_equivalence(arch):
     np.testing.assert_allclose(
         np.asarray(my_dec[0]), ref_dec[0].numpy(), rtol=2e-4, atol=2e-4
     )
+
+
+def _port_vgg_encoder(ref_enc, enc_p, jnp, torch):
+    """Port a reference VGGTransformerEncoder's weights (vggtransformer.py
+    :211-333) into my encoder param tree by walking its module lists."""
+    from fairseq.modules.transformer_layer import TransformerEncoderLayer
+
+    def lin(dst, mod):
+        dst["w"] = jnp.asarray(mod.weight.detach().numpy().T)
+        if mod.bias is not None:
+            dst["b"] = jnp.asarray(mod.bias.detach().numpy())
+
+    def ln(dst, mod):
+        dst["scale"] = jnp.asarray(mod.weight.detach().numpy())
+        dst["bias"] = jnp.asarray(mod.bias.detach().numpy())
+
+    for b, block in enumerate(ref_enc.conv_layers):
+        ci = li = 0
+        for mod in block.layers:
+            if isinstance(mod, torch.nn.Conv2d):
+                enc_p["vgg"][b]["convs"][ci]["w"] = jnp.asarray(
+                    mod.weight.detach().numpy().transpose(2, 3, 1, 0)
+                )
+                enc_p["vgg"][b]["convs"][ci]["b"] = jnp.asarray(
+                    mod.bias.detach().numpy()
+                )
+                ci += 1
+            elif isinstance(mod, torch.nn.LayerNorm):
+                ln(enc_p["vgg"][b]["lns"][li], mod)
+                li += 1
+
+    def port_tel(dst, mod):
+        for mine, ref in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                          ("out", "out_proj")):
+            lin(dst["self_attn"][mine], getattr(mod.self_attn, ref))
+        ln(dst["self_attn_ln"], mod.self_attn_layer_norm)
+        lin(dst["fc1"], mod.fc1)
+        lin(dst["fc2"], mod.fc2)
+        ln(dst["final_ln"], mod.final_layer_norm)
+
+    mods = list(ref_enc.transformer_layers)
+    # trailing Linear + LayerNorm = fc_out / ln_out
+    ln(enc_p["ln_out"], mods.pop())
+    lin(enc_p["fc_out"], mods.pop())
+    layer_idx = 0
+    for mod in mods:
+        if isinstance(mod, TransformerEncoderLayer):
+            port_tel(enc_p["layers"][layer_idx], mod)
+            layer_idx += 1
+        else:
+            lin(enc_p["proj"][str(layer_idx)], mod)
+
+
+VGG_TINY = dict(
+    input_feat_per_channel=8,
+    vggblock_enc_config="[(4, 3, 2, 2, True)]",
+    transformer_enc_config=(
+        "((16, 2, 32, True, 0.0, 0.0, 0.0), (24, 2, 48, True, 0.0, 0.0, 0.0))"
+    ),
+    # cross-attention requires enc_output_dim == decoder layer dim (all
+    # reference presets keep them equal)
+    enc_output_dim=16,
+    in_channels=1,
+    tgt_embed_dim=12,
+    transformer_dec_config="((16, 2, 32, True, 0.0, 0.0, 0.0),) * 2",
+    conv_dec_config="((16, 3, True),) * 2",
+)
+
+
+def test_vggtransformer_forward_equivalence():
+    """asr_vggtransformer (vggtransformer.py:26-212 + 552-712): VGG blocks,
+    per-layer-configured transformer encoder with inter-layer projections,
+    conv+transformer decoder. Ported weights -> matching teacher-forced
+    logits, including a padded target row."""
+    import torch
+
+    _load_reference()
+    from examples.speech_recognition.models import vggtransformer as ref_vgg
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    d_ref = make_dict(RefDictionary)
+
+    class T:
+        target_dictionary = d_ref
+        source_dictionary = None
+
+    args = argparse.Namespace(**VGG_TINY)
+    ref_vgg.base_architecture(args)
+    torch.manual_seed(0)
+    ref_model = ref_vgg.VGGTransformerModel.build_model(args, T())
+    ref_model.eval()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+
+    class T2:
+        target_dictionary = d_my
+        source_dictionary = None
+
+    my_args = argparse.Namespace(arch="asr_vggtransformer", **VGG_TINY)
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, T2())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    _port_vgg_encoder(
+        ref_model.encoder, variables["params"]["encoder"], jnp, torch
+    )
+
+    # decoder
+    from fairseq.modules import LinearizedConvolution
+    from fairseq.modules.transformer_layer import TransformerDecoderLayer
+
+    dec_p = variables["params"]["decoder"]
+    ref_dec = ref_model.decoder
+    dec_p["embed_tokens"]["w"] = jnp.asarray(
+        ref_dec.embed_tokens.weight.detach().numpy()
+    )
+
+    def lin(dst, mod):
+        dst["w"] = jnp.asarray(mod.weight.detach().numpy().T)
+        if mod.bias is not None:
+            dst["b"] = jnp.asarray(mod.bias.detach().numpy())
+
+    def ln(dst, mod):
+        dst["scale"] = jnp.asarray(mod.weight.detach().numpy())
+        dst["bias"] = jnp.asarray(mod.bias.detach().numpy())
+
+    ci = li = 0
+    for mod in ref_dec.conv_layers:
+        if isinstance(mod, LinearizedConvolution):
+            # weight-normed ConvTBC: w = g * v / ||v|| over (K, in) per out
+            g = mod.weight_g.detach().numpy()
+            v = mod.weight_v.detach().numpy()
+            norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+            dec_p["convs"][ci]["w"] = jnp.asarray(g / norm * v)
+            dec_p["convs"][ci]["b"] = jnp.asarray(mod.bias.detach().numpy())
+            ci += 1
+        elif isinstance(mod, torch.nn.LayerNorm):
+            ln(dec_p["conv_lns"][str(li)], mod)
+            li += 1
+
+    layer_idx = 0
+    for mod in ref_dec.layers:
+        if isinstance(mod, TransformerDecoderLayer):
+            lp = dec_p["layers"][layer_idx]
+            for mine, ref in (("q", "q_proj"), ("k", "k_proj"),
+                              ("v", "v_proj"), ("out", "out_proj")):
+                lin(lp["self_attn"][mine], getattr(mod.self_attn, ref))
+                lin(lp["encoder_attn"][mine], getattr(mod.encoder_attn, ref))
+            ln(lp["self_attn_ln"], mod.self_attn_layer_norm)
+            ln(lp["encoder_attn_ln"], mod.encoder_attn_layer_norm)
+            lin(lp["fc1"], mod.fc1)
+            lin(lp["fc2"], mod.fc2)
+            ln(lp["final_ln"], mod.final_layer_norm)
+            layer_idx += 1
+        else:
+            lin(dec_p["proj"][str(layer_idx)], mod)
+    lin(dec_p["fc_out"], ref_dec.fc_out)
+
+    rng = np.random.RandomState(0)
+    fbank = rng.randn(2, 20, 8).astype(np.float32)
+    lengths = np.array([20, 13], np.int64)
+    prev = np.array([[2, 5, 6, 7, 8, 9], [2, 10, 11, 12, 2, 1]], np.int64)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.tensor(fbank), torch.tensor(lengths), torch.tensor(prev)
+        )[0].numpy()
+    (logits, _), _ = my_model.forward(
+        variables,
+        {"src_tokens": fbank, "src_lengths": lengths,
+         "prev_output_tokens": prev},
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_out, rtol=2e-4, atol=2e-4
+    )
+
+
+def test_vggtransformer_encoder_ctc_equivalence():
+    """asr_vggtransformer_encoder (vggtransformer.py:713-880) with
+    transformer-context masking and per-layer frame sampling: ported weights
+    -> matching CTC logit streams."""
+    import torch
+
+    _load_reference()
+    from examples.speech_recognition.models import vggtransformer as ref_vgg
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    d_ref = make_dict(RefDictionary)
+
+    class T:
+        target_dictionary = d_ref
+        source_dictionary = None
+
+    args = argparse.Namespace(
+        input_feat_per_channel=VGG_TINY["input_feat_per_channel"],
+        vggblock_enc_config=VGG_TINY["vggblock_enc_config"],
+        transformer_enc_config=VGG_TINY["transformer_enc_config"],
+        enc_output_dim=20,
+        in_channels=1,
+        transformer_context="(4, 6)",
+        transformer_sampling="(2, 1)",
+    )
+    torch.manual_seed(0)
+    ref_model = ref_vgg.VGGTransformerEncoderModel.build_model(args, T())
+    ref_model.eval()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+
+    class T2:
+        target_dictionary = d_my
+        source_dictionary = None
+
+    my_args = argparse.Namespace(
+        arch="asr_vggtransformer_encoder",
+        input_feat_per_channel=8,
+        vggblock_enc_config=VGG_TINY["vggblock_enc_config"],
+        transformer_enc_config=VGG_TINY["transformer_enc_config"],
+        enc_output_dim=20,
+        in_channels=1,
+        transformer_context="(4, 6)",
+        transformer_sampling="(2, 1)",
+    )
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, T2())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    _port_vgg_encoder(
+        ref_model.encoder, variables["params"]["encoder"], jnp, torch
+    )
+    variables["params"]["fc_out"]["w"] = jnp.asarray(
+        ref_model.encoder.fc_out.weight.detach().numpy().T
+    )
+    variables["params"]["fc_out"]["b"] = jnp.asarray(
+        ref_model.encoder.fc_out.bias.detach().numpy()
+    )
+
+    rng = np.random.RandomState(3)
+    fbank = rng.randn(2, 20, 8).astype(np.float32)
+    lengths = np.array([20, 13], np.int64)
+    with torch.no_grad():
+        ref_out = ref_model.encoder(
+            torch.tensor(fbank), torch.tensor(lengths)
+        )["encoder_out"].numpy()  # (T, B, V)
+    enc, _ = my_model.encode(variables, fbank, lengths)
+    np.testing.assert_allclose(
+        np.asarray(enc.ctc_out),
+        ref_out.transpose(1, 0, 2),
+        rtol=2e-4, atol=2e-4,
+    )

@@ -59,7 +59,13 @@ def test_vggtransformer_forward_and_incremental():
         )
         steps.append(lg)
     inc = jnp.stack(steps, axis=1)
-    np.testing.assert_allclose(np.asarray(full), np.asarray(inc), atol=2e-4)
+    # full-sequence masks pad keys in self-attention (fairseq parity); the
+    # incremental path doesn't, so pad-input positions (whose logits a
+    # generator never consumes) legitimately diverge -> compare valid ones
+    valid = np.asarray(batch["prev_output_tokens"]) != task.target_dictionary.pad()
+    np.testing.assert_allclose(
+        np.asarray(full)[valid], np.asarray(inc)[valid], atol=2e-4
+    )
 
 
 def test_vggtransformer_context_and_sampling():
