@@ -1377,3 +1377,203 @@ def test_vggtransformer_encoder_ctc_equivalence():
         ref_out.transpose(1, 0, 2),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_lsce_criterion_loss_equivalence():
+    """Training-objective parity: same weights + same batch -> identical
+    label-smoothed cross-entropy loss (fairseq/criterions/
+    label_smoothed_cross_entropy.py:12-75)."""
+    import torch
+
+    _load_reference()
+    from fairseq.criterions.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion as RefLSCE,
+    )
+
+    ref_model, d_ref = build_reference_model(attn_2d=False)
+    my_model, variables, d_my = build_my_model(attn_2d=False)
+    variables = port_weights(ref_model, variables)
+
+    fbank, lengths, prev = make_inputs()
+    target = np.roll(prev, -1, axis=1).astype(np.int64)
+    target[:, -1] = 2  # eos
+    target[1, -2:] = d_ref.pad()  # padded tail in one row
+
+    class RT:
+        target_dictionary = d_ref
+
+    ref_crit = RefLSCE(RT(), sentence_avg=False, label_smoothing=0.1)
+    sample = {
+        "net_input": {
+            "src_tokens": torch.tensor(fbank),
+            "src_lengths": torch.tensor(lengths),
+            "prev_output_tokens": torch.tensor(prev),
+        },
+        "target": torch.tensor(target),
+        "ntokens": int((target != d_ref.pad()).sum()),
+    }
+    with torch.no_grad():
+        ref_loss, ref_ss, ref_log = ref_crit(ref_model, sample)
+
+    from fbk_fairseq_st_tpu.criterions.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion,
+    )
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = None
+
+    my_crit = LabelSmoothedCrossEntropyCriterion(
+        MT(), argparse.Namespace(label_smoothing=0.1, sentence_avg=False)
+    )
+    batch = {
+        "src_tokens": fbank,
+        "src_lengths": lengths,
+        "prev_output_tokens": prev,
+        "target": target,
+    }
+    my_loss, my_ss, my_log, _ = my_crit(my_model, variables, batch)
+    assert int(my_ss) == int(ref_ss)
+    np.testing.assert_allclose(
+        float(my_loss), float(ref_loss), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(my_log["nll_loss"]), float(ref_log["nll_loss"]), rtol=2e-4
+    )
+
+
+def test_ctc_multi_loss_equivalence():
+    """FBK headline training objective (examples/speech_recognition/
+    criterions/ctc_multi_loss.py:108-170 + CTC_loss.py:101-175): CTC on the
+    compressed encoder's source-dictionary head + label-smoothed CE on the
+    decoder, combined with --ctc-weight. Ported weights -> identical total /
+    ctc / nll losses."""
+    import torch
+
+    ref_ct = _load_reference()
+    from examples.speech_recognition.criterions.ctc_multi_loss import (
+        CTCMultiLoss as RefCTCMultiLoss,
+    )
+    from examples.speech_recognition.tasks.speech_translation_ctc import (
+        SpeechTranslationCTCTask,
+    )
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    tgt_ref = make_dict(RefDictionary)
+    src_ref = RefDictionary()
+    for i in range(12):
+        src_ref.add_symbol(f"s{i}")
+    src_ref.add_symbol("<ctc_blank>")
+
+    class RefTask(SpeechTranslationCTCTask):
+        def __init__(self):
+            pass
+
+        source_dictionary = src_ref
+        target_dictionary = tgt_ref
+
+    args = argparse.Namespace(**TINY)
+    args.criterion = "ctc_multi_loss"
+    args.underlying_criterion = "label_smoothed_cross_entropy"
+    args.label_smoothing = 0.1
+    args.sentence_avg = False
+    args.use_source_side_sample_size = False
+    args.ctc_weight = 0.5
+    args.ctc_encoder_layer = 1
+    args.ctc_compress_strategy = "avg"
+    args.ctc_compress_out = True
+    args.encoder_layerdrop = 0
+    args.decoder_layerdrop = 0
+    args.decoder_output_dim = TINY["decoder_embed_dim"]
+    args.no_attn_2d = True
+    args.quant_noise_pq = 0
+    ref_ct.base_architecture(args)
+    args.ctc_compress_out = True
+    args.criterion = "ctc_multi_loss"
+    torch.manual_seed(0)
+    ref_model = ref_ct.ConvolutionalTransformerModel.build_model(
+        args, RefTask()
+    )
+    ref_model.eval()
+    ref_crit = RefCTCMultiLoss(args, RefTask())
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    tgt_my = make_dict(Dictionary)
+    src_my = Dictionary()
+    for i in range(12):
+        src_my.add_symbol(f"s{i}")
+    src_my.add_symbol("<ctc_blank>")
+
+    class MyTask:
+        source_dictionary = src_my
+        target_dictionary = tgt_my
+
+    my_args = argparse.Namespace(
+        arch="conv_transformer", no_attn_2d=True,
+        **{**TINY, "criterion": "ctc_multi_loss"},
+    )
+    my_args.underlying_criterion = "label_smoothed_cross_entropy"
+    my_args.label_smoothing = 0.1
+    my_args.sentence_avg = False
+    my_args.ctc_weight = 0.5
+    my_args.ctc_encoder_layer = 1
+    my_args.ctc_compress_strategy = "avg"
+    my_args.ctc_compress_out = True
+    registry.apply_architecture(my_args)
+    my_args.ctc_compress_out = True
+    my_model = registry.build_model(my_args, MyTask())
+    variables = my_model.init(jax.random.PRNGKey(0))
+    variables = port_weights(ref_model, variables)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    ctc_fc = variables["params"]["encoder"]["ctc_fc"]
+    ctc_fc["w"] = jnp.asarray(sd["encoder.ctc_fc.weight"].T)
+    ctc_fc["b"] = jnp.asarray(sd["encoder.ctc_fc.bias"])
+
+    my_crit = registry.CRITERIONS["ctc_multi_loss"].build_criterion(
+        my_args, MyTask()
+    )
+
+    fbank, lengths, prev = make_inputs()
+    target = np.roll(prev, -1, axis=1).astype(np.int64)
+    target[:, -1] = 2
+    target[1, -2:] = tgt_ref.pad()
+    rng = np.random.RandomState(11)
+    transcript = rng.randint(4, 16, size=(2, 4)).astype(np.int64)
+    transcript_lengths = np.array([4, 3], np.int64)
+    transcript[1, 3:] = src_ref.pad()
+
+    sample = {
+        "net_input": {
+            "src_tokens": torch.tensor(fbank),
+            "src_lengths": torch.tensor(lengths),
+            "prev_output_tokens": torch.tensor(prev),
+        },
+        "target": torch.tensor(target),
+        "ntokens": int((target != tgt_ref.pad()).sum()),
+        "transcript_target": torch.tensor(transcript),
+        "transcript_target_lengths": torch.tensor(transcript_lengths),
+    }
+    with torch.no_grad():
+        ref_loss, _, ref_log = ref_crit(ref_model, sample)
+
+    batch = {
+        "src_tokens": fbank,
+        "src_lengths": lengths,
+        "prev_output_tokens": prev,
+        "target": target,
+        "transcript_target": transcript,
+        "transcript_target_lengths": transcript_lengths,
+    }
+    my_loss, _, my_log, _ = my_crit(my_model, variables, batch)
+    np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=3e-4)
+    np.testing.assert_allclose(
+        float(my_log["ctc_loss"]), float(ref_log["ctc_loss"]), rtol=3e-4
+    )
+    np.testing.assert_allclose(
+        float(my_log["nll_loss"]), float(ref_log["nll_loss"]), rtol=3e-4
+    )
