@@ -1577,3 +1577,146 @@ def test_ctc_multi_loss_equivalence():
     np.testing.assert_allclose(
         float(my_log["nll_loss"]), float(ref_log["nll_loss"]), rtol=3e-4
     )
+
+
+def test_gradient_equivalence():
+    """Training-step parity at the gradient level: d(loss)/d(params) matches
+    the reference for representative parameters across the stack (frontend
+    conv, encoder attention, decoder FFN, embeddings, output projection).
+    With matching losses AND gradients, an identically-configured optimizer
+    takes the identical first step."""
+    import torch
+
+    _load_reference()
+    from fairseq.criterions.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion as RefLSCE,
+    )
+
+    # eval mode: dropout off, BatchNorm on running stats — autograd still
+    # flows, matching my deterministic forward exactly
+    ref_model, d_ref = build_reference_model(attn_2d=False)
+
+    my_model, variables, d_my = build_my_model(attn_2d=False)
+    variables = port_weights(ref_model, variables)
+
+    fbank, lengths, prev = make_inputs()
+    target = np.roll(prev, -1, axis=1).astype(np.int64)
+    target[:, -1] = 2
+    target[1, -2:] = d_ref.pad()
+
+    class RT:
+        target_dictionary = d_ref
+
+    ref_crit = RefLSCE(RT(), sentence_avg=False, label_smoothing=0.1)
+    sample = {
+        "net_input": {
+            "src_tokens": torch.tensor(fbank),
+            "src_lengths": torch.tensor(lengths),
+            "prev_output_tokens": torch.tensor(prev),
+        },
+        "target": torch.tensor(target),
+        "ntokens": int((target != d_ref.pad()).sum()),
+    }
+    ref_loss, _, _ = ref_crit(ref_model, sample)
+    ref_model.zero_grad()
+    ref_loss.backward()
+    ref_grads = {
+        k: v.grad.detach().numpy()
+        for k, v in ref_model.named_parameters()
+        if v.grad is not None
+    }
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu.criterions.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion,
+    )
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = None
+
+    my_crit = LabelSmoothedCrossEntropyCriterion(
+        MT(), argparse.Namespace(label_smoothing=0.1, sentence_avg=False)
+    )
+    batch = {
+        "src_tokens": jnp.asarray(fbank),
+        "src_lengths": jnp.asarray(lengths),
+        "prev_output_tokens": jnp.asarray(prev),
+        "target": jnp.asarray(target),
+    }
+
+    def loss_fn(params):
+        v = {"params": params, "state": variables["state"]}
+        loss, _, _, _ = my_crit(my_model, v, batch)
+        return loss
+
+    my_grads = jax.grad(loss_fn)(variables["params"])
+
+    checks = [
+        # (my pytree path, ref param name, transform to my layout)
+        (my_grads["decoder"]["embed_out"],
+         "decoder.output_projection.weight", lambda a: a),
+        (my_grads["decoder"]["embed_tokens"]["w"],
+         "decoder.embed_tokens.weight", lambda a: a),
+        (my_grads["decoder"]["layers"][0]["fc1"]["w"],
+         "decoder.layers.0.fc1.weight", lambda a: a.T),
+        (my_grads["decoder"]["layers"][1]["encoder_attn"]["q"]["w"],
+         "decoder.layers.1.encoder_attn.q_proj.weight", lambda a: a.T),
+        (my_grads["encoder"]["layers"][0]["self_attn"]["v"]["w"],
+         "encoder.layers.0.self_attn.v_proj.weight", lambda a: a.T),
+        (my_grads["encoder"]["layers"][1]["final_ln"]["scale"],
+         "encoder.layers.1.final_layer_norm.weight", lambda a: a),
+        (my_grads["encoder"]["fc3"]["w"], "encoder.fc3.weight", lambda a: a.T),
+        (my_grads["encoder"]["frontend"]["convs"][0]["w"],
+         "encoder.convolutions.0.weight",
+         lambda a: a.transpose(2, 3, 1, 0)),
+    ]
+    for mine, ref_name, tr in checks:
+        want = tr(ref_grads[ref_name])
+        got = np.asarray(mine)
+        scale = max(np.abs(want).max(), 1e-8)
+        np.testing.assert_allclose(
+            got / scale, want / scale, atol=2e-4, err_msg=ref_name
+        )
+
+    # -- one Adam step: updated weights identical --------------------------
+    # compute MY update first and materialize it: ported jax params can
+    # alias torch storage on the CPU backend (zero-copy .numpy()), and
+    # torch's opt.step() mutates that storage in place
+    lr = 1e-3
+    from fbk_fairseq_st_tpu.registry import OPTIMIZERS
+
+    tx = OPTIMIZERS["adam"].build_optimizer(
+        argparse.Namespace(adam_betas="(0.9, 0.98)", adam_eps=1e-8,
+                           weight_decay=0.0)
+    )
+    opt_state = tx.init(variables["params"])
+    delta, _ = tx.update(my_grads, opt_state, variables["params"])
+    new_params = jax.tree_util.tree_map(
+        lambda p, d: np.array(p - lr * d), variables["params"], delta
+    )
+
+    opt = torch.optim.Adam(
+        ref_model.parameters(), lr=lr, betas=(0.9, 0.98), eps=1e-8
+    )
+    opt.step()
+    ref_after = {
+        k: v.detach().numpy() for k, v in ref_model.named_parameters()
+    }
+    after_checks = [
+        (new_params["decoder"]["embed_out"],
+         "decoder.output_projection.weight", lambda a: a),
+        (new_params["decoder"]["layers"][0]["fc1"]["w"],
+         "decoder.layers.0.fc1.weight", lambda a: a.T),
+        (new_params["encoder"]["frontend"]["convs"][0]["w"],
+         "encoder.convolutions.0.weight", lambda a: a.transpose(2, 3, 1, 0)),
+        (new_params["encoder"]["layers"][1]["final_ln"]["scale"],
+         "encoder.layers.1.final_layer_norm.weight", lambda a: a),
+    ]
+    for mine, ref_name, tr in after_checks:
+        np.testing.assert_allclose(
+            np.asarray(mine), tr(ref_after[ref_name]), rtol=0, atol=5e-5,
+            err_msg="post-step " + ref_name,
+        )
