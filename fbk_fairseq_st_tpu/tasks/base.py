@@ -135,6 +135,12 @@ class Task:
         """Device-side training-time augmentation (identity by default)."""
         return batch
 
+    def prepare_sample(self, sample, num_updates: int):
+        """Host-side per-update hook run before the sample enters the jitted
+        step; inject traced scalar inputs here (e.g. scheduled loss weights)
+        so per-update values never retrace the step."""
+        return sample
+
     def inference_step(self, generator, models, sample, prefix_tokens=None):
         return generator.generate(models, sample, prefix_tokens=prefix_tokens)
 

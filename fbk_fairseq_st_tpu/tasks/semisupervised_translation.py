@@ -7,12 +7,12 @@ language pair the round-robin batch carries up to three sub-batches:
 on the fly with the current reverse model) and ``denoising:src-tgt``
 (noised target reconstruction); each is weighted by its lambda.
 
-Deviations from the reference mechanics (not the math): back-translation
+Deviation from the reference mechanics (not the math): back-translation
 reads the live parameters from the trainer (functional params instead of a
-shared module), and scheduled lambda configs are re-evaluated at epoch
-boundaries — the per-update linear schedule (:40-59) would force a
-recompilation of the jitted step at every update, so within an epoch the
-lambda is constant."""
+shared module). Scheduled lambda configs follow the reference's per-update
+linear interpolation (:40-59) exactly: the current values enter the jitted
+step as traced scalars (``prepare_sample`` injects ``__lambdas__``), so the
+schedule never retraces the step."""
 
 from __future__ import annotations
 
@@ -62,17 +62,28 @@ def lambda_at(config, n_iter: int) -> float:
 
 
 class _SemisupervisedCriterion(_MultilingualCriterion):
-    """Weighted sum over parallel / bt / denoising sub-batches."""
+    """Weighted sum over parallel / bt / denoising sub-batches.
+
+    Scheduled lambdas arrive as traced scalars in ``batch['__lambdas__']``
+    (injected per update by the task's ``prepare_sample``); constant lambdas
+    stay Python floats so zero-weighted objectives are skipped at trace
+    time."""
 
     def __call__(self, model, variables, batch, rng=None, training=False):
         task = self.task
+        lams = batch.get("__lambdas__")
         total_loss, total_ss = 0.0, 0.0
         logging = {}
         new_state = variables["state"]
 
-        def run(key, pair, weight):
+        def run(key, pair, weight, scheduled):
             nonlocal total_loss, total_ss, new_state
-            if weight == 0.0 or key not in batch or not batch[key]:
+            if lams is not None and scheduled:
+                static_zero = False
+                weight = lams[scheduled]
+            else:
+                static_zero = weight == 0.0
+            if static_zero or key not in batch or not batch[key]:
                 return
             view = model.pair_view(pair)
             loss, ss, log, new_state2 = self.inner(
@@ -88,10 +99,12 @@ class _SemisupervisedCriterion(_MultilingualCriterion):
                 logging[f"{key}:{k}"] = v
 
         for pair in task.lang_pairs:
-            run(pair, pair, task.lambda_parallel)
-            run(_get_bt_dataset_key(pair), pair, task.lambda_otf_bt)
-            run(_get_denoising_dataset_key(pair), pair,
-                task.lambda_denoising)
+            run(pair, pair, task.lambda_parallel,
+                "parallel" if task.lambda_parallel_steps else None)
+            run(_get_bt_dataset_key(pair), pair, task.lambda_otf_bt,
+                "otf_bt" if task.lambda_otf_bt_steps else None)
+            run(_get_denoising_dataset_key(pair), pair, task.lambda_denoising,
+                "denoising" if task.lambda_denoising_steps else None)
         logging["loss"] = total_loss
         logging["sample_size"] = total_ss
         return total_loss, total_ss, logging, new_state
@@ -137,7 +150,8 @@ class SemisupervisedTranslationTask(MultilingualTranslationTask):
         self._trainer = weakref.ref(trainer)
 
     def set_epoch_updates(self, num_updates: int):
-        """Re-evaluate scheduled lambdas (epoch-boundary granularity)."""
+        """Re-evaluate scheduled lambdas (kept current for host-side users:
+        dataset-loading decisions and the validation path)."""
         if self.lambda_parallel_steps is not None:
             self.lambda_parallel = lambda_at(
                 self.lambda_parallel_steps, num_updates
@@ -150,6 +164,33 @@ class SemisupervisedTranslationTask(MultilingualTranslationTask):
             self.lambda_denoising = lambda_at(
                 self.lambda_denoising_steps, num_updates
             )
+
+    def prepare_sample(self, sample, num_updates: int):
+        """Inject the per-update scheduled lambdas as traced scalars
+        (reference semisupervised_translation.py:388-397 update_step); the
+        schedule changes values, not shapes, so the step never retraces."""
+        import numpy as np
+
+        scheduled = {}
+        if self.lambda_parallel_steps is not None:
+            scheduled["parallel"] = lambda_at(
+                self.lambda_parallel_steps, num_updates
+            )
+        if self.lambda_otf_bt_steps is not None:
+            scheduled["otf_bt"] = lambda_at(
+                self.lambda_otf_bt_steps, num_updates
+            )
+        if self.lambda_denoising_steps is not None:
+            scheduled["denoising"] = lambda_at(
+                self.lambda_denoising_steps, num_updates
+            )
+        if not scheduled or not sample:
+            return sample
+        sample = dict(sample)
+        sample["__lambdas__"] = {
+            k: np.asarray(v, np.float32) for k, v in scheduled.items()
+        }
+        return sample
 
     def _mono_path(self, data_path, split, lang):
         for name in (

@@ -260,11 +260,18 @@ class Trainer:
         if "net_input" not in sample:
             # multilingual: dict of per-pair sub-batches
             if all(isinstance(v, dict) for v in sample.values()):
-                nested = {
-                    k: Trainer._device_batch(v) for k, v in sample.items()
-                }
-                nested = {k: v for k, v in nested.items() if v is not None}
-                return nested or None
+                nested = {}
+                for k, v in sample.items():
+                    if k == "__lambdas__":
+                        # per-update traced loss weights (task.prepare_sample)
+                        nested[k] = v
+                        continue
+                    dev = Trainer._device_batch(v)
+                    if dev is not None:
+                        nested[k] = dev
+                return nested if any(
+                    k != "__lambdas__" for k in nested
+                ) else None
             return None
         # keep only array-valued fields (drops e.g. the langtok string tag)
         b = {
@@ -336,6 +343,7 @@ class Trainer:
         batches = []
         logging_meta = {"ntokens": 0, "nsentences": 0}
         for sample in samples:
+            sample = self.task.prepare_sample(sample, self._num_updates)
             b = self._device_batch(sample)
             if b is None:
                 continue

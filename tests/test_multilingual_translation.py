@@ -168,3 +168,63 @@ def test_semisupervised_translation_train(tmp_path):
         ]
     )
     assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def test_semisupervised_scheduled_lambdas(tmp_path):
+    """Per-update lambda schedules (reference semisupervised_translation.py
+    :40-59 linear interpolation) enter the jitted step as traced scalars —
+    the schedule changes every update without retracing."""
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    create_data(data_dir, pairs=(("en", "de"),))
+    raw = os.path.join(data_dir, "raw")
+    preprocess_cli.cli_main(
+        [
+            "--only-source", "--source-lang", "de",
+            "--srcdict", os.path.join(data_dir, "dict.de.txt"),
+            "--trainpref", os.path.join(raw, "train.en-de"),
+            "--destdir", data_dir,
+            "--dataset-impl", "mmap",
+        ]
+    )
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "semisupervised_translation",
+            "--lang-pairs", "en-de",
+            "--lambda-parallel-config", "0:1,10:0.2",
+            "--lambda-otf-bt-config", "0.5",
+            "--lambda-denoising-config", "0:0.8,4:0.0",
+            "--bt-beam-size", "1",
+            "--encoder-langtok", "tgt", "--decoder-langtok",
+            "--arch", "multilingual_transformer_iwslt_de_en",
+            "--share-encoders", "--share-decoders",
+            "--criterion", "label_smoothed_cross_entropy",
+            "--label-smoothing", "0.1",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "fixed",
+            "--max-tokens", "150", "--max-epoch", "1", "--max-update", "3",
+            "--encoder-layers", "1", "--decoder-layers", "1",
+            "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+            "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+            "--max-source-positions", "64", "--max-target-positions", "64",
+            "--log-format", "none",
+        ]
+    )
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def test_lambda_schedule_interpolation():
+    """lambda_at matches the reference's piecewise-linear schedule."""
+    from fbk_fairseq_st_tpu.tasks.semisupervised_translation import (
+        lambda_at,
+        parse_lambda_config,
+    )
+
+    v0, cfg = parse_lambda_config("0:1,10:0.2,20:0.0")
+    assert v0 == 1.0
+    assert lambda_at(cfg, 0) == 1.0
+    assert abs(lambda_at(cfg, 5) - 0.6) < 1e-9
+    assert abs(lambda_at(cfg, 10) - 0.2) < 1e-9
+    assert abs(lambda_at(cfg, 15) - 0.1) < 1e-9
+    assert lambda_at(cfg, 25) == 0.0
