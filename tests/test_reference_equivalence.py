@@ -41,6 +41,11 @@ def _load_reference():
 
     if not hasattr(EncoderOut, "_field_types"):  # removed in py3.9
         EncoderOut._field_types = EncoderOut.__annotations__
+    # conv_transformer_context.py:273 builds EncoderOut without the newer
+    # src_tokens/src_lengths fields (written against an older
+    # fairseq_encoder) — give them defaults so that code path runs
+    if not EncoderOut.__new__.__defaults__:
+        EncoderOut.__new__.__defaults__ = (None, None)
     from examples.speech_recognition.models import conv_transformer as ref_ct
 
     return ref_ct
@@ -1720,3 +1725,141 @@ def test_gradient_equivalence():
             np.asarray(mine), tr(ref_after[ref_name]), rtol=0, atol=5e-5,
             err_msg="post-step " + ref_name,
         )
+
+
+@pytest.mark.parametrize("attention_type", ["sequential", "parallel"])
+def test_context_model_forward_equivalence(attention_type):
+    """INTERSPEECH 2020 context-aware model (conv_transformer_context.py
+    :25-97 + conv_transformer_context_layer.py:11-287): previous-target
+    context encoder + sigma-gated context cross-attention in both encoder
+    and decoder, sequential and parallel gating modes. Ported weights ->
+    matching teacher-forced logits."""
+    import torch
+
+    _load_reference()
+    from examples.speech_recognition.models import (
+        conv_transformer_context as ref_ctx,
+    )
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    d_ref = make_dict(RefDictionary)
+
+    class RT:
+        target_dictionary = d_ref
+        source_dictionary = None
+
+    args = argparse.Namespace(**TINY)
+    args.encoder_layerdrop = 0
+    args.decoder_layerdrop = 0
+    args.ctc_compress_out = False
+    args.decoder_output_dim = TINY["decoder_embed_dim"]
+    args.no_attn_2d = True
+    args.quant_noise_pq = 0
+    args.context_type = "tgt"
+    args.context_encoder_layers = 1
+    args.context_position = "both"
+    args.context_decoder_attention_type = attention_type
+    args.pretrained_model = None
+    ref_ctx.base_architecture(args)
+    args.context_type = "tgt"
+    torch.manual_seed(0)
+    ref_model = (
+        ref_ctx.ConvolutionalTransformerContextAwareModel.build_model(
+            args, RT()
+        )
+    )
+    ref_model.eval()
+    # the reference context decoder was written against an older core
+    # TransformerDecoder that had this attribute
+    ref_model.decoder.layer_wise_attention = False
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = None
+
+    my_args = argparse.Namespace(
+        arch="conv_transformer_context", no_attn_2d=True, **TINY
+    )
+    my_args.context_type = "tgt"
+    my_args.context_encoder_layers = 1
+    my_args.context_position = "both"
+    my_args.context_decoder_attention_type = attention_type
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, MT())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    variables = port_weights(ref_model, variables)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    def lin(dst, prefix):
+        dst["w"] = jnp.asarray(sd[prefix + ".weight"].T)
+        if prefix + ".bias" in sd:
+            dst["b"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def ln(dst, prefix):
+        dst["scale"] = jnp.asarray(sd[prefix + ".weight"])
+        dst["bias"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def attn(dst, prefix):
+        for mine, ref in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                          ("out", "out_proj")):
+            lin(dst[mine], f"{prefix}.{ref}")
+
+    def ctx_block(dst, prefix, ln_name):
+        attn(dst["context_attn"], prefix + ".context_attn")
+        lin(dst["context_gating_wi"], prefix + ".context_gating_wi")
+        lin(dst["context_gating_ws"], prefix + ".context_gating_ws")
+        ln(dst["context_ln"], f"{prefix}.{ln_name}")
+
+    for i in range(TINY["encoder_layers"]):
+        ctx_block(
+            variables["params"]["encoder"]["layers"][i],
+            f"encoder.layers.{i}", "context_layer_norm",
+        )
+    for i in range(TINY["decoder_layers"]):
+        ctx_block(
+            variables["params"]["decoder"]["layers"][i],
+            f"decoder.layers.{i}", "context_attn_layer_norm",
+        )
+    # context encoder: shares decoder.embed_tokens; 1 transformer layer
+    ctxp = variables["params"]["context_encoder"]["layers"][0]
+    pre = "context_encoder.layers.0"
+    attn(ctxp["self_attn"], pre + ".self_attn")
+    ln(ctxp["self_attn_ln"], pre + ".self_attn_layer_norm")
+    lin(ctxp["fc1"], pre + ".fc1")
+    lin(ctxp["fc2"], pre + ".fc2")
+    ln(ctxp["final_ln"], pre + ".final_layer_norm")
+
+    fbank, lengths, prev = make_inputs()
+    ctx = np.array([[2, 5, 6, 7], [2, 8, 9, 1]], np.int64)
+    ctx_lengths = np.array([4, 3], np.int64)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.tensor(fbank),
+            torch.tensor(lengths),
+            torch.tensor(prev),
+            torch.tensor(ctx),
+            torch.tensor(ctx_lengths),
+        )[0].numpy()
+    (logits, _), _ = my_model.forward(
+        variables,
+        {
+            "src_tokens": fbank,
+            "src_lengths": lengths,
+            "prev_output_tokens": prev,
+            "context_tokens": ctx,
+            "context_lengths": ctx_lengths,
+        },
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_out, rtol=3e-4, atol=3e-4
+    )
