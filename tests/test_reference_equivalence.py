@@ -1863,3 +1863,80 @@ def test_context_model_forward_equivalence(attention_type):
     np.testing.assert_allclose(
         np.asarray(logits), ref_out, rtol=3e-4, atol=3e-4
     )
+
+
+def test_kd_criterion_loss_equivalence():
+    """Knowledge-distillation objective (fairseq/criterions/
+    knowledge_distillation.py:17-99): loss = (1-l)*NLL + l*CE(student vs
+    teacher top-k), both temperature-scaled. Ported weights + synthetic
+    teacher top-k -> identical loss."""
+    import torch
+
+    _load_reference()
+    from fairseq.criterions.knowledge_distillation import (
+        CrossEntropyKnowledgeDistillationCriterion as RefKD,
+    )
+
+    ref_model, d_ref = build_reference_model(attn_2d=False)
+    my_model, variables, d_my = build_my_model(attn_2d=False)
+    variables = port_weights(ref_model, variables)
+
+    fbank, lengths, prev = make_inputs()
+    target = np.roll(prev, -1, axis=1).astype(np.int64)
+    target[:, -1] = 2
+    target[1, -2:] = d_ref.pad()
+    rng = np.random.RandomState(13)
+    k = 4
+    teacher_idxs = rng.randint(0, 20, size=(2, prev.shape[1], k)).astype(
+        np.int64
+    )
+    teacher_outs = rng.randn(2, prev.shape[1], k).astype(np.float32)
+
+    class RT:
+        target_dictionary = d_ref
+
+    ref_args = argparse.Namespace(
+        kd_lambda=0.5, kd_temperature=2.0, sentence_avg=False
+    )
+    ref_crit = RefKD(ref_args, RT())
+    sample = {
+        "net_input": {
+            "src_tokens": torch.tensor(fbank),
+            "src_lengths": torch.tensor(lengths),
+            "prev_output_tokens": torch.tensor(prev),
+        },
+        "target": torch.tensor(target),
+        "ntokens": int((target != d_ref.pad()).sum()),
+        "teacher_output": (
+            torch.tensor(teacher_idxs), torch.tensor(teacher_outs)
+        ),
+    }
+    with torch.no_grad():
+        ref_loss, ref_ss, _ = ref_crit(ref_model, sample)
+
+    from fbk_fairseq_st_tpu.registry import CRITERIONS
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = None
+
+    my_crit = CRITERIONS["knowledge_distillation"].build_criterion(
+        argparse.Namespace(
+            kd_lambda=0.5, kd_temperature=2.0, sentence_avg=False
+        ),
+        MT(),
+    )
+    my_loss, my_ss, _, _ = my_crit(
+        my_model,
+        variables,
+        {
+            "src_tokens": fbank,
+            "src_lengths": lengths,
+            "prev_output_tokens": prev,
+            "target": target,
+            "teacher_idxs": teacher_idxs,
+            "teacher_probs": teacher_outs,
+        },
+    )
+    assert int(my_ss) == int(ref_ss)
+    np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=2e-4)
