@@ -977,15 +977,10 @@ _MULTITASK_REF = {
 }
 
 
-@pytest.mark.parametrize("arch", sorted(_MULTITASK_REF))
-def test_multitask_forward_equivalence(arch):
-    """Multi-task (transcript + translation) models: dualdecoder / DirMul
-    (conv_transformer_dualdecoder.py:13-85), triangle
-    (conv_transformer_triangle.py:19-105 + triangle_transformer_layer.py
-    :16-205, with the second cross-attention + fc_concat), and 2stage
-    (conv_transformer_2stage.py:15-93, target decoder attends ONLY to aux
-    states). Port the reference torch weights and assert both decoders'
-    teacher-forced logits match."""
+def _build_and_port_multitask(arch):
+    """Build the reference + my multi-task model pair for ``arch``, port
+    the weights, and return (ref_model, my_model, variables, src/tgt dicts
+    both sides)."""
     import importlib
 
     import torch
@@ -1091,6 +1086,23 @@ def test_multitask_forward_equivalence(arch):
         ln(lp["final_ln"], pre + ".final_layer_norm")
     aux["embed_out"] = jnp.asarray(
         sd["auxiliary_decoder.output_projection.weight"]
+    )
+    return ref_model, my_model, variables, src_ref, tgt_ref, src_my, tgt_my
+
+
+@pytest.mark.parametrize("arch", sorted(_MULTITASK_REF))
+def test_multitask_forward_equivalence(arch):
+    """Multi-task (transcript + translation) models: dualdecoder / DirMul
+    (conv_transformer_dualdecoder.py:13-85), triangle
+    (conv_transformer_triangle.py:19-105 + triangle_transformer_layer.py
+    :16-205, with the second cross-attention + fc_concat), and 2stage
+    (conv_transformer_2stage.py:15-93, target decoder attends ONLY to aux
+    states). Port the reference torch weights and assert both decoders'
+    teacher-forced logits match."""
+    import torch
+
+    ref_model, my_model, variables, src_ref, tgt_ref, _, _ = (
+        _build_and_port_multitask(arch)
     )
 
     fbank, lengths, prev = make_inputs()
@@ -1940,3 +1952,63 @@ def test_kd_criterion_loss_equivalence():
     )
     assert int(my_ss) == int(ref_ss)
     np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=2e-4)
+
+
+@pytest.mark.parametrize("arch", sorted(_MULTITASK_REF))
+def test_twophase_joint_decoding_equivalence(arch):
+    """FBK two-phase joint inference (twophase_sequence_generator.py
+    :52-996): phase-1 transcript beam search, phase-2 translation beam
+    search seeded with the transcript scores (HierarchicalBeamSearch).
+    Same ported weights -> identical transcript + translation token
+    sequences and matching joint scores, for all three multi-task
+    variants."""
+    import torch
+
+    ref_model, my_model, variables, src_ref, tgt_ref, src_my, tgt_my = (
+        _build_and_port_multitask(arch)
+    )
+    from examples.speech_recognition.twophase_sequence_generator import (
+        TwoPhaseSequenceGenerator as RefTwoPhase,
+    )
+
+    fbank, lengths, _ = make_inputs(seed=21)
+    sample = {
+        "net_input": {
+            "src_tokens": torch.tensor(fbank),
+            "src_lengths": torch.tensor(lengths),
+        },
+        "id": torch.arange(2),
+    }
+    ref_gen = RefTwoPhase(
+        [ref_model], src_ref, tgt_ref, beam_size=2, max_len_b=8
+    )
+    with torch.no_grad():
+        ref_hypos = ref_gen.generate([ref_model], sample)
+
+    from fbk_fairseq_st_tpu.generation.twophase_sequence_generator import (
+        TwoPhaseSequenceGenerator,
+    )
+
+    my_gen = TwoPhaseSequenceGenerator(
+        src_my, tgt_my, beam_size=2, max_len_b=8
+    )
+    my_hypos = my_gen.generate(
+        [(my_model, variables)],
+        {"net_input": {"src_tokens": fbank, "src_lengths": lengths},
+         "id": np.arange(2)},
+    )
+    for b in range(2):
+        ref_best = ref_hypos[b][0]
+        my_best = my_hypos[b][0]
+        assert (
+            np.asarray(my_best["tokens"]).tolist()
+            == ref_best["tokens"].numpy().tolist()
+        ), f"sent {b} target tokens"
+        assert (
+            np.asarray(my_best["transcript_tokens"]).tolist()
+            == ref_best["aux_tokens"].numpy().tolist()
+        ), f"sent {b} transcript tokens"
+        np.testing.assert_allclose(
+            float(my_best["score"]), float(ref_best["score"]), rtol=1e-3,
+            err_msg=f"sent {b} joint score",
+        )
