@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     cross_entropy_multi_task,
     ctc,
     knowledge_distillation,
+    latency_augmented,
     label_smoothed_cross_entropy,
     legacy_masked_lm,
     label_smoothed_cross_entropy_with_alignment,

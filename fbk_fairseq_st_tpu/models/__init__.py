@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     transformer,
     huggingface_gpt2,
     transformer_align,
+    transformer_monotonic,
     transformer_from_pretrained_xlm,
     transformer_lm,
     wav2vec,

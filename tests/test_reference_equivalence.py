@@ -2012,3 +2012,186 @@ def test_twophase_joint_decoding_equivalence(arch):
             float(my_best["score"]), float(ref_best["score"]), rtol=1e-3,
             err_msg=f"sent {b} joint score",
         )
+
+
+@pytest.mark.parametrize("simul_type", ["hard_aligned", "infinite_lookback",
+                                        "waitk"])
+def test_monotonic_transformer_equivalence(simul_type):
+    """Simultaneous translation MMA (examples/simultaneous_translation/
+    models/transformer_monotonic_attention.py + modules/
+    monotonic_multihead_attention.py): unidirectional encoder + monotonic
+    cross-attention decoder. Ported weights -> matching teacher-forced
+    logits, per-layer expected alignments (alpha), and the latency-augmented
+    training loss (utils/latency.py)."""
+    import torch
+
+    _load_reference()
+    from examples.simultaneous_translation.models import (  # noqa: F401
+        transformer_monotonic_attention as ref_mono,
+    )
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    d_ref = make_dict(RefDictionary)
+
+    class RT:
+        target_dictionary = d_ref
+        source_dictionary = d_ref
+
+    args = argparse.Namespace(
+        encoder_layers=2, decoder_layers=2,
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        max_source_positions=64, max_target_positions=64,
+        dropout=0.1, encoder_layerdrop=0, decoder_layerdrop=0,
+        share_decoder_input_output_embed=False, share_all_embeddings=False,
+        encoder_learned_pos=False, decoder_learned_pos=False,
+        encoder_layers_to_keep=None, decoder_layers_to_keep=None,
+        quant_noise_pq=0, quant_noise_pq_block_size=8, quant_noise_scalar=0,
+        simul_type=simul_type,
+        mass_preservation=True,
+        noise_mean=0.0, noise_var=1.0,
+        energy_bias=False, energy_bias_init=-2.0, attention_eps=1e-6,
+        waitk_lagging=3 if simul_type == "waitk" else 0,
+    )
+    ref_mono.base_monotonic_rchitecture(args)
+    torch.manual_seed(0)
+    ref_model = ref_mono.TransformerMonotonicModel.build_model(args, RT())
+    ref_model.eval()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = d_my
+
+    my_args = argparse.Namespace(
+        arch="transformer_monotonic",
+        encoder_layers=2, decoder_layers=2,
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        max_source_positions=64, max_target_positions=64,
+        simul_type=simul_type, mass_preservation=True,
+        waitk_lagging=3 if simul_type == "waitk" else 0,
+    )
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, MT())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    p = variables["params"]
+
+    def lin(dst, prefix):
+        dst["w"] = jnp.asarray(sd[prefix + ".weight"].T)
+        if prefix + ".bias" in sd:
+            dst["b"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def ln(dst, prefix):
+        dst["scale"] = jnp.asarray(sd[prefix + ".weight"])
+        dst["bias"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def attn(dst, prefix):
+        for mine, ref in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                          ("out", "out_proj")):
+            lin(dst[mine], f"{prefix}.{ref}")
+
+    enc = p["encoder"]
+    enc["embed_tokens"]["w"] = jnp.asarray(sd["encoder.embed_tokens.weight"])
+    for i in range(2):
+        lp = enc["layers"][i]
+        pre = f"encoder.layers.{i}"
+        attn(lp["self_attn"], pre + ".self_attn")
+        ln(lp["self_attn_ln"], pre + ".self_attn_layer_norm")
+        lin(lp["fc1"], pre + ".fc1")
+        lin(lp["fc2"], pre + ".fc2")
+        ln(lp["final_ln"], pre + ".final_layer_norm")
+
+    dec = p["decoder"]
+    dec["embed_tokens"]["w"] = jnp.asarray(sd["decoder.embed_tokens.weight"])
+    for i in range(2):
+        lp = dec["layers"][i]
+        pre = f"decoder.layers.{i}"
+        attn(lp["self_attn"], pre + ".self_attn")
+        ln(lp["self_attn_ln"], pre + ".self_attn_layer_norm")
+        ln(lp["encoder_attn_ln"], pre + ".encoder_attn_layer_norm")
+        lin(lp["fc1"], pre + ".fc1")
+        lin(lp["fc2"], pre + ".fc2")
+        ln(lp["final_ln"], pre + ".final_layer_norm")
+        # monotonic cross-attention projections
+        mono = lp["encoder_attn"]
+        lin(mono["q"], pre + ".encoder_attn.q_proj")
+        lin(mono["k"], pre + ".encoder_attn.k_proj")
+        lin(mono["v"], pre + ".encoder_attn.v_proj")
+        lin(mono["out"], pre + ".encoder_attn.out_proj")
+        if simul_type == "infinite_lookback":
+            lin(mono["q_soft"], pre + ".encoder_attn.q_proj_soft")
+            lin(mono["k_soft"], pre + ".encoder_attn.k_proj_soft")
+    dec["embed_out"] = jnp.asarray(sd["decoder.output_projection.weight"])
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(4, 20, size=(2, 9)).astype(np.int64)
+    src[:, -1] = 2
+    src[1, 7:] = d_ref.pad()  # right-padded short row
+    src[1, 6] = 2
+    lengths = np.array([9, 7], np.int64)
+    prev = rng.randint(4, 20, size=(2, 5)).astype(np.int64)
+    prev[:, 0] = 2
+    target = np.roll(prev, -1, axis=1).astype(np.int64)
+    target[:, -1] = 2
+    target[1, -1:] = d_ref.pad()
+
+    with torch.no_grad():
+        ref_logits, ref_extra = ref_model(
+            torch.tensor(src), torch.tensor(lengths), torch.tensor(prev)
+        )
+    (my_logits, my_extra), _ = my_model.forward(
+        variables,
+        {"src_tokens": src, "src_lengths": lengths,
+         "prev_output_tokens": prev},
+    )
+    np.testing.assert_allclose(
+        np.asarray(my_logits), ref_logits.numpy(), rtol=3e-4, atol=3e-4
+    )
+    for layer in range(2):
+        np.testing.assert_allclose(
+            np.asarray(my_extra["attn_list"][layer]["alpha"]),
+            ref_extra["attn_list"][layer]["alpha"].numpy(),
+            rtol=3e-4, atol=3e-4, err_msg=f"alpha layer {layer}",
+        )
+
+    # latency-augmented loss parity
+    from examples.simultaneous_translation.utils.latency import (
+        LatencyTraining,
+    )
+
+    ref_latency = LatencyTraining(
+        0.5, 0.5, "differentiable_average_lagging", "variance_delay",
+        True, "weighted_average",
+    )
+    ref_alphas = [item["alpha"] for item in ref_extra["attn_list"]]
+    tgt_pad_mask = torch.tensor(target == d_ref.pad())
+    src_pad_mask = torch.tensor(src == d_ref.pad())
+    with torch.no_grad():
+        ref_lat = ref_latency.loss(
+            ref_alphas, source_padding_mask=src_pad_mask,
+            target_padding_mask=tgt_pad_mask,
+        )
+
+    from fbk_fairseq_st_tpu.ops.latency import latency_training_loss
+
+    my_lat = latency_training_loss(
+        [item["alpha"] for item in my_extra["attn_list"]],
+        source_padding_mask=src == d_my.pad(),
+        target_padding_mask=target == d_my.pad(),
+        avg_weight=0.5, var_weight=0.5,
+    )
+    np.testing.assert_allclose(
+        float(my_lat), float(ref_lat), rtol=3e-4, err_msg="latency loss"
+    )
