@@ -24,4 +24,5 @@ from . import (  # noqa: F401
     translation,
     translation_from_pretrained,
     translation_lev,
+    translation_moe,
 )

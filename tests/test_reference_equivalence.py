@@ -2195,3 +2195,178 @@ def test_monotonic_transformer_equivalence(simul_type):
     np.testing.assert_allclose(
         float(my_lat), float(ref_lat), rtol=3e-4, err_msg="latency loss"
     )
+
+
+@pytest.mark.parametrize("method", ["hMoEup", "sMoEup", "hMoElp", "sMoElp"])
+def test_translation_moe_loss_equivalence(method):
+    """Mixture-of-experts translation (examples/translation_moe/src/
+    translation_moe.py:16-185 + logsumexp_moe.py + mean_pool_gating_network
+    .py): EM responsibilities + hard/soft mixture loss with uniform or
+    learned (mean-pool gating) prior. Ported weights -> identical loss."""
+    import torch
+
+    _load_reference()
+    from examples.translation_moe.src.translation_moe import (
+        TranslationMoETask as RefMoETask,
+    )
+    from fairseq.criterions.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion as RefLSCE,
+    )
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+    from fairseq.models.transformer import (
+        TransformerModel as RefTransformer,
+        base_architecture as ref_base,
+    )
+
+    d_ref = make_dict(RefDictionary)
+
+    ref_args = argparse.Namespace(
+        encoder_layers=2, decoder_layers=2,
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        max_source_positions=64, max_target_positions=64,
+        dropout=0.1, encoder_layerdrop=0, decoder_layerdrop=0,
+        share_decoder_input_output_embed=False, share_all_embeddings=False,
+        encoder_learned_pos=False, decoder_learned_pos=False,
+        encoder_layers_to_keep=None, decoder_layers_to_keep=None,
+        quant_noise_pq=0, quant_noise_pq_block_size=8, quant_noise_scalar=0,
+        method=method, num_experts=2, sentence_avg=False,
+        mean_pool_gating_network=method.endswith("lp"),
+        mean_pool_gating_network_dropout=0.0,
+        mean_pool_gating_network_encoder_dim=None,
+        gen_expert=0,
+        left_pad_source=False, left_pad_target=False,
+        source_lang="en", target_lang="de", data="/nonexistent",
+    )
+    ref_base(ref_args)
+    ref_task = RefMoETask(ref_args, d_ref, d_ref)
+    torch.manual_seed(0)
+    ref_model = RefTransformer.build_model(ref_args, ref_task)
+    ref_model = ref_task.build_model.__wrapped__(ref_task, ref_args) if False \
+        else ref_model
+    # attach the gating network the way the reference task does
+    ref_model = ref_task.build_model(ref_args) if False else ref_model
+    if not ref_task.uniform_prior:
+        from examples.translation_moe.src.mean_pool_gating_network import (
+            MeanPoolGatingNetwork,
+        )
+
+        torch.manual_seed(1)
+        ref_model.gating_network = MeanPoolGatingNetwork(16, 2, 0.0)
+    ref_model.eval()
+    ref_crit = RefLSCE(ref_task, sentence_avg=False, label_smoothing=0.1)
+
+    # -- my side --------------------------------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+    from fbk_fairseq_st_tpu.tasks.translation_moe import TranslationMoETask
+
+    d_my = make_dict(Dictionary)
+    my_task_args = argparse.Namespace(
+        method=method, num_experts=2, sentence_avg=False,
+        mean_pool_gating_network=method.endswith("lp"),
+        mean_pool_gating_network_dropout=0.0,
+        mean_pool_gating_network_encoder_dim=None,
+        gen_expert=0, data="/nonexistent", criterion="na",
+    )
+    my_task = TranslationMoETask.__new__(TranslationMoETask)
+    TranslationMoETask.__init__(my_task, my_task_args, d_my, d_my)
+
+    my_args = argparse.Namespace(
+        arch="transformer",
+        encoder_layers=2, decoder_layers=2,
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        max_source_positions=64, max_target_positions=64,
+        dropout=0.1,
+    )
+    registry.apply_architecture(my_args)
+    my_model = my_task.build_model(my_args)
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    p = variables["params"]
+
+    def lin(dst, prefix):
+        dst["w"] = jnp.asarray(sd[prefix + ".weight"].T)
+        if prefix + ".bias" in sd:
+            dst["b"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def ln(dst, prefix):
+        dst["scale"] = jnp.asarray(sd[prefix + ".weight"])
+        dst["bias"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def attn(dst, prefix):
+        for mine, ref in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                          ("out", "out_proj")):
+            lin(dst[mine], f"{prefix}.{ref}")
+
+    for side, n_layers in (("encoder", 2), ("decoder", 2)):
+        tree = p[side]
+        tree["embed_tokens"]["w"] = jnp.asarray(
+            sd[f"{side}.embed_tokens.weight"]
+        )
+        for i in range(n_layers):
+            lp = tree["layers"][i]
+            pre = f"{side}.layers.{i}"
+            attn(lp["self_attn"], pre + ".self_attn")
+            ln(lp["self_attn_ln"], pre + ".self_attn_layer_norm")
+            if side == "decoder":
+                attn(lp["encoder_attn"], pre + ".encoder_attn")
+                ln(lp["encoder_attn_ln"], pre + ".encoder_attn_layer_norm")
+            lin(lp["fc1"], pre + ".fc1")
+            lin(lp["fc2"], pre + ".fc2")
+            ln(lp["final_ln"], pre + ".final_layer_norm")
+    p["decoder"]["embed_out"] = jnp.asarray(
+        sd["decoder.output_projection.weight"]
+    )
+    if "gating_network.fc1.weight" in sd:
+        lin(p["gating_network"]["fc1"], "gating_network.fc1")
+        lin(p["gating_network"]["fc2"], "gating_network.fc2")
+
+    my_crit = my_task.build_criterion(
+        argparse.Namespace(
+            criterion="label_smoothed_cross_entropy", label_smoothing=0.1,
+            sentence_avg=False,
+        )
+    )
+
+    rng = np.random.RandomState(7)
+    src = rng.randint(4, 20, size=(3, 9)).astype(np.int64)
+    src[:, -1] = 2
+    lengths = np.array([9, 9, 9], np.int64)
+    prev = rng.randint(4, 20, size=(3, 5)).astype(np.int64)
+    prev[:, 0] = 2
+    target = np.roll(prev, -1, axis=1).astype(np.int64)
+    target[:, -1] = 2
+    target[2, -1:] = d_ref.pad()
+
+    sample = {
+        "net_input": {
+            "src_tokens": torch.tensor(src),
+            "src_lengths": torch.tensor(lengths),
+            "prev_output_tokens": torch.tensor(prev),
+        },
+        "target": torch.tensor(target),
+        "ntokens": int((target != d_ref.pad()).sum()),
+    }
+    with torch.no_grad():
+        ref_loss, ref_ss, _ = ref_task._get_loss(sample, ref_model, ref_crit)
+
+    my_loss, my_ss, _, _ = my_crit(
+        my_model,
+        variables,
+        {
+            "src_tokens": src,
+            "src_lengths": lengths,
+            "prev_output_tokens": prev,
+            "target": target,
+        },
+    )
+    assert int(my_ss) == int(ref_ss)
+    np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=3e-4)
