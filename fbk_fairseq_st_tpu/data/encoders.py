@@ -245,3 +245,114 @@ class FastBPE:
 
     def decode(self, x: str) -> str:
         return (x + " ").replace(self.sep, "").rstrip()
+
+
+# -- byte-level helpers (reference encoders/byte_utils.py) --------------------
+
+import re as _re
+
+_WHITESPACE_NORMALIZER = _re.compile(r"\s+")
+_SPACE = chr(32)
+_SPACE_ESCAPE = chr(9601)
+_PRINTABLE_LATIN = set(
+    list(range(32, 126 + 1)) + list(range(161, 172 + 1))
+    + list(range(174, 255 + 1))
+)
+_BYTE_TO_BCHAR = {
+    b: chr(b) if b in _PRINTABLE_LATIN else chr(256 + b) for b in range(256)
+}
+_BCHAR_TO_BYTE = {bc: b for b, bc in _BYTE_TO_BCHAR.items()}
+
+
+def byte_encode(x: str) -> str:
+    normalized = _WHITESPACE_NORMALIZER.sub(_SPACE, x)
+    return "".join(_BYTE_TO_BCHAR[b] for b in normalized.encode("utf-8"))
+
+
+def byte_decode(x: str) -> str:
+    try:
+        return bytes(_BCHAR_TO_BYTE[bc] for bc in x).decode("utf-8")
+    except (ValueError, KeyError):
+        return ""
+
+
+def smart_byte_decode(x: str) -> str:
+    """Best-effort recovery of broken UTF-8 byte-char strings via the
+    max-valid-chars DP (reference byte_utils.py:34-51)."""
+    output = byte_decode(x)
+    if output == "":
+        n = len(x)
+        f = [0] * (n + 1)
+        pt = [0] * (n + 1)
+        for i in range(1, n + 1):
+            f[i], pt[i] = f[i - 1], i - 1
+            for j in range(1, min(4, i) + 1):
+                if f[i - j] + 1 > f[i] and len(byte_decode(x[i - j:i])) > 0:
+                    f[i], pt[i] = f[i - j] + 1, i - j
+        cur = n
+        while cur > 0:
+            if f[cur] == f[pt[cur]] + 1:
+                output = byte_decode(x[pt[cur]:cur]) + output
+            cur = pt[cur]
+    return output
+
+
+@BPES.register("byte_bpe")
+class ByteBPE:
+    """Byte-level BPE via sentencepiece over byte-chars (reference
+    encoders/byte_bpe.py, examples/byte_level_bpe)."""
+
+    def __init__(self, args):
+        try:
+            import sentencepiece as spm
+        except ImportError:
+            raise ImportError("Please install sentencepiece for byte_bpe")
+        self.sp = spm.SentencePieceProcessor()
+        self.sp.Load(args.sentencepiece_model_path)
+
+    @classmethod
+    def build_bpe(cls, args):
+        return cls(args)
+
+    def encode(self, x: str) -> str:
+        return _SPACE.join(self.sp.EncodeAsPieces(byte_encode(x)))
+
+    @staticmethod
+    def decode(x: str) -> str:
+        unescaped = x.replace(_SPACE, "").replace(_SPACE_ESCAPE, _SPACE)
+        return smart_byte_decode(unescaped)
+
+
+@BPES.register("hf_byte_bpe")
+class HuggingFaceByteLevelBPE:
+    """GPT-2-style byte-level BPE from vocab.json + merges.txt (reference
+    encoders/hf_byte_bpe.py), via the available transformers tokenizer."""
+
+    def __init__(self, args):
+        try:
+            from tokenizers import ByteLevelBPETokenizer
+
+            self.bpe = ByteLevelBPETokenizer(
+                args.bpe_vocab, args.bpe_merges,
+                add_prefix_space=getattr(args, "bpe_add_prefix_space", False),
+            )
+        except ImportError:
+            raise ImportError(
+                "Please install huggingface/tokenizers for hf_byte_bpe"
+            )
+
+    @classmethod
+    def build_bpe(cls, args):
+        return cls(args)
+
+    def encode(self, x: str) -> str:
+        return " ".join(map(str, self.bpe.encode(x).ids))
+
+    def decode(self, x: str) -> str:
+        return self.bpe.decode(
+            [int(tok) if tok not in {"<unk>", "<mask>"} else tok
+             for tok in x.split()]
+        )
+
+    def is_beginning_of_word(self, x: str) -> bool:
+        return self.decode(x).startswith(" ")
