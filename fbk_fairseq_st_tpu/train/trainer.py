@@ -342,8 +342,10 @@ class Trainer:
 
         batches = []
         logging_meta = {"ntokens": 0, "nsentences": 0}
+        prepare = getattr(self.task, "prepare_sample", None)
         for sample in samples:
-            sample = self.task.prepare_sample(sample, self._num_updates)
+            if prepare is not None:
+                sample = prepare(sample, self._num_updates)
             b = self._device_batch(sample)
             if b is None:
                 continue

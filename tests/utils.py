@@ -25,6 +25,13 @@ class DummyTask:
     def dictionary(self):
         return self.target_dictionary
 
+    # trainer hooks (base Task no-ops)
+    def augment_batch(self, batch, rng):
+        return batch
+
+    def prepare_sample(self, sample, num_updates):
+        return sample
+
 
 def model_args(arch: str = "conv_transformer", **overrides) -> argparse.Namespace:
     """Minimal args namespace; arch presets fill the rest."""
