@@ -64,6 +64,11 @@ class TransformerDecoderConfig(NamedTuple):
     layerdrop: float = 0.0
     adaptive_input_cutoff: Optional[tuple] = None
     adaptive_input_factor: float = 4.0
+    # char-CNN word embeddings (reference CharacterTokenEmbedder); the
+    # word->char table travels on the decoder object (arrays aren't hashable)
+    char_embedder: Optional[tuple] = None  # ops.character_embedder config
+    eos_idx: int = 2
+    unk_idx: int = 3
 
     @property
     def layer_cfg(self) -> TransformerLayerConfig:
@@ -80,8 +85,9 @@ class TransformerDecoderConfig(NamedTuple):
 
 
 class TransformerDecoder:
-    def __init__(self, cfg: TransformerDecoderConfig):
+    def __init__(self, cfg: TransformerDecoderConfig, char_table=None):
         self.cfg = cfg
+        self.char_table = char_table  # (V, max_char_len) np constant
         self.embed_scale = (
             1.0 if cfg.no_scale_embedding else cfg.embed_dim ** 0.5
         )
@@ -96,7 +102,15 @@ class TransformerDecoder:
     def init(self, key) -> Dict[str, Any]:
         cfg = self.cfg
         ks = jax.random.split(key, cfg.layers + 3)
-        if cfg.adaptive_input_cutoff is not None:
+        if cfg.char_embedder is not None:
+            from ..ops.character_embedder import init_character_embedder
+
+            embed_p = {
+                "char_embedder": init_character_embedder(
+                    ks[0], cfg.char_embedder
+                )
+            }
+        elif cfg.adaptive_input_cutoff is not None:
             from ..ops.adaptive_softmax import init_adaptive_input
 
             embed_p = {
@@ -146,6 +160,13 @@ class TransformerDecoder:
         if token_embeddings is not None:
             # NAT src-embedding-copy: caller supplies the input embeddings
             x = self.embed_scale * token_embeddings.astype(dtype)
+        elif "char_embedder" in params:
+            from ..ops.character_embedder import character_embed
+
+            x = self.embed_scale * character_embed(
+                params["char_embedder"], cfg.char_embedder, self.char_table,
+                tokens, cfg.padding_idx, cfg.eos_idx, cfg.unk_idx,
+            ).astype(dtype)
         elif "adaptive_input" in params:
             from ..ops.adaptive_softmax import _parse_cutoff, adaptive_embed
 

@@ -18,9 +18,9 @@ from .transformer_decoder import TransformerDecoder, TransformerDecoderConfig
 
 @register_model("transformer_lm")
 class TransformerLanguageModel(Model):
-    def __init__(self, cfg: TransformerDecoderConfig):
+    def __init__(self, cfg: TransformerDecoderConfig, char_table=None):
         self.cfg = cfg
-        self.decoder = TransformerDecoder(cfg)
+        self.decoder = TransformerDecoder(cfg, char_table=char_table)
         self.max_source_positions = cfg.max_positions
         self.max_target_positions = cfg.max_positions
 
@@ -32,6 +32,20 @@ class TransformerLanguageModel(Model):
         parser.add_argument("--adaptive-input-cutoff", metavar="EXPR",
                             help="comma separated adaptive input cutoffs")
         parser.add_argument("--adaptive-input-factor", type=float, metavar="N")
+        # char-CNN word embeddings (reference transformer_lm.py:57-66)
+        parser.add_argument("--character-embeddings", action="store_true",
+                            default=False,
+                            help="use character-CNN word embeddings")
+        parser.add_argument(
+            "--character-filters", type=str, metavar="LIST",
+            default="[(1, 64), (2, 128), (3, 192), (4, 256), (5, 256), "
+                    "(6, 256), (7, 256)]",
+            help="size of character embeddings",
+        )
+        parser.add_argument("--character-embedding-dim", default=4, type=int,
+                            metavar="N")
+        parser.add_argument("--char-embedder-highway-layers", default=2,
+                            type=int, metavar="N")
 
     @classmethod
     def build_model(cls, args, task):
@@ -85,7 +99,33 @@ class TransformerLanguageModel(Model):
                 args, "adaptive_input_factor", 4.0
             ) or 4.0,
         )
-        return cls(cfg)
+        char_table = None
+        if getattr(args, "character_embeddings", False):
+            import ast
+
+            from ..ops.character_embedder import (
+                CharEmbedderConfig,
+                build_word_to_char,
+            )
+
+            char_cfg = CharEmbedderConfig(
+                filters=tuple(
+                    tuple(f) for f in ast.literal_eval(args.character_filters)
+                ),
+                char_embed_dim=args.character_embedding_dim,
+                word_embed_dim=args.decoder_embed_dim,
+                highway_layers=args.char_embedder_highway_layers,
+            )
+            if cfg.share_input_output_embed:
+                raise ValueError(
+                    "--character-embeddings has no token embedding matrix to "
+                    "tie; disable --share-decoder-input-output-embed"
+                )
+            cfg = cfg._replace(
+                char_embedder=char_cfg, eos_idx=d.eos(), unk_idx=d.unk()
+            )
+            char_table = build_word_to_char(d, char_cfg.max_char_len)
+        return cls(cfg, char_table=char_table)
 
     def init(self, key):
         return {"params": {"decoder": self.decoder.init(key)}, "state": {}}

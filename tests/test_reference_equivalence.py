@@ -2370,3 +2370,120 @@ def test_translation_moe_loss_equivalence(method):
     )
     assert int(my_ss) == int(ref_ss)
     np.testing.assert_allclose(float(my_loss), float(ref_loss), rtol=3e-4)
+
+
+def test_character_embedding_lm_equivalence():
+    """Character-aware LM embeddings (fairseq/modules/
+    character_token_embedder.py:22-204, --character-embeddings in
+    transformer_lm): char-CNN + highway + projection with pad/eos/unk
+    symbol handling. Ported weights -> matching LM logits."""
+    import torch
+
+    _load_reference()
+    from fairseq.models.transformer_lm import (
+        TransformerLanguageModel as RefLM,
+        base_lm_architecture as ref_base_lm,
+    )
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    d_ref = make_dict(RefDictionary)
+
+    class RT:
+        target_dictionary = d_ref
+        source_dictionary = d_ref
+        dictionary = d_ref
+
+    args = argparse.Namespace(
+        decoder_layers=1, decoder_embed_dim=16, decoder_ffn_embed_dim=32,
+        decoder_attention_heads=2, tokens_per_sample=32,
+        dropout=0.1, decoder_layerdrop=0,
+        character_embeddings=True,
+        character_filters="[(1, 8), (2, 8), (3, 8)]",
+        character_embedding_dim=4, char_embedder_highway_layers=1,
+        adaptive_input=False, quant_noise_pq=0, quant_noise_pq_block_size=8,
+        quant_noise_scalar=0, decoder_layers_to_keep=None,
+        share_decoder_input_output_embed=False,
+        decoder_learned_pos=False, no_token_positional_embeddings=False,
+        max_target_positions=32,
+    )
+    ref_base_lm(args)
+    args.character_embeddings = True
+    torch.manual_seed(0)
+    ref_model = RefLM.build_model(args, RT())
+    ref_model.eval()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = d_my
+
+    my_args = argparse.Namespace(
+        arch="transformer_lm", decoder_layers=1, decoder_embed_dim=16,
+        decoder_ffn_embed_dim=32, decoder_attention_heads=2,
+        tokens_per_sample=32, max_target_positions=32,
+        character_embeddings=True,
+        character_filters="[(1, 8), (2, 8), (3, 8)]",
+        character_embedding_dim=4, char_embedder_highway_layers=1,
+    )
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, MT())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    dec = variables["params"]["decoder"]
+
+    def lin(dst, prefix):
+        dst["w"] = jnp.asarray(sd[prefix + ".weight"].T)
+        if prefix + ".bias" in sd:
+            dst["b"] = jnp.asarray(sd[prefix + ".bias"])
+
+    def ln(dst, prefix):
+        dst["scale"] = jnp.asarray(sd[prefix + ".weight"])
+        dst["bias"] = jnp.asarray(sd[prefix + ".bias"])
+
+    ce = dec["char_embedder"]
+    pre = "decoder.embed_tokens"
+    ce["char_embeddings"] = jnp.asarray(sd[pre + ".char_embeddings.weight"])
+    ce["symbol_embeddings"] = jnp.asarray(sd[pre + ".symbol_embeddings"])
+    for i in range(3):
+        ce["convs"][i]["w"] = jnp.asarray(
+            sd[f"{pre}.convolutions.{i}.weight"].transpose(2, 1, 0)
+        )
+        ce["convs"][i]["b"] = jnp.asarray(sd[f"{pre}.convolutions.{i}.bias"])
+    ce["highway"][0]["w"] = jnp.asarray(
+        sd[pre + ".highway.layers.0.weight"].T
+    )
+    ce["highway"][0]["b"] = jnp.asarray(sd[pre + ".highway.layers.0.bias"])
+    lin(ce["projection"], pre + ".projection")
+
+    lp = dec["layers"][0]
+    for mine, ref in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+                      ("out", "out_proj")):
+        lin(lp["self_attn"][mine], f"decoder.layers.0.self_attn.{ref}")
+    ln(lp["self_attn_ln"], "decoder.layers.0.self_attn_layer_norm")
+    lin(lp["fc1"], "decoder.layers.0.fc1")
+    lin(lp["fc2"], "decoder.layers.0.fc2")
+    ln(lp["final_ln"], "decoder.layers.0.final_layer_norm")
+    if "decoder.layer_norm.weight" in sd:
+        ln(dec["final_ln"], "decoder.layer_norm")
+    dec["embed_out"] = jnp.asarray(sd["decoder.output_projection.weight"])
+
+    rng = np.random.RandomState(7)
+    tokens = rng.randint(0, 20, size=(2, 8)).astype(np.int64)
+    tokens[0, 0] = 2  # eos
+    tokens[1, -1] = d_ref.pad()
+    tokens[0, 3] = d_ref.unk()
+
+    with torch.no_grad():
+        ref_logits = ref_model(torch.tensor(tokens))[0].numpy()
+    (my_logits, _), _ = my_model.forward(variables, {"src_tokens": tokens})
+    np.testing.assert_allclose(
+        np.asarray(my_logits), ref_logits, rtol=3e-4, atol=3e-4
+    )
