@@ -67,6 +67,8 @@ def main() -> None:
         "--max-target-positions", "512",
         "--input-feat-per-channel", str(N_MELS),
     ]
+    if "--use-pallas-attention" in sys.argv:
+        argv.append("--use-pallas-attention")
     parser = options.get_training_parser()
     args = options.parse_args_and_arch(parser, argv)
 
