@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     huggingface_gpt2,
     transformer_align,
     transformer_monotonic,
+    w2l_conv_glu,
     transformer_from_pretrained_xlm,
     transformer_lm,
     wav2vec,

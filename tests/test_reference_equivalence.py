@@ -2487,3 +2487,88 @@ def test_character_embedding_lm_equivalence():
     np.testing.assert_allclose(
         np.asarray(my_logits), ref_logits, rtol=3e-4, atol=3e-4
     )
+
+
+def test_w2l_conv_glu_encoder_equivalence():
+    """wav2letter Conv+GLU encoder (examples/speech_recognition/models/
+    w2l_conv_glu_enc.py:42-167): weight-normed conv1d stack + GLU + two
+    linears. Ported (reconstructed) weights -> matching per-frame vocab
+    logits."""
+    import torch
+
+    _load_reference()
+    from examples.speech_recognition.models import (
+        w2l_conv_glu_enc as ref_w2l,
+    )
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    d_ref = make_dict(RefDictionary)
+
+    class RT:
+        target_dictionary = d_ref
+        source_dictionary = None
+
+    # balanced config: 2*pad(first) == sum(k-1): 2*4 = (5-1)+(5-1)
+    cfg = "[(8, 5, 4, 0.0), (12, 5, 0, 0.0)]"
+    args = argparse.Namespace(
+        input_feat_per_channel=8, in_channels=1, conv_enc_config=cfg,
+    )
+    torch.manual_seed(0)
+    ref_model = ref_w2l.W2lConvGluEncoderModel.build_model(args, RT())
+    ref_model.eval()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d_my = make_dict(Dictionary)
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = None
+
+    my_args = argparse.Namespace(
+        arch="asr_w2l_conv_glu_encoder", input_feat_per_channel=8,
+        in_channels=1, conv_enc_config=cfg,
+        criterion="ctc_loss",
+    )
+    registry.apply_architecture(my_args)
+    my_model = registry.build_model(my_args, MT())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    def wn(prefix):
+        """weight_norm reconstruction w = g * v / ||v|| (dim=0)."""
+        g = sd[prefix + ".weight_g"]
+        v = sd[prefix + ".weight_v"]
+        axes = tuple(range(1, v.ndim))
+        norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+        return g / norm * v
+
+    p = variables["params"]
+    for i in range(2):
+        w = wn(f"encoder.conv_layers.{i}")  # (out, in, k)
+        p["convs"][i]["w"] = jnp.asarray(w.transpose(2, 1, 0))
+        p["convs"][i]["b"] = jnp.asarray(sd[f"encoder.conv_layers.{i}.bias"])
+    for j in range(2):
+        w = wn(f"encoder.linear_layers.{j}")  # (out, in)
+        p["linears"][j]["w"] = jnp.asarray(w.T)
+        p["linears"][j]["b"] = jnp.asarray(
+            sd[f"encoder.linear_layers.{j}.bias"]
+        )
+
+    rng = np.random.RandomState(3)
+    fbank = rng.randn(2, 20, 8).astype(np.float32)
+    lengths = np.array([20, 14], np.int64)
+    with torch.no_grad():
+        ref_out = ref_model.encoder(
+            torch.tensor(fbank), torch.tensor(lengths)
+        )["encoder_out"].numpy()  # (T, B, V)
+    enc, _ = my_model.encode(variables, fbank, lengths)
+    np.testing.assert_allclose(
+        np.asarray(enc.encoder_out), ref_out.transpose(1, 0, 2),
+        rtol=3e-4, atol=3e-4,
+    )

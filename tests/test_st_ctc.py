@@ -150,3 +150,29 @@ def test_transcription_collater():
     np.testing.assert_array_equal(batch["transcript_target_lengths"], [3, 2, 2])
     # prev tokens: eos moved to beginning
     assert batch["net_input"]["transcript_prev_output_tokens"][0][0] == d.eos()
+
+
+def test_w2l_conv_glu_ctc_train(tmp_path):
+    """wav2letter Conv+GLU encoder-only model trains with ctc_loss through
+    the train CLI (reference w2l_conv_glu_enc.py role, minus the external
+    ASG criterion)."""
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "ckpt")
+    create_dummy_speech_data(data_dir, n=8)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "speech_recognition", "-t", "de",
+            "--arch", "asr_w2l_conv_glu_encoder",
+            "--conv-enc-config", "[(8, 5, 4, 0.1), (12, 5, 0, 0.1)]",
+            "--input-feat-per-channel", "8",
+            "--criterion", "ctc_loss",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "fixed",
+            "--max-tokens", "400", "--max-epoch", "1",
+            "--log-format", "none",
+        ]
+    )
+    import os
+
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
