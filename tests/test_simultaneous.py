@@ -141,3 +141,40 @@ def test_monotonic_train_cli(tmp_path):
     import os
 
     assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+@pytest.mark.parametrize("simul_type", ["hard_aligned", "waitk"])
+def test_greedy_simul_decode(simul_type):
+    """The host-driven read/write agent produces a finite hypothesis with
+    monotone non-decreasing delays and sane latency metrics."""
+    import jax
+
+    from fbk_fairseq_st_tpu.generation.simultaneous_decoder import (
+        greedy_simul_decode,
+    )
+
+    task = _Task()
+    args = model_args(
+        "transformer_monotonic",
+        simul_type=simul_type,
+        waitk_lagging=2 if simul_type == "waitk" else 0,
+        **SMALL,
+    )
+    registry.apply_architecture(args)
+    m = registry.build_model(args, task)
+    v = m.init(jax.random.PRNGKey(0))
+    src = np.array([5, 6, 7, 8, 9, 2])
+    out = greedy_simul_decode(
+        m, v, src, eos=task.target_dictionary.eos(), max_len=8
+    )
+    assert 1 <= len(out["tokens"]) <= 9
+    assert len(out["delays"]) == len(out["tokens"])
+    d = out["delays"]
+    assert all(d[i] <= d[i + 1] for i in range(len(d) - 1))
+    assert all(1 <= x <= len(src) for x in d)
+    if simul_type == "waitk":
+        assert d[0] == 2  # wait-k lagging honored
+    lat = out["latency"]
+    assert 0 < lat["average_proportion"] <= 1.0
+    assert np.isfinite(lat["average_lagging"])
+    assert np.isfinite(lat["differentiable_average_lagging"])
