@@ -95,8 +95,10 @@ def greedy_simul_decode(
                 np.asarray(item["p_choose"][0]).mean(axis=0)[-1]  # (S_read,)
                 for item in extra["attn_list"]
             ]
-            pointer = min(len(pc) - 1, len(tokens) - 1)
-            p_write = max(pc[min(pointer, n_read - 1)] for pc in pcs)
+            p_write = max(
+                pc[min(len(pc) - 1, len(tokens) - 1, n_read - 1)]
+                for pc in pcs
+            )
             if p_write < read_threshold and n_read < s_total:
                 n_read += 1
                 continue
