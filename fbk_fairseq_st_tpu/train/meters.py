@@ -1,264 +1,318 @@
-"""Meters (reference fairseq/logging/meters.py): average / sum / time /
-stopwatch meters with smoothed-value rendering and a priority-ordered
-MetersDict supporting derived (lambda) entries."""
+"""Runtime meters feeding the metrics aggregator stack.
+
+Meter *semantics* and the ``state_dict`` key layout follow the reference
+(fairseq/logging/meters.py) because meter state is serialized into
+checkpoints (train/checkpoint.py) and must survive a resume. The
+implementation is original: rounding happens exactly once, in the ``Meter``
+base class (subclasses expose a raw ``_raw_value``), and ``MetersDict`` is a
+plain mapping over an insertion-sequence + priority table that sorts lazily
+at iteration time instead of eagerly reordering an OrderedDict.
+"""
 
 from __future__ import annotations
 
-import bisect
 import time
-from collections import OrderedDict
-from typing import Dict, Optional
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
 
 
-def type_as(a, b):
-    return a
+def _as_python_scalar(value):
+    """Unwrap 0-d numpy / jax arrays so meters never retain device buffers."""
+    item = getattr(value, "item", None)
+    return item() if callable(item) else value
+
+
+def safe_round(value, ndigits: Optional[int]):
+    value = _as_python_scalar(value)
+    if ndigits is not None and isinstance(value, float):
+        return round(value, ndigits)
+    return value
 
 
 class Meter:
-    def state_dict(self):
-        return {}
+    """Base meter: subclasses implement ``_raw_value`` and ``reset``.
 
-    def load_state_dict(self, state_dict):
-        pass
+    ``smoothed_value`` is the single rendering point — it unwraps array
+    scalars and applies the meter's rounding.
+    """
 
-    def reset(self):
+    round: Optional[int] = None
+
+    def reset(self) -> None:
+        raise NotImplementedError
+
+    def _raw_value(self):
         raise NotImplementedError
 
     @property
-    def smoothed_value(self) -> float:
-        raise NotImplementedError
+    def smoothed_value(self):
+        return safe_round(self._raw_value(), self.round)
 
+    def state_dict(self) -> dict:
+        return {}
 
-def safe_round(number, ndigits):
-    if hasattr(number, "item"):
-        number = number.item()
-    if isinstance(number, float):
-        return round(number, ndigits)
-    return number
+    def load_state_dict(self, state: dict) -> None:
+        pass
 
 
 class AverageMeter(Meter):
-    """Computes and stores the average and current value."""
+    """Weighted running mean; reports the latest value until weight arrives."""
 
     def __init__(self, round: Optional[int] = None):
         self.round = round
         self.reset()
 
-    def reset(self):
+    def reset(self) -> None:
         self.val = None
         self.sum = 0
         self.count = 0
 
-    def update(self, val, n=1):
-        if val is not None:
-            self.val = val
-            if n > 0:
-                self.sum = self.sum + (val * n)
-                self.count = self.count + n
-
-    def state_dict(self):
-        return {"val": self.val, "sum": self.sum, "count": self.count, "round": self.round}
-
-    def load_state_dict(self, state_dict):
-        self.val = state_dict["val"]
-        self.sum = state_dict["sum"]
-        self.count = state_dict["count"]
-        self.round = state_dict.get("round", None)
+    def update(self, val, n=1) -> None:
+        if val is None:
+            return
+        self.val = val
+        if n > 0:
+            self.sum = self.sum + val * n
+            self.count = self.count + n
 
     @property
     def avg(self):
-        return self.sum / self.count if self.count > 0 else self.val
+        if self.count > 0:
+            return self.sum / self.count
+        return self.val
 
-    @property
-    def smoothed_value(self) -> float:
-        val = self.avg
-        if self.round is not None and val is not None:
-            val = safe_round(val, self.round)
-        return val
+    def _raw_value(self):
+        return self.avg
+
+    def state_dict(self) -> dict:
+        return {
+            "val": self.val,
+            "sum": self.sum,
+            "count": self.count,
+            "round": self.round,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.val = state["val"]
+        self.sum = state["sum"]
+        self.count = state["count"]
+        self.round = state.get("round")
 
 
 class SumMeter(Meter):
+    """Plain accumulator."""
+
     def __init__(self, round: Optional[int] = None):
         self.round = round
         self.reset()
 
-    def reset(self):
+    def reset(self) -> None:
         self.sum = 0
 
-    def update(self, val):
+    def update(self, val) -> None:
         if val is not None:
             self.sum = self.sum + val
 
-    def state_dict(self):
+    def _raw_value(self):
+        return self.sum
+
+    def state_dict(self) -> dict:
         return {"sum": self.sum, "round": self.round}
 
-    def load_state_dict(self, state_dict):
-        self.sum = state_dict["sum"]
-        self.round = state_dict.get("round", None)
-
-    @property
-    def smoothed_value(self) -> float:
-        val = self.sum
-        if self.round is not None and val is not None:
-            val = safe_round(val, self.round)
-        return val
+    def load_state_dict(self, state: dict) -> None:
+        self.sum = state["sum"]
+        self.round = state.get("round")
 
 
 class TimeMeter(Meter):
-    """Computes the average occurrence of some event per second."""
+    """Rate meter: events per second of wall time since the last reset.
 
-    def __init__(self, init: int = 0, n: int = 0, round: Optional[int] = None):
+    ``init`` carries elapsed seconds across a checkpoint resume, so the rate
+    stays continuous over restarts.
+    """
+
+    def __init__(self, init: float = 0, n: int = 0, round: Optional[int] = None):
         self.round = round
-        self.reset(init, n)
+        self.reset(init=init, n=n)
 
-    def reset(self, init=0, n=0):
+    def reset(self, init: float = 0, n: int = 0) -> None:
         self.init = init
-        self.start = time.perf_counter()
         self.n = n
-        self.i = 0
+        self._mark = time.perf_counter()
 
-    def update(self, new_n=1):
+    def update(self, new_n=1) -> None:
         self.n = self.n + new_n
-        self.i += 1
 
-    def state_dict(self):
-        return {"init": self.elapsed_time, "n": self.n, "round": self.round}
-
-    def load_state_dict(self, state_dict):
-        if "start" in state_dict:
-            # backwards compatibility for old state_dicts
-            self.reset(init=state_dict["init"])
-        else:
-            self.reset(init=state_dict["init"], n=state_dict["n"])
-            self.round = state_dict.get("round", None)
+    @property
+    def elapsed_time(self) -> float:
+        return self.init + (time.perf_counter() - self._mark)
 
     @property
     def avg(self):
         return self.n / self.elapsed_time
 
-    @property
-    def elapsed_time(self):
-        return self.init + (time.perf_counter() - self.start)
+    def _raw_value(self):
+        return self.avg
 
-    @property
-    def smoothed_value(self) -> float:
-        val = self.avg
-        if self.round is not None and val is not None:
-            val = safe_round(val, self.round)
-        return val
+    def state_dict(self) -> dict:
+        return {"init": self.elapsed_time, "n": self.n, "round": self.round}
+
+    def load_state_dict(self, state: dict) -> None:
+        if "start" in state:
+            # legacy payloads recorded a wall-clock start instead of a span
+            self.reset(init=state["init"])
+        else:
+            self.reset(init=state["init"], n=state["n"])
+            self.round = state.get("round")
 
 
 class StopwatchMeter(Meter):
-    """Computes the sum/avg duration of some event in seconds."""
+    """Accumulates start()/stop(n) spans; reports seconds-per-event.
+
+    While a span is open and nothing has accumulated, renders the live
+    elapsed time (matches the reference's "wall" meter behavior).
+    """
 
     def __init__(self, round: Optional[int] = None):
         self.round = round
         self.sum = 0
         self.n = 0
-        self.start_time = None
+        self.start_time: Optional[float] = None
 
-    def start(self):
+    def start(self) -> None:
         self.start_time = time.perf_counter()
 
-    def stop(self, n=1):
-        if self.start_time is not None:
-            delta = time.perf_counter() - self.start_time
-            self.sum = self.sum + delta
-            self.n = self.n + n
+    def stop(self, n=1) -> None:
+        if self.start_time is None:
+            return
+        self.sum = self.sum + (time.perf_counter() - self.start_time)
+        self.n = self.n + n
 
-    def reset(self):
+    def reset(self) -> None:
         self.sum = 0
         self.n = 0
         self.start()
-
-    def state_dict(self):
-        return {"sum": self.sum, "n": self.n, "round": self.round}
-
-    def load_state_dict(self, state_dict):
-        self.sum = state_dict["sum"]
-        self.n = state_dict["n"]
-        self.start_time = None
-        self.round = state_dict.get("round", None)
 
     @property
     def avg(self):
         return self.sum / self.n if self.n > 0 else self.sum
 
     @property
-    def elapsed_time(self):
+    def elapsed_time(self) -> float:
         if self.start_time is None:
             return 0.0
         return time.perf_counter() - self.start_time
 
-    @property
-    def smoothed_value(self) -> float:
-        val = self.avg if self.sum > 0 else self.elapsed_time
-        if self.round is not None and val is not None:
-            val = safe_round(val, self.round)
-        return val
+    def _raw_value(self):
+        return self.avg if self.sum > 0 else self.elapsed_time
+
+    def state_dict(self) -> dict:
+        return {"sum": self.sum, "n": self.n, "round": self.round}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.sum = state["sum"]
+        self.n = state["n"]
+        self.start_time = None
+        self.round = state.get("round")
 
 
-class MetersDict(OrderedDict):
-    """A sorted dictionary of Meters, sorted by (priority, insertion order).
+class _DerivedMeter(Meter):
+    """Computed-at-read meter (e.g. ppl from loss); never serialized."""
 
-    Reference fairseq/logging/meters.py MetersDict, including the _DerivedMeter
-    wrapper for lambdas computed at read time.
+    def __init__(self, fn: Callable):
+        self.fn = fn
+
+    def reset(self) -> None:
+        pass
+
+
+class MetersDict:
+    """Mapping of name -> Meter rendered in (priority, insertion) order.
+
+    Unlike a sorted container, entries live in a plain dict and the render
+    order is computed on demand from a (priority, sequence) table — meters
+    are written every step but rendered rarely, so sorting belongs on the
+    read path.
     """
 
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        self.priorities = []
+    _DerivedMeter = _DerivedMeter  # metrics.log_derived instantiates this
 
-    def __setitem__(self, key, value):
-        assert key not in self, "MetersDict doesn't support reassignment"
-        priority, value = value
-        bisect.insort(self.priorities, (priority, len(self.priorities), key))
-        super().__setitem__(key, value)
-        for _, _, key in self.priorities:  # reorder dict to match priorities
-            self.move_to_end(key)
+    def __init__(self):
+        self._meters: Dict[str, Meter] = {}
+        self._rank: Dict[str, Tuple[int, int]] = {}
+        self._seq = 0
 
-    def add_meter(self, key, meter, priority):
-        self.__setitem__(key, (priority, meter))
+    # -- mapping protocol (write path) ------------------------------------
+    def __contains__(self, key: str) -> bool:
+        return key in self._meters
 
-    def state_dict(self):
-        return [
-            (pri, key, self[key].__class__.__name__, self[key].state_dict())
-            for pri, _, key in self.priorities
-            if not isinstance(self[key], MetersDict._DerivedMeter)
-        ]
+    def __getitem__(self, key: str) -> Meter:
+        return self._meters[key]
 
-    def load_state_dict(self, state_dict):
-        self.clear()
-        self.priorities.clear()
-        for pri, key, meter_cls, meter_state in state_dict:
-            meter = globals()[meter_cls]()
-            meter.load_state_dict(meter_state)
-            self.add_meter(key, meter, pri)
+    def get(self, key: str, default=None):
+        return self._meters.get(key, default)
 
-    def get_smoothed_value(self, key: str) -> float:
-        meter = self[key]
-        if isinstance(meter, MetersDict._DerivedMeter):
+    def __len__(self) -> int:
+        return len(self._meters)
+
+    def add_meter(self, key: str, meter: Meter, priority: int) -> None:
+        if key in self._meters:
+            raise AssertionError(f"meter {key!r} already registered")
+        self._meters[key] = meter
+        self._rank[key] = (priority, self._seq)
+        self._seq += 1
+
+    # -- read path ---------------------------------------------------------
+    def _ordered_keys(self) -> List[str]:
+        return sorted(self._meters, key=self._rank.__getitem__)
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._ordered_keys())
+
+    def keys(self):
+        return self._ordered_keys()
+
+    def values(self):
+        return [self._meters[k] for k in self._ordered_keys()]
+
+    def items(self):
+        return [(k, self._meters[k]) for k in self._ordered_keys()]
+
+    def get_smoothed_value(self, key: str):
+        meter = self._meters[key]
+        if isinstance(meter, _DerivedMeter):
             return meter.fn(self)
         return meter.smoothed_value
 
     def get_smoothed_values(self) -> Dict[str, float]:
-        return OrderedDict(
-            [
-                (key, self.get_smoothed_value(key))
-                for key in self.keys()
-                if not key.startswith("_")
-            ]
-        )
+        return {
+            k: self.get_smoothed_value(k)
+            for k in self._ordered_keys()
+            if not k.startswith("_")
+        }
 
-    def reset(self):
-        for meter in self.values():
-            if isinstance(meter, MetersDict._DerivedMeter):
-                continue
+    def reset(self) -> None:
+        for meter in self._meters.values():
             meter.reset()
 
-    class _DerivedMeter(Meter):
-        def __init__(self, fn):
-            self.fn = fn
+    # -- checkpoint serialization (format shared with the reference) -------
+    def state_dict(self) -> list:
+        return [
+            (self._rank[k][0], k, type(m).__name__, m.state_dict())
+            for k, m in self.items()
+            if not isinstance(m, _DerivedMeter)
+        ]
 
-        def reset(self):
-            pass
+    def load_state_dict(self, payload: list) -> None:
+        self._meters.clear()
+        self._rank.clear()
+        self._seq = 0
+        for priority, key, cls_name, meter_state in payload:
+            meter = _METER_CLASSES[cls_name]()
+            meter.load_state_dict(meter_state)
+            self.add_meter(key, meter, priority)
+
+
+_METER_CLASSES = {
+    cls.__name__: cls
+    for cls in (AverageMeter, SumMeter, TimeMeter, StopwatchMeter)
+}
