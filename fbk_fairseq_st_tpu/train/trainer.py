@@ -84,27 +84,21 @@ class Trainer:
         use_tp = self.mesh.shape.get("model", 1) > 1
         from ..parallel.mesh import param_sharding
 
-        p_shard = param_sharding(self.mesh, variables["params"], use_tp=use_tp)
+        self._param_shard = param_sharding(
+            self.mesh, variables["params"], use_tp=use_tp
+        )
+        self._opt_shard = self._opt_state_sharding(
+            opt_state, variables["params"], self._param_shard
+        )
         self.train_state["params"] = jax.device_put(
-            self.train_state["params"], p_shard
+            self.train_state["params"], self._param_shard
         )
         self.train_state["model_state"] = jax.device_put(
             self.train_state["model_state"], replicated(self.mesh)
         )
-        if use_tp:
-            # optimizer moment trees mirror the param tree; shard any leaf
-            # whose shape matches its param's
-            def opt_spec(leaf):
-                return replicated(self.mesh)
-
-            self.train_state["opt_state"] = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, replicated(self.mesh)),
-                self.train_state["opt_state"],
-            )
-        else:
-            self.train_state["opt_state"] = jax.device_put(
-                self.train_state["opt_state"], replicated(self.mesh)
-            )
+        self.train_state["opt_state"] = jax.device_put(
+            self.train_state["opt_state"], self._opt_shard
+        )
 
         self._num_updates = 0
         self.clip_norm = getattr(args, "clip_norm", 0.0) or 0.0
@@ -152,6 +146,39 @@ class Trainer:
 
         self.lr_scheduler.step_update(0)
         metrics.log_start_time("wall", priority=790, round=0)
+
+    def _opt_state_sharding(self, opt_state, params, p_shard):
+        """Sharding tree for the optimizer state: moment trees (adam mu/nu,
+        etc.) mirror the param tree, so any opt-state leaf whose path ends
+        with a param's path and matches its shape inherits that param's TP
+        sharding; everything else (step counters, factored adafactor stats)
+        is replicated. Matches Megatron's partition-per-rank optimizer state
+        (reference model_parallel/megatron_trainer.py:26-62) without
+        explicit per-rank checkpoint files."""
+        from ..parallel.mesh import _path_str
+
+        flat_params = jax.tree_util.tree_leaves_with_path(params)
+        flat_shard = jax.tree_util.tree_leaves(
+            p_shard, is_leaf=lambda x: hasattr(x, "spec")
+        )
+        entries = [
+            (_path_str(path), leaf.shape, sh)
+            for (path, leaf), sh in zip(flat_params, flat_shard)
+        ]
+        repl = replicated(self.mesh)
+
+        def place(path, leaf):
+            if not hasattr(leaf, "shape"):
+                return repl
+            s = _path_str(path)
+            for p_str, shape, sh in entries:
+                if leaf.shape == shape and (
+                    s == p_str or s.endswith("/" + p_str)
+                ):
+                    return sh
+            return repl
+
+        return jax.tree_util.tree_map_with_path(place, opt_state)
 
     # ------------------------------------------------------------------
     # jitted bodies
@@ -509,14 +536,20 @@ class Trainer:
         reset_lr_scheduler: bool = False,
     ) -> None:
         new_state = dict(self.train_state)
-        new_state["params"] = state["params"]
-        new_state["model_state"] = state["model_state"]
+        # restore with the SAME placements as at init: params keep their TP
+        # sharding and the optimizer moments theirs — re-placing everything
+        # replicated would silently drop TP sharding on resume
+        new_state["params"] = jax.device_put(state["params"], self._param_shard)
+        new_state["model_state"] = jax.device_put(
+            state["model_state"], replicated(self.mesh)
+        )
         if not reset_optimizer and state.get("opt_state") is not None:
-            new_state["opt_state"] = jax.tree_util.tree_map(
+            restored = jax.tree_util.tree_map(
                 lambda ref, v: jnp.asarray(v), self.train_state["opt_state"],
                 state["opt_state"],
             )
-        self.train_state = jax.device_put(new_state, replicated(self.mesh))
+            new_state["opt_state"] = jax.device_put(restored, self._opt_shard)
+        self.train_state = new_state
         if not reset_lr_scheduler and state.get("lr_scheduler") is not None:
             self.lr_scheduler.load_state_dict(state["lr_scheduler"])
         self.set_num_updates(state.get("num_updates", 0))

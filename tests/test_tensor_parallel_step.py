@@ -130,3 +130,51 @@ def test_tp_step_matches_unsharded(model_parallel):
         )
         checked += 1
     assert checked > 20
+
+
+def test_tp_resume_preserves_sharding_and_step_equivalence():
+    """Checkpoint save -> fresh trainer -> load -> step under TP=2 must (a)
+    keep the Megatron param/optimizer shardings (a resume must not silently
+    fall back to replicated) and (b) produce the same params as the
+    uninterrupted run."""
+    sample = _sample()
+    cont = _build(2)
+    cont.train_step([copy.deepcopy(sample)])
+    saved = cont.state_for_checkpoint()
+
+    resumed = _build(2)
+    resumed.load_trainer_state(saved)
+    assert resumed.get_num_updates() == cont.get_num_updates()
+
+    # (a) shardings preserved: every param/opt leaf sits where init put it
+    for tree, shard_tree in (
+        (resumed.train_state["params"], resumed._param_shard),
+        (resumed.train_state["opt_state"], resumed._opt_shard),
+    ):
+        leaves = jax.tree_util.tree_leaves(tree)
+        shards = jax.tree_util.tree_leaves(
+            shard_tree, is_leaf=lambda x: hasattr(x, "spec")
+        )
+        assert len(leaves) == len(shards)
+        n_tp_sharded = 0
+        for leaf, want in zip(leaves, shards):
+            assert leaf.sharding.is_equivalent_to(want, leaf.ndim)
+            if any(d == "model" for d in want.spec):
+                n_tp_sharded += 1
+        if tree is resumed.train_state["params"]:
+            assert n_tp_sharded > 5  # TP rules actually applied
+
+    # (b) one more step on both: bit-for-bit state equivalence
+    sample2 = _sample(seed=1)
+    cont.train_step([copy.deepcopy(sample2)])
+    resumed.train_step([copy.deepcopy(sample2)])
+    flat_a = jax.tree_util.tree_leaves_with_path(cont.train_state["params"])
+    flat_b = dict(
+        jax.tree_util.tree_leaves_with_path(resumed.train_state["params"])
+    )
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(leaf)),
+            np.asarray(jax.device_get(flat_b[path])),
+            err_msg=jax.tree_util.keystr(path),
+        )
