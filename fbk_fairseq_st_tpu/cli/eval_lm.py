@@ -46,6 +46,10 @@ def main(args):
         max_positions=task.max_positions(),
         ignore_invalid_inputs=True,
         required_batch_size_multiple=args.required_batch_size_multiple,
+        # exact batch-max padding (no shape bucketing): the audio conv
+        # frontend is padding-sensitive past the first BatchNorm (as in the
+        # fork), so bucket padding would change decode output vs the fork
+        bucket_shapes=False,
     ).next_epoch_itr(shuffle=False)
 
     @jax.jit

@@ -78,6 +78,10 @@ def _main(args, output_file):
         required_batch_size_multiple=args.required_batch_size_multiple,
         num_shards=args.num_shards,
         shard_id=args.shard_id,
+        # exact batch-max padding (no shape bucketing): the audio conv
+        # frontend is padding-sensitive past the first BatchNorm (as in the
+        # fork), so bucket padding would change decode output vs the fork
+        bucket_shapes=False,
     ).next_epoch_itr(shuffle=False)
     progress = progress_bar(
         itr,
