@@ -33,16 +33,32 @@ logger = logging.getLogger("fbk_fairseq_st_tpu.cli.infer")
 
 
 def add_asr_eval_argument(parser):
-    parser.add_argument("--ctc-decoding", action="store_true",
-                        help="greedy CTC decoding for encoder-only models")
-    parser.add_argument("--lexicon", help="lexicon for w2l decoder (external)")
+    parser.add_argument("--ctc-decoding", nargs="?", const="greedy",
+                        choices=["greedy", "beam"], default=None,
+                        help="CTC decoding for encoder-only models: greedy "
+                        "(best path) or beam (prefix beam search, optional "
+                        "lexicon/LM)")
+    parser.add_argument("--ctc-beam-size", type=int, default=32,
+                        help="beam width for --ctc-decoding beam")
+    parser.add_argument("--lexicon", help="wav2letter-format lexicon "
+                        "(word<TAB>unit unit ...) constraining beam decodes")
+    parser.add_argument("--kenlm-model", default=None,
+                        help="KenLM model scored at word boundaries "
+                        "(optional kenlm dependency)")
+    parser.add_argument("--lm-weight", type=float, default=2.0)
+    parser.add_argument("--word-score", type=float, default=-1.0)
+    parser.add_argument("--word-boundary-unit", default="|",
+                        help="dictionary unit delimiting words for the "
+                        "lexicon decoder (wav2letter convention)")
     parser.add_argument("--kspmodel", default=None, help="sentence piece model")
     parser.add_argument("--wfstlm", default=None, help="wfstlm on dictonary output units")
     parser.add_argument("--rnnt_decoding_type", default="greedy")
     parser.add_argument("--rnnt_len_penalty", default=-0.5)
     parser.add_argument("--w2l-decoder", choices=["viterbi", "kenlm"],
-                        help="use a w2l decoder (requires external wav2letter "
-                        "bindings; documented external dependency)")
+                        help="w2l-style decoders, implemented natively: "
+                        "viterbi = CTC best path; kenlm = lexicon-constrained "
+                        "prefix beam search with a KenLM word LM (reference "
+                        "w2l_decoder.py:84,:112)")
     return parser
 
 
@@ -106,12 +122,16 @@ def main(args):
     )
     tgt_dict = task.target_dictionary
 
-    if getattr(args, "w2l_decoder", None):
-        raise NotImplementedError(
-            "w2l decoders require external wav2letter bindings (documented "
-            "external dependency, reference w2l_decoder.py); use default "
-            "beam decoding or --ctc-decoding instead"
-        )
+    # w2l-style decoders map onto the native CTC decoders: Viterbi over
+    # pure-CTC emissions IS the best-path (greedy) decode; kenlm is the
+    # lexicon-constrained prefix beam search (generation/ctc_decoder.py)
+    w2l = getattr(args, "w2l_decoder", None)
+    if w2l == "viterbi" and not args.ctc_decoding:
+        args.ctc_decoding = "greedy"
+    elif w2l == "kenlm":
+        args.ctc_decoding = "beam"
+        if not args.lexicon:
+            raise ValueError("--w2l-decoder kenlm requires --lexicon")
 
     itr = task.get_batch_iterator(
         dataset=task.dataset(args.gen_subset),
@@ -128,7 +148,7 @@ def main(args):
 
     gen_timer = StopwatchMeter()
 
-    def build_ctc_decoder():
+    def build_ctc_decoder(mode: str):
         import jax
         import jax.numpy as jnp
 
@@ -137,7 +157,31 @@ def main(args):
         model, variables = models[0]
         blank = tgt_dict.index("<ctc_blank>")
 
-        def generate(models_, sample, prefix_tokens=None, **kw):
+        beam_decoder = None
+        if mode == "beam":
+            from ..generation.ctc_decoder import (
+                CTCPrefixBeamDecoder,
+                KenLMWordLM,
+                LexiconTrie,
+            )
+
+            trie = None
+            boundary = None
+            if args.lexicon:
+                trie = LexiconTrie.from_lexicon_file(args.lexicon, tgt_dict)
+                boundary = tgt_dict.index(args.word_boundary_unit)
+            lm = KenLMWordLM(args.kenlm_model) if args.kenlm_model else None
+            beam_decoder = CTCPrefixBeamDecoder(
+                blank=blank,
+                beam_size=args.ctc_beam_size,
+                trie=trie,
+                lm=lm,
+                lm_weight=args.lm_weight,
+                word_score=args.word_score,
+                word_boundary=boundary,
+            )
+
+        def _emissions(sample):
             enc, _ = model.encode(
                 variables,
                 jnp.asarray(sample["net_input"]["src_tokens"]),
@@ -147,6 +191,10 @@ def main(args):
             lengths = (
                 enc.ctc_lengths if enc.ctc_lengths is not None else enc.src_lengths
             )
+            return logits, lengths
+
+        def generate_greedy(models_, sample, prefix_tokens=None, **kw):
+            logits, lengths = _emissions(sample)
             toks, counts = jax.device_get(
                 ctc_greedy_decode(logits, lengths, blank)
             )
@@ -163,15 +211,39 @@ def main(args):
                 )
             return out
 
+        def generate_beam(models_, sample, prefix_tokens=None, **kw):
+            from ..generation.ctc_decoder import ctc_beam_decode_batch
+
+            logits, lengths = _emissions(sample)
+            log_probs = jax.device_get(jax.nn.log_softmax(logits, axis=-1))
+            lengths = np.asarray(jax.device_get(lengths))
+            out = []
+            for hyps in ctc_beam_decode_batch(
+                log_probs, lengths, beam_decoder, n_best=args.nbest
+            ):
+                out.append(
+                    [{
+                        "tokens": h["tokens"],
+                        "score": h["score"],
+                        "positional_scores": np.zeros(
+                            len(h["tokens"]), np.float32
+                        ),
+                        "words": h.get("words"),
+                        "alignment": None,
+                        "attention": None,
+                    } for h in hyps]
+                )
+            return out
+
         class _G:
             pass
 
         g = _G()
-        g.generate = generate
+        g.generate = generate_beam if mode == "beam" else generate_greedy
         return g
 
-    if getattr(args, "ctc_decoding", False):
-        generator = build_ctc_decoder()
+    if getattr(args, "ctc_decoding", None):
+        generator = build_ctc_decoder(args.ctc_decoding)
     else:
         generator = task.build_generator(models, args)
     res_files = prepare_result_files(args)

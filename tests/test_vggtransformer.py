@@ -169,3 +169,79 @@ def test_infer_cli_sclite_outputs(tmp_path):
         assert match, f"missing {prefix} output"
         content = open(os.path.join(results, match[0])).read()
         assert "(" in content  # sclite trn format "(utt-utt)"
+
+
+def test_infer_ctc_beam_decoding(tmp_path):
+    """End-to-end --ctc-decoding {greedy,beam} through the infer CLI on a
+    CTC encoder-only model, incl. a lexicon-constrained beam decode (native
+    replacement for the reference's external w2l decoders)."""
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "ckpt")
+    create_dummy_speech_data(data_dir, n=8)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "speech_recognition", "-t", "de",
+            "--arch", "asr_vggtransformer_encoder",
+            "--criterion", "ctc_loss",
+            "--optimizer", "adadelta", "--lr", "1.0",
+            "--lr-scheduler", "fixed",
+            "--max-tokens", "400", "--max-epoch", "1",
+            "--input-feat-per-channel", "8",
+            "--vggblock-enc-config", "[(4, 3, 2, 1, True)]",
+            "--transformer-enc-config", "((16, 2, 32, True, 0.1, 0.1, 0.1),) * 2",
+            "--enc-output-dim", "16",
+            "--max-source-positions", "64", "--max-target-positions", "32",
+            "--log-format", "none",
+        ]
+    )
+    base_argv = [
+        data_dir,
+        "--task", "speech_recognition", "-t", "de",
+        "--criterion", "ctc_loss",
+        "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+        "--gen-subset", "test",
+        "--max-tokens", "400",
+        "--log-format", "none",
+    ]
+    for mode, extra in [
+        ("greedy", []),
+        ("beam", ["--ctc-beam-size", "8"]),
+    ]:
+        results = str(tmp_path / f"results_{mode}")
+        infer_cli.cli_main(
+            base_argv
+            + ["--results-path", results, "--ctc-decoding", mode]
+            + extra
+        )
+        files = os.listdir(results)
+        assert any(f.startswith("hypo.units") for f in files), (mode, files)
+
+    # lexicon-constrained beam: every hypothesis token path must follow the
+    # lexicon trie (built over dictionary symbols)
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d = Dictionary.load(os.path.join(data_dir, "dict.de.txt"))
+    syms = [d[i] for i in range(d.nspecial, min(len(d), d.nspecial + 4))]
+    lexicon = str(tmp_path / "lexicon.txt")
+    with open(lexicon, "w") as f:
+        f.write(f"w1\t{syms[0]} {syms[1]}\n")
+        f.write(f"w2\t{syms[2]}\n")
+    results = str(tmp_path / "results_lex")
+    infer_cli.cli_main(
+        base_argv
+        + [
+            "--results-path", results,
+            "--w2l-decoder", "kenlm",  # kenlm model absent -> lexicon only
+            "--lexicon", lexicon,
+            "--ctc-beam-size", "8",
+            "--word-boundary-unit", syms[3],
+        ]
+    )
+    hypo_file = [
+        f for f in os.listdir(results) if f.startswith("hypo.units")
+    ][0]
+    allowed = {syms[0], syms[1], syms[2], syms[3]}
+    for line in open(os.path.join(results, hypo_file)):
+        sent = line.rsplit("(", 1)[0].split()
+        assert all(tok in allowed for tok in sent), (sent, allowed)
