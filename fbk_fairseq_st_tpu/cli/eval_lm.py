@@ -31,8 +31,23 @@ def main(args):
     if args.max_tokens is None and args.max_sentences is None:
         args.max_tokens = 36000
 
+    context_window = getattr(args, "context_window", 0) or 0
+    if context_window > 0:
+        # shrink the scored window so window + context fits the model's
+        # receptive field (reference fairseq_cli/eval_lm.py:91)
+        args.tokens_per_sample -= context_window
+
     task = TASKS[args.task].setup_task(args)
     task.load_dataset(args.gen_subset)
+    if context_window > 0:
+        from ..data.monolingual import LMContextWindowDataset
+
+        task.datasets[args.gen_subset] = LMContextWindowDataset(
+            task.dataset(args.gen_subset),
+            tokens_per_sample=args.tokens_per_sample,
+            context_window=context_window,
+            pad_idx=task.target_dictionary.pad(),
+        )
     models, _ = checkpoint_utils.load_model_ensemble(
         args.path.split(":"), task=task
     )
@@ -89,6 +104,12 @@ def main(args):
 
 def cli_main(input_args=None):
     parser = options.get_generation_parser(default_task="language_modeling")
+    group = parser.add_argument_group("LM evaluation")
+    group.add_argument(
+        "--context-window", type=int, default=0,
+        help="score each token with this many tokens of preceding context "
+        "carried across batch boundaries (reference eval_lm --context-window)",
+    )
     args = options.parse_args_and_arch(parser, input_args)
     return main(args)
 

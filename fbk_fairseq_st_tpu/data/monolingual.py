@@ -167,3 +167,75 @@ class MonolingualDataset(Dataset):
         else:
             order = np.arange(len(self), dtype=np.int64)
         return order[np.argsort(self._sizes[order], kind="mergesort")]
+
+
+class LMContextWindowDataset(Dataset):
+    """Sliding-window LM evaluation (reference
+    data/lm_context_window_dataset.py): each collated batch row is prefixed
+    with up to ``context_window`` tokens of trailing context carried over
+    from previously collated rows; context positions receive pad targets so
+    the NLL is scored only over the fresh window. The collater is stateful
+    across calls — evaluate in order, single process."""
+
+    def __init__(self, dataset, tokens_per_sample: int, context_window: int,
+                 pad_idx: int):
+        assert context_window > 0
+        self.dataset = dataset
+        self.tokens_per_sample = tokens_per_sample
+        self.context_window = context_window
+        self.pad_idx = pad_idx
+        self._carry = np.empty(0, np.int64)
+
+    def __getitem__(self, index):
+        return self.dataset[index]
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def collater(self, samples, **unused):
+        base = self.dataset.collater(samples)
+        if not base:
+            return base
+        pad = self.pad_idx
+        cw = self.context_window
+        budget = self.tokens_per_sample + cw
+
+        toks = np.asarray(base["net_input"]["src_tokens"])
+        tgt = np.asarray(base["target"])
+        lengths = np.asarray(base["net_input"]["src_lengths"]).copy()
+        bsz, tsz = toks.shape
+        out_toks = np.full((bsz, tsz + cw), pad, np.int64)
+        out_tgt = np.full((bsz, tsz + cw), pad, np.int64)
+        starts = np.zeros(bsz, np.int64)
+        for i in range(bsz):
+            row_len = int((toks[i] != pad).sum())
+            # trim carried context so context + sample fits the budget
+            overflow = len(self._carry) + row_len - budget
+            if overflow > 0:
+                self._carry = self._carry[overflow:]
+            c = len(self._carry)
+            out_toks[i, :c] = self._carry
+            out_toks[i, c:c + tsz] = toks[i]
+            out_tgt[i, c:c + tsz] = tgt[i]
+            starts[i] = c
+            lengths[i] += c
+            row = out_toks[i]
+            self._carry = row[row != pad][-cw:].astype(np.int64)
+        base["net_input"]["src_tokens"] = out_toks
+        base["net_input"]["src_lengths"] = lengths
+        base["target"] = out_tgt
+        base["start_indices"] = starts
+        return base
+
+    def num_tokens(self, index):
+        return self.dataset.num_tokens(index)
+
+    def size(self, index):
+        return self.dataset.size(index)
+
+    @property
+    def sizes(self):
+        return self.dataset.sizes
+
+    def ordered_indices(self):
+        return self.dataset.ordered_indices()

@@ -23,3 +23,36 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+
+# ---------------------------------------------------------------------------
+# quick smoke subset: `pytest -m quick` gives a ~2-3 minute broad signal on
+# this 1-CPU box (full suite is ~35 min). Modules chosen to touch every
+# layer: data IO, metrics, generation, CTC decode, and one real
+# preprocess->train->generate CLI pass.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+QUICK_MODULES = {
+    "test_dictionary",
+    "test_indexed_dataset",
+    "test_metrics_meters",
+    "test_ctc_beam_decoder",
+    "test_ops",
+    "test_sequence_generator",
+    "test_cli_tools",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: fast smoke subset covering every layer"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.module.__name__.rsplit(".", 1)[-1]
+        if module in QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)

@@ -380,3 +380,87 @@ def test_adaptive_input_lm_train(tmp_path):
         ]
     )
     assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def test_lm_context_window_dataset_carries_context():
+    """Unit semantics of the sliding-window wrapper (reference
+    data/lm_context_window_dataset.py): context carried across collates,
+    targets padded outside the fresh window, budget trimming."""
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+    from fbk_fairseq_st_tpu.data.monolingual import (
+        LMContextWindowDataset,
+        MonolingualDataset,
+    )
+
+    d = Dictionary()
+    for i in range(8):
+        d.add_symbol(f"w{i}")
+    items = [
+        np.array([4, 5, 6, d.eos()]),
+        np.array([7, 8, d.eos()]),
+        np.array([9, 10, 11, d.eos()]),
+    ]
+    mono = MonolingualDataset(_Toks(items), [len(x) for x in items], d)
+    wrapped = LMContextWindowDataset(
+        mono, tokens_per_sample=8, context_window=3, pad_idx=d.pad()
+    )
+
+    b0 = wrapped.collater([wrapped[0]])
+    # first batch: no context yet
+    assert b0["start_indices"][0] == 0
+    assert b0["target"][0, : 4].tolist() == items[0].tolist()
+
+    b1 = wrapped.collater([wrapped[1]])
+    # second batch: last 3 non-pad tokens of batch 0 prepended
+    assert b1["start_indices"][0] == 3
+    # (the carry is over the shifted SOURCE row [eos, 4, 5, 6], as in the
+    # reference wrapper)
+    src = b1["net_input"]["src_tokens"][0]
+    assert src[:3].tolist() == [4, 5, 6]
+    # context positions are not scored
+    assert (b1["target"][0, :3] == d.pad()).all()
+    assert b1["target"][0, 3:6].tolist() == items[1].tolist()
+    assert b1["net_input"]["src_lengths"][0] == len(items[1]) + 3
+
+
+def test_eval_lm_context_window(tmp_path):
+    """--context-window end to end: same token count scored, finite ppl,
+    and a different (context-conditioned) NLL than the windowless run."""
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    create_lm_data(data_dir)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "language_modeling",
+            "--sample-break-mode", "eos",
+            "--tokens-per-sample", "32",
+            "--arch", "transformer_lm",
+            "--share-decoder-input-output-embed",
+            "--criterion", "cross_entropy",
+            "--optimizer", "adam", "--lr", "0.001",
+            "--lr-scheduler", "inverse_sqrt", "--warmup-updates", "4",
+            "--max-tokens", "128", "--max-epoch", "1",
+            "--decoder-layers", "2",
+            "--decoder-embed-dim", "16",
+            "--decoder-ffn-embed-dim", "32",
+            "--decoder-attention-heads", "2",
+            "--log-format", "none",
+        ]
+    )
+    base_argv = [
+        data_dir,
+        "--task", "language_modeling",
+        "--sample-break-mode", "eos",
+        "--tokens-per-sample", "32",
+        "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+        "--gen-subset", "test",
+        "--max-tokens", "128",
+        "--log-format", "none",
+    ]
+    nll_plain, total_plain = eval_lm_cli.cli_main(list(base_argv))
+    nll_ctx, total_ctx = eval_lm_cli.cli_main(
+        base_argv + ["--context-window", "8"]
+    )
+    assert total_ctx == total_plain  # same tokens scored
+    assert np.isfinite(nll_ctx)
+    assert nll_ctx != nll_plain  # context actually conditioned the scores
