@@ -122,6 +122,7 @@ def main(args):
         jax.profiler.stop_trace()
         logger.info("profiler trace written to {}".format(profile_dir))
 
+    checkpoint_utils.wait_for_async_writes()
     logger.info("done training")
 
 

@@ -235,6 +235,16 @@ def add_checkpoint_args(parser):
     group.add_argument("--patience", type=int, default=-1, metavar="N",
                        help="early stop training if valid performance doesn't "
                        "improve for N consecutive validation runs")
+    group.add_argument("--checkpoint-format", choices=["pickle", "sharded"],
+                       default="pickle",
+                       help="pickle = single-file host-gathered dict (fork-"
+                       "style tooling works on it); sharded = per-shard "
+                       "directory layout where each host writes only the "
+                       "shards it owns (the multi-chip/multi-host format)")
+    group.add_argument("--async-checkpoint", action="store_true",
+                       help="write checkpoint files on a background thread "
+                       "(device->host snapshot stays synchronous); sharded "
+                       "format only")
     return group
 
 

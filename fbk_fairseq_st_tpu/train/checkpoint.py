@@ -8,12 +8,17 @@ maximize_best_checkpoint_metric), ``load_checkpoint`` restores training state
 incl. the mid-epoch iterator position and honors the --reset-* flags
 (:118-163).
 
-Format: a single ``.pt`` file, pickled dict {args, model (params),
-model_state, opt_state, lr_scheduler, extra_state{train_iterator, val_loss,
-metrics}} — same logical layout as the reference's torch.save dict, numpy
-arrays instead of tensors. (Multi-host sharded array checkpointing via orbax
-can layer underneath; single-file keeps fork-style tooling — averaging,
-inspection — trivial.)
+Formats (--checkpoint-format):
+  * ``pickle`` (default): a single ``.pt`` file, pickled dict {args, model
+    (params), model_state, opt_state, lr_scheduler,
+    extra_state{train_iterator, val_loss, metrics}} — same logical layout
+    as the reference's torch.save dict, numpy arrays instead of tensors;
+    keeps fork-style tooling (averaging, inspection) trivial.
+  * ``sharded``: a ``.pt`` DIRECTORY of per-shard array files + manifest
+    (train/sharded_checkpoint.py) — each host writes only the shards it
+    owns, no whole-tree gather; ``--async-checkpoint`` moves the file IO to
+    a background thread. Readers (load_checkpoint_to_cpu and everything
+    above it) handle both formats transparently.
 """
 
 from __future__ import annotations
@@ -46,6 +51,10 @@ def save_state(filename: str, state: Dict[str, Any]) -> None:
 
 
 def load_checkpoint_to_cpu(path: str) -> Dict[str, Any]:
+    from .sharded_checkpoint import is_sharded_checkpoint, load_sharded
+
+    if is_sharded_checkpoint(path):
+        return load_sharded(path)
     with open(path, "rb") as f:
         return pickle.load(f)
 
@@ -58,6 +67,23 @@ class CheckpointManager:
 
 
 _manager = CheckpointManager()
+_async_writer = None
+
+
+def wait_for_async_writes() -> None:
+    """Block until any in-flight async checkpoint write lands (call before
+    reading a just-written checkpoint or at training exit)."""
+    if _async_writer is not None:
+        _async_writer.wait()
+
+
+def _remove_checkpoint(path: str) -> None:
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    elif os.path.lexists(path):
+        os.remove(path)
 
 
 def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
@@ -110,60 +136,103 @@ def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
     if _manager.best is not None:
         extra_state["best"] = _manager.best
 
-    state = {
-        "args": vars(args) if not isinstance(args, dict) else args,
-        "model": _to_numpy(trainer.params),
-        **{
-            k: _to_numpy(v) if k in ("model_state", "opt_state") else v
-            for k, v in trainer.state_for_checkpoint().items()
-            if k != "params"
-        },
-        "extra_state": extra_state,
-    }
+    sharded = getattr(args, "checkpoint_format", "pickle") == "sharded"
+    if sharded:
+        # keep device arrays as-is: each host writes only its own shards
+        state = {
+            "args": vars(args) if not isinstance(args, dict) else args,
+            "model": trainer.params,
+            "model_state": trainer.model_state,
+            "opt_state": trainer.train_state["opt_state"],
+            "lr_scheduler": trainer.lr_scheduler.state_dict(),
+            "num_updates": trainer.get_num_updates(),
+            "extra_state": extra_state,
+        }
+    else:
+        state = {
+            "args": vars(args) if not isinstance(args, dict) else args,
+            "model": _to_numpy(trainer.params),
+            **{
+                k: _to_numpy(v) if k in ("model_state", "opt_state") else v
+                for k, v in trainer.state_for_checkpoint().items()
+                if k != "params"
+            },
+            "extra_state": extra_state,
+        }
 
     checkpoints = [
         os.path.join(save_dir, fn) for fn, cond in checkpoint_conds.items() if cond
     ]
+
+    def _collect_garbage():
+        keep_interval_updates = getattr(args, "keep_interval_updates", -1)
+        if keep_interval_updates > 0:
+            found = checkpoint_paths(
+                save_dir, pattern=r"checkpoint_\d+_(\d+)\.pt"
+            )
+            for old_chk in found[keep_interval_updates:]:
+                _remove_checkpoint(old_chk)
+        keep_last_epochs = getattr(args, "keep_last_epochs", -1)
+        if keep_last_epochs > 0:
+            found = checkpoint_paths(save_dir, pattern=r"checkpoint(\d+)\.pt")
+            for old_chk in found[keep_last_epochs:]:
+                _remove_checkpoint(old_chk)
+        keep_best = getattr(args, "keep_best_checkpoints", -1)
+        if keep_best > 0:
+            found = checkpoint_paths(
+                save_dir,
+                pattern=r"checkpoint\.best_{}_(\d+\.?\d*)\.pt".format(
+                    getattr(args, "best_checkpoint_metric", "loss")
+                ),
+            )
+            if not getattr(args, "maximize_best_checkpoint_metric", False):
+                found = found[::-1]
+            for old_chk in found[keep_best:]:
+                _remove_checkpoint(old_chk)
+
     if checkpoints:
-        save_state(checkpoints[0], state)
-        for cp in checkpoints[1:]:
-            # cheap copy (reference uses PathManager.copy)
-            with open(checkpoints[0], "rb") as src, open(cp, "wb") as dst:
-                dst.write(src.read())
+        if sharded:
+            from .sharded_checkpoint import AsyncCheckpointWriter, save_sharded
+
+            if getattr(args, "async_checkpoint", False):
+                global _async_writer
+                if _async_writer is None:
+                    _async_writer = AsyncCheckpointWriter()
+                # device->host snapshot is synchronous; file IO (incl. the
+                # extra-name copies) and the retention GC run in the
+                # background once the new files exist
+                _async_writer.save(
+                    checkpoints, state, on_complete=_collect_garbage
+                )
+                logger.info(
+                    "async checkpoint save started: {} (epoch {} @ {} "
+                    "updates)".format(checkpoints[0], epoch, updates)
+                )
+                return
+            else:
+                import shutil
+
+                save_sharded(checkpoints[0], state)
+                for cp in checkpoints[1:]:
+                    if os.path.isdir(cp):
+                        shutil.rmtree(cp)
+                    elif os.path.lexists(cp):
+                        os.remove(cp)
+                    shutil.copytree(checkpoints[0], cp)
+        else:
+            save_state(checkpoints[0], state)
+            for cp in checkpoints[1:]:
+                # cheap copy (reference uses PathManager.copy)
+                with open(checkpoints[0], "rb") as src, open(cp, "wb") as dst:
+                    dst.write(src.read())
         logger.info(
             "saved checkpoint {} (epoch {} @ {} updates)".format(
                 checkpoints[0], epoch, updates
             )
         )
 
-    # retention GC
-    keep_interval_updates = getattr(args, "keep_interval_updates", -1)
-    if keep_interval_updates > 0:
-        found = checkpoint_paths(
-            save_dir, pattern=r"checkpoint_\d+_(\d+)\.pt"
-        )
-        for old_chk in found[keep_interval_updates:]:
-            if os.path.lexists(old_chk):
-                os.remove(old_chk)
-    keep_last_epochs = getattr(args, "keep_last_epochs", -1)
-    if keep_last_epochs > 0:
-        found = checkpoint_paths(save_dir, pattern=r"checkpoint(\d+)\.pt")
-        for old_chk in found[keep_last_epochs:]:
-            if os.path.lexists(old_chk):
-                os.remove(old_chk)
-    keep_best = getattr(args, "keep_best_checkpoints", -1)
-    if keep_best > 0:
-        found = checkpoint_paths(
-            save_dir,
-            pattern=r"checkpoint\.best_{}_(\d+\.?\d*)\.pt".format(
-                getattr(args, "best_checkpoint_metric", "loss")
-            ),
-        )
-        if not getattr(args, "maximize_best_checkpoint_metric", False):
-            found = found[::-1]
-        for old_chk in found[keep_best:]:
-            if os.path.lexists(old_chk):
-                os.remove(old_chk)
+    # retention GC (async saves run this from the writer thread instead)
+    _collect_garbage()
 
 
 def checkpoint_paths(path: str, pattern: str = r"checkpoint(\d+)\.pt") -> List[str]:
@@ -196,6 +265,7 @@ def load_checkpoint(args, trainer, task) -> tuple:
         checkpoint_path = os.path.join(args.save_dir, restore_file)
 
     extra_state = None
+    wait_for_async_writes()
     if os.path.exists(checkpoint_path):
         state = load_checkpoint_to_cpu(checkpoint_path)
         trainer.load_trainer_state(

@@ -1,0 +1,162 @@
+"""Sharded + async checkpointing (SURVEY §5 TPU checkpoint plan): per-shard
+files written from each array's addressable shards, manifest-driven
+reassembly, async background writes, rotation/GC over directory
+checkpoints, and end-to-end train->resume through the CLI."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from fbk_fairseq_st_tpu.train.sharded_checkpoint import (
+    AsyncCheckpointWriter,
+    is_sharded_checkpoint,
+    load_sharded,
+    save_sharded,
+)
+
+from .test_tensor_parallel_step import _build, _sample
+
+
+def _assert_tree_equal(a, b):
+    fa = jax.tree_util.tree_leaves_with_path(a)
+    fb = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(fa) == len(fb)
+    for path, leaf in fa:
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(leaf)), np.asarray(fb[path]),
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+@pytest.fixture(scope="module")
+def tp_trainer():
+    trainer = _build(2)
+    trainer.train_step([_sample()])
+    return trainer
+
+
+def test_sharded_roundtrip_preserves_tp_state(tp_trainer, tmp_path):
+    trainer = tp_trainer
+    path = str(tmp_path / "checkpoint_last.pt")
+    state = {
+        "args": {"arch": "conv_transformer"},
+        "model": trainer.params,
+        "model_state": trainer.model_state,
+        "opt_state": trainer.train_state["opt_state"],
+        "num_updates": trainer.get_num_updates(),
+    }
+    save_sharded(path, state)
+    assert is_sharded_checkpoint(path)
+
+    # TP-sharded leaves must be split across multiple shard files
+    files = os.listdir(os.path.join(path, "arrays"))
+    leaf_ids = {}
+    for f in files:
+        key, leaf_id, shard, _ = f.split(".", 3)
+        leaf_ids.setdefault((key, leaf_id), []).append(shard)
+    multi = [k for k, shards in leaf_ids.items() if len(shards) > 1]
+    assert len(multi) > 5, "expected TP-sharded leaves to produce >1 file"
+
+    loaded = load_sharded(path)
+    assert loaded["num_updates"] == trainer.get_num_updates()
+    assert loaded["args"]["arch"] == "conv_transformer"
+    _assert_tree_equal(trainer.params, loaded["model"])
+    _assert_tree_equal(trainer.train_state["opt_state"], loaded["opt_state"])
+
+
+def test_sharded_resume_step_equivalence(tp_trainer, tmp_path):
+    """Resume from a sharded checkpoint -> next step bit-identical."""
+    trainer = tp_trainer
+    path = str(tmp_path / "ckpt.pt")
+    save_sharded(
+        path,
+        {
+            "model": trainer.params,
+            "model_state": trainer.model_state,
+            "opt_state": trainer.train_state["opt_state"],
+            "lr_scheduler": trainer.lr_scheduler.state_dict(),
+            "num_updates": trainer.get_num_updates(),
+        },
+    )
+    loaded = load_sharded(path)
+    resumed = _build(2)
+    resumed.load_trainer_state(
+        {
+            "params": loaded["model"],
+            "model_state": loaded["model_state"],
+            "opt_state": loaded["opt_state"],
+            "lr_scheduler": loaded["lr_scheduler"],
+            "num_updates": loaded["num_updates"],
+        }
+    )
+    s = _sample(seed=5)
+    import copy
+
+    trainer.train_step([copy.deepcopy(s)])
+    resumed.train_step([copy.deepcopy(s)])
+    _assert_tree_equal(trainer.params, resumed.params)
+
+
+def test_async_writer_overlaps_and_is_readable(tp_trainer, tmp_path):
+    trainer = tp_trainer
+    writer = AsyncCheckpointWriter()
+    paths = [str(tmp_path / "checkpoint1.pt"), str(tmp_path / "checkpoint_last.pt")]
+    state = {"model": trainer.params, "model_state": {}, "opt_state": None,
+             "num_updates": 7}
+    writer.save(paths, state)
+    writer.wait()
+    for p in paths:
+        assert is_sharded_checkpoint(p)
+        loaded = load_sharded(p)
+        assert loaded["num_updates"] == 7
+        _assert_tree_equal(trainer.params, loaded["model"])
+    # a second save over the same names must supersede cleanly
+    writer.save(paths[:1], {"model": trainer.params, "model_state": {},
+                            "opt_state": None, "num_updates": 8})
+    writer.wait()
+    assert load_sharded(paths[0])["num_updates"] == 8
+
+
+def test_cli_train_resume_with_sharded_async(tmp_path):
+    """Real train -> resume -> generate with --checkpoint-format sharded
+    --async-checkpoint, incl. epoch-dir GC via --keep-last-epochs."""
+    from fbk_fairseq_st_tpu.cli import generate as generate_cli
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    from .test_binaries import TRAIN_ARGS, create_dummy_speech_data
+
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "ckpt")
+    create_dummy_speech_data(data_dir, n=8)
+    argv = [data_dir, "--save-dir", save_dir] + TRAIN_ARGS + [
+        "--checkpoint-format", "sharded", "--async-checkpoint",
+        "--keep-last-epochs", "1",
+    ]
+    train_cli.cli_main(argv)
+    files = os.listdir(save_dir)
+    assert "checkpoint_last.pt" in files
+    assert os.path.isdir(os.path.join(save_dir, "checkpoint_last.pt"))
+    # GC kept only the newest epoch checkpoint
+    assert "checkpoint2.pt" in files and "checkpoint1.pt" not in files
+
+    # resume one more epoch from the sharded checkpoint
+    argv3 = list(argv)
+    argv3[argv3.index("--max-epoch") + 1] = "3"
+    train_cli.cli_main(argv3)
+    assert "checkpoint3.pt" in os.listdir(save_dir)
+
+    # generate loads the sharded directory transparently
+    generate_cli.cli_main(
+        [
+            data_dir,
+            "--task", "speech_recognition",
+            "--target-lang", "de",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--beam", "2", "--max-tokens", "400",
+            "--gen-subset", "test", "--max-len-b", "8",
+            "--skip-invalid-size-inputs-valid-test",
+            "--log-format", "none", "--quiet",
+        ]
+    )
