@@ -59,6 +59,10 @@ class MaskedLMConfig(NamedTuple):
     share_input_output_embed: bool = False
     max_positions: int = 512
     padding_idx: int = 1
+    # fixed factorized sparse attention (reference
+    # sparse_transformer_sentence_encoder.py; 0 = dense)
+    sparse_stride: int = 0
+    sparse_expressivity: int = 8
 
     @property
     def layer_cfg(self) -> TransformerLayerConfig:
@@ -112,6 +116,12 @@ class MaskedLMModel(Model):
         parser.add_argument("--pooler-activation-fn", type=str)
         parser.add_argument("--encoder-normalize-before", action="store_true")
         parser.add_argument("--max-positions", type=int)
+        parser.add_argument("--sparse-attention-stride", type=int, default=0,
+                            help="enable fixed factorized sparse self-"
+                            "attention with this stride (reference "
+                            "SparseTransformerSentenceEncoder)")
+        parser.add_argument("--sparse-attention-expressivity", type=int,
+                            default=8)
 
     @classmethod
     def build_model(cls, args, task):
@@ -139,6 +149,10 @@ class MaskedLMModel(Model):
             share_input_output_embed=args.share_encoder_input_output_embed,
             max_positions=args.max_positions,
             padding_idx=d.pad(),
+            sparse_stride=getattr(args, "sparse_attention_stride", 0) or 0,
+            sparse_expressivity=getattr(
+                args, "sparse_attention_expressivity", 8
+            ),
         )
         return cls(cfg)
 
@@ -194,10 +208,22 @@ class MaskedLMModel(Model):
             x = x + embedding(p["segment_embeddings"], segment_labels, dtype)
         x = dropout(x, cfg.dropout, rng, deterministic)
         padding_mask = src_tokens == cfg.padding_idx
+        attn_mask = None
+        if cfg.sparse_stride > 0:
+            from ..ops.sparse_attention import sparse_fixed_mask
+
+            T = src_tokens.shape[1]  # static under jit: compile-time mask
+            attn_mask = jnp.asarray(
+                sparse_fixed_mask(
+                    T, T, cfg.sparse_stride, cfg.sparse_expressivity,
+                    bidirectional=True,
+                )
+            )
         for lp in p["layers"]:
             x = encoder_layer(
                 lp, cfg.layer_cfg, x,
                 key_padding_mask=padding_mask,
+                attn_mask=attn_mask,
                 rng=rng, deterministic=deterministic,
             )
         if "final_ln" in p:
