@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     cross_entropy_dualdecoder,
     cross_entropy_acc,
     cross_entropy_multi_task,
+    asg,
     ctc,
     knowledge_distillation,
     latency_augmented,

@@ -82,11 +82,19 @@ class W2lConvGluEncoderModel(Model):
         cfg = ast.literal_eval(
             getattr(args, "conv_enc_config", None) or default_conv_enc_config
         )
-        return cls(
+        model = cls(
             vocab_size=len(task.target_dictionary),
             input_feat=args.input_feat_per_channel,
             conv_enc_config=[tuple(t) for t in cfg],
         )
+        # ASG's learned transition matrix lives in the model tree (the
+        # criterion is stateless/pure here; same convention that keeps the
+        # CTC head in the encoder)
+        model.use_asg = getattr(args, "criterion", "") == "asg_loss"
+        model.asg_transitions_init = getattr(
+            args, "asg_transitions_init", 0.0
+        )
+        return model
 
     def init(self, key):
         p: Dict[str, Any] = {"convs": [], "linears": []}
@@ -117,6 +125,10 @@ class W2lConvGluEncoderModel(Model):
                 }
             )
             cur = out_c // 2
+        if getattr(self, "use_asg", False):
+            p["asg_transitions"] = self.asg_transitions_init * jnp.eye(
+                self.vocab_size, dtype=jnp.float32
+            )
         return {"params": p, "state": {}}
 
     def _forward_encoder(self, params, x, src_lengths, rng, deterministic):

@@ -370,9 +370,14 @@ class Trainer:
         batches = []
         logging_meta = {"ntokens": 0, "nsentences": 0}
         prepare = getattr(self.task, "prepare_sample", None)
+        crit_prepare = getattr(self.criterion, "prepare_sample", None)
         for sample in samples:
             if prepare is not None:
                 sample = prepare(sample, self._num_updates)
+            if crit_prepare is not None:
+                # criterion-specific host-side batch prep (e.g. ASG
+                # replabel packing) before the traced step
+                sample = crit_prepare(sample, self._num_updates)
             b = self._device_batch(sample)
             if b is None:
                 continue
@@ -477,6 +482,9 @@ class Trainer:
             self.criterion.reduce_metrics([logging_output], metrics)
 
     def valid_step(self, sample) -> Optional[Dict[str, float]]:
+        crit_prepare = getattr(self.criterion, "prepare_sample", None)
+        if crit_prepare is not None:
+            sample = crit_prepare(sample, self._num_updates)
         b = self._device_batch(sample)
         if b is None:
             return None
