@@ -333,6 +333,13 @@ class Trainer:
                 return {k: self.stage_sample(v) for k, v in sample.items()}
             return sample
         sharding = batch_sharding(self.mesh)
+        # under bf16 compute, cast float features HOST-side before the
+        # transfer: the traced step casts them to bf16 anyway (_cast_batch),
+        # so rounding earlier is numerically identical while halving the
+        # host->device bytes (the dominant cost on a tunneled/PCIe link)
+        cast_to = (
+            self.compute_dtype if self.compute_dtype == jnp.bfloat16 else None
+        )
 
         def put(x):
             if (
@@ -341,6 +348,10 @@ class Trainer:
                 and x.ndim >= 1
                 and not isinstance(x, jax.Array)
             ):
+                if cast_to is not None and np.issubdtype(
+                    np.asarray(x).dtype, np.floating
+                ):
+                    x = np.asarray(x).astype(cast_to)
                 return jax.device_put(x, sharding)
             return x
 
