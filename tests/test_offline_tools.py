@@ -1,0 +1,156 @@
+"""Offline tooling (reference scripts/count_docs, shard_docs,
+split_train_valid_docs, rm_pt, compare_namespaces, extract_phonemes)."""
+
+import json
+import os
+import pickle
+
+import pytest
+
+from fbk_fairseq_st_tpu.scripts import doc_tools
+
+
+def _write_docs(path, docs):
+    with open(path, "w") as f:
+        for i, doc in enumerate(docs):
+            if i:
+                f.write("\n")
+            for line in doc:
+                f.write(line + "\n")
+
+
+def test_doc_tools_count(tmp_path, capsys):
+    p = str(tmp_path / "corpus.txt")
+    _write_docs(p, [["a b c", "d e"], ["f"], ["g h", "i j k", "l"]])
+    doc_tools.cli_main(["count", p])
+    out = capsys.readouterr().out
+    assert "found 3 docs" in out
+    assert "average num lines per doc: 2.0" in out
+    assert "average num toks per doc: 4.0" in out
+
+
+def test_doc_tools_shard_round_robin(tmp_path):
+    p = str(tmp_path / "corpus.txt")
+    docs = [[f"doc{i} line"] for i in range(5)]
+    _write_docs(p, docs)
+    doc_tools.cli_main(["shard", p, "--num-shards", "2"])
+    shard0 = open(p + ".shard0").read()
+    shard1 = open(p + ".shard1").read()
+    assert "doc0" in shard0 and "doc2" in shard0 and "doc4" in shard0
+    assert "doc1" in shard1 and "doc3" in shard1
+    # all docs preserved across shards
+    all_docs = shard0 + shard1
+    assert all(f"doc{i}" in all_docs for i in range(5))
+
+
+def test_doc_tools_split_reservoir(tmp_path):
+    p = str(tmp_path / "corpus.txt")
+    docs = [[f"doc{i}"] for i in range(10)]
+    _write_docs(p, docs)
+    train, valid = str(tmp_path / "train"), str(tmp_path / "valid")
+    doc_tools.cli_main(["split", p, train, valid, "-k", "3", "--seed", "7"])
+    t = [b for b in open(train).read().split("\n\n") if b.strip()]
+    v = [b for b in open(valid).read().split("\n\n") if b.strip()]
+    assert len(t) == 3 and len(v) == 7
+    got = sorted(x.strip() for x in t + v)
+    assert got == sorted(f"doc{i}" for i in range(10))
+
+
+def test_prune_checkpoints(tmp_path):
+    from fbk_fairseq_st_tpu.scripts import prune_checkpoints
+
+    run = tmp_path / "run"
+    run.mkdir()
+    names = [
+        "checkpoint1.pt", "checkpoint2.pt", "checkpoint3.pt",
+        "checkpoint_3_300.pt", "checkpoint_best.pt", "checkpoint_last.pt",
+        "unrelated.txt",
+    ]
+    for n in names:
+        (run / n).write_bytes(b"x")
+    # sharded checkpoint directory is handled too
+    (run / "checkpoint4.pt").mkdir()
+    (run / "checkpoint4.pt" / "meta.pkl").write_bytes(b"x")
+
+    # dry run deletes nothing
+    prune_checkpoints.cli_main([str(run), "--save-last", "1"])
+    assert (run / "checkpoint1.pt").exists()
+
+    prune_checkpoints.cli_main([str(run), "--save-last", "1", "--yes"])
+    left = sorted(os.listdir(run))
+    # epoch and update numbers share one ordering (reference semantics), so
+    # update 300 outranks epoch 4; the sharded checkpoint4.pt DIRECTORY was
+    # deleted like a file
+    assert left == [
+        "checkpoint_3_300.pt", "checkpoint_best.pt", "checkpoint_last.pt",
+        "unrelated.txt",
+    ]
+
+
+def test_compare_namespaces(tmp_path, capsys):
+    from fbk_fairseq_st_tpu.scripts import compare_namespaces
+
+    a = str(tmp_path / "a.pt")
+    b = str(tmp_path / "b.pt")
+    with open(a, "wb") as f:
+        pickle.dump({"args": {"lr": 0.1, "arch": "x", "only_a": 1}}, f)
+    with open(b, "wb") as f:
+        pickle.dump({"args": {"lr": 0.2, "arch": "x", "only_b": 2}}, f)
+    compare_namespaces.cli_main([a, b])
+    out = capsys.readouterr().out
+    assert "only_a\t1" in out
+    assert "only_b\t2" in out
+    assert "lr\t0.1\t0.2" in out
+    assert "arch" not in out.split("different values:")[1].split("\n\n")[0] \
+        or "arch" not in out  # equal keys are not listed
+
+
+def test_extract_phonemes(tmp_path, capsys):
+    yaml = pytest.importorskip("yaml")
+    from fbk_fairseq_st_tpu.scripts import extract_phonemes
+
+    lexdict = str(tmp_path / "lex.txt")
+    with open(lexdict, "w") as f:
+        f.write("HELLO 1 HH AH L OW\n")
+        f.write("A 1 AH\n")
+
+    jdir = tmp_path / "gentle"
+    jdir.mkdir()
+    words = [
+        {
+            "case": "success", "word": "hello", "start": 10.0, "end": 10.4,
+            "phones": [
+                {"phone": "hh_B", "duration": 0.1},
+                {"phone": "ah_I", "duration": 0.1},
+                {"phone": "l_I", "duration": 0.1},
+                {"phone": "ow_E", "duration": 0.1},
+            ],
+        },
+        {"case": "not-found-in-audio", "word": "a"},
+        {
+            "case": "success", "word": "hello", "start": 10.8, "end": 11.2,
+            "phones": [
+                {"phone": "hh_B", "duration": 0.2},
+                {"phone": "ow_E", "duration": 0.2},
+            ],
+        },
+    ]
+    (jdir / "talk1.json").write_text(json.dumps({"words": words}))
+
+    seg = str(tmp_path / "segments.yaml")
+    with open(seg, "w") as f:
+        yaml.safe_dump(
+            [{"wav": "talk1.wav", "offset": 10.0, "duration": 1.5}], f
+        )
+
+    prefix = str(tmp_path / "out")
+    extract_phonemes.cli_main([lexdict, seg, str(jdir), prefix])
+    ph = open(prefix + ".ph").read().strip().split()
+    # aligned word 1, lexicon fallback for the unaligned word, aligned word 2
+    assert ph == [
+        "hh_B", "ah_I", "l_I", "ow_E", "AH_S", "hh_B", "ow_E",
+    ]
+    times = open(prefix + ".ph_times").read().strip().split()
+    assert len(times) == len(ph)
+    # the unaligned word's offsets are the "last/next" interval form
+    assert "/" in times[4]
