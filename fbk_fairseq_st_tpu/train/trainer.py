@@ -333,31 +333,36 @@ class Trainer:
                 return {k: self.stage_sample(v) for k, v in sample.items()}
             return sample
         sharding = batch_sharding(self.mesh)
-        # under bf16 compute, cast float features HOST-side before the
-        # transfer: the traced step casts them to bf16 anyway (_cast_batch),
-        # so rounding earlier is numerically identical while halving the
-        # host->device bytes (the dominant cost on a tunneled/PCIe link)
-        cast_to = (
+        # under bf16 compute, cast float FEATURES host-side before the
+        # transfer: the traced step casts exactly these keys to bf16 anyway
+        # (_cast_batch: src_tokens/source), so rounding earlier is
+        # numerically identical while halving the host->device bytes (the
+        # dominant cost on a tunneled/PCIe link). Other float payloads
+        # (e.g. KD teacher probabilities) keep their dtype.
+        cast_feature = (
             self.compute_dtype if self.compute_dtype == jnp.bfloat16 else None
         )
 
-        def put(x):
+        def put(x, is_feature=False):
             if (
                 x is not None
                 and hasattr(x, "ndim")
                 and x.ndim >= 1
                 and not isinstance(x, jax.Array)
             ):
-                if cast_to is not None and np.issubdtype(
-                    np.asarray(x).dtype, np.floating
+                if (
+                    is_feature
+                    and cast_feature is not None
+                    and np.issubdtype(np.asarray(x).dtype, np.floating)
                 ):
-                    x = np.asarray(x).astype(cast_to)
+                    x = np.asarray(x).astype(cast_feature)
                 return jax.device_put(x, sharding)
             return x
 
         staged = dict(sample)
         staged["net_input"] = {
-            k: put(v) for k, v in sample["net_input"].items()
+            k: put(v, is_feature=k in ("src_tokens", "source"))
+            for k, v in sample["net_input"].items()
         }
         for k, v in sample.items():
             if k in ("net_input", "id", "ntokens", "nsentences"):
