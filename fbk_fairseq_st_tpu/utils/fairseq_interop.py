@@ -374,3 +374,90 @@ def import_fairseq_checkpoint(
         len(report["unused"]), len(report["missing"]),
     )
     return report
+
+
+# ---------------------------------------------------------------------------
+# export: framework checkpoint -> fork torch layout
+# ---------------------------------------------------------------------------
+
+
+def _invert(name: str, arr: np.ndarray) -> np.ndarray:
+    """Our array layout -> the fork's (inverse of ``_convert``)."""
+    arr = np.asarray(arr)
+    if name.endswith(_NO_TRANSPOSE_SUFFIX):
+        return arr
+    if arr.ndim == 2 and name.endswith("weight"):
+        return arr.T  # (in, out) -> nn.Linear (out, in)
+    if arr.ndim == 4:
+        return arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+    return arr
+
+
+def export_parameters(variables) -> Dict[str, np.ndarray]:
+    """Flatten params + mutable state into a fork-named state_dict."""
+    import jax
+
+    out: Dict[str, np.ndarray] = {}
+    for tree in (variables.get("params"), variables.get("state")):
+        if tree is None:
+            continue
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            parts = []
+            for p in path:
+                if hasattr(p, "key"):
+                    parts.append(str(p.key))
+                elif hasattr(p, "idx"):
+                    parts.append(str(p.idx))
+                else:
+                    parts.append(str(p))
+            name = translate_path(parts)
+            if name is None:
+                continue
+            if name.endswith("embed_out"):
+                # canonical fork name for a separate output projection
+                name = name[: -len("embed_out")] + "output_projection.weight"
+            out[name] = _invert(name, np.asarray(jax.device_get(leaf)))
+    return out
+
+
+def export_fairseq_checkpoint(input_path: str, output_path: str) -> int:
+    """Convert a framework checkpoint into a fork-layout torch ``.pt``
+    (inverse of import_fairseq_checkpoint). Returns the tensor count.
+
+    The fork's own bookkeeping buffers (``*.version``,
+    ``embed_positions._float_tensor``, BN ``num_batches_tracked``) are not
+    emitted — load on the fork side with strict=False, as the fork itself
+    does for cross-vintage checkpoints.
+    """
+    import argparse
+
+    import torch
+
+    from ..train.checkpoint import load_checkpoint_to_cpu
+
+    state = load_checkpoint_to_cpu(input_path)
+    variables = {
+        "params": state["model"],
+        "state": state.get("model_state") or {},
+    }
+    model_sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_parameters(variables).items()
+    }
+    args = state.get("args") or {}
+    torch.save(
+        {
+            "args": argparse.Namespace(**args)
+            if isinstance(args, dict)
+            else args,
+            "model": model_sd,
+            "optimizer_history": [],
+            "extra_state": dict(state.get("extra_state") or {}),
+        },
+        output_path,
+    )
+    logger.info(
+        "exported %s -> %s (%d tensors)", input_path, output_path,
+        len(model_sd),
+    )
+    return len(model_sd)

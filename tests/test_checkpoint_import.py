@@ -210,3 +210,35 @@ def test_import_reports_ctc_head_migration(fork_checkpoint, tmp_path):
         np.asarray(state["criterion"]["ctc_aware_model.fc_out.weight"]).T,
         rtol=1e-6,
     )
+
+
+def test_export_round_trip_bitwise(fork_checkpoint, tmp_path):
+    """fork .pt -> import -> export -> every original fork tensor comes
+    back bit-identical (transpose/layout inversions are exact)."""
+    import torch
+
+    _, fork_ckpt, ref_model, _ = fork_checkpoint
+
+    from fbk_fairseq_st_tpu.cli import export_fairseq_checkpoint as export_cli
+    from fbk_fairseq_st_tpu.cli import import_fairseq_checkpoint as import_cli
+
+    mid = str(tmp_path / "framework.pt")
+    out = str(tmp_path / "roundtrip.pt")
+    import_cli.cli_main([fork_ckpt, mid])
+    export_cli.cli_main([mid, out])
+
+    original = torch.load(fork_ckpt, map_location="cpu", weights_only=False)
+    restored = torch.load(out, map_location="cpu", weights_only=False)
+    skip = ("version", "_float_tensor", "num_batches_tracked")
+    checked = 0
+    for key, val in original["model"].items():
+        if key.endswith(skip):
+            continue
+        assert key in restored["model"], key
+        np.testing.assert_array_equal(
+            val.numpy(), restored["model"][key].numpy(), err_msg=key
+        )
+        checked += 1
+    assert checked > 40
+    # args survive the round trip
+    assert vars(restored["args"])["arch"] == "conv_transformer"
