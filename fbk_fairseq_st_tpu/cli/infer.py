@@ -132,6 +132,11 @@ def main(args):
         args.ctc_decoding = "beam"
         if not args.lexicon:
             raise ValueError("--w2l-decoder kenlm requires --lexicon")
+        if not args.kenlm_model:
+            raise ValueError(
+                "--w2l-decoder kenlm requires --kenlm-model (for a "
+                "lexicon-only beam use --ctc-decoding beam --lexicon ...)"
+            )
 
     itr = task.get_batch_iterator(
         dataset=task.dataset(args.gen_subset),
@@ -155,7 +160,25 @@ def main(args):
         from ..ops.ctc import ctc_greedy_decode
 
         model, variables = models[0]
-        blank = tgt_dict.index("<ctc_blank>")
+        # an ASG-trained model has no blank symbol; decode under ASG
+        # scoring (learned transitions + replabels) instead of CTC
+        asg_transitions = variables["params"].get("asg_transitions")
+        blank = (
+            tgt_dict.index("<ctc_blank>")
+            if "<ctc_blank>" in tgt_dict
+            else None
+        )
+        if blank is None and asg_transitions is None:
+            raise ValueError(
+                "--ctc-decoding needs either a <ctc_blank> symbol in the "
+                "dictionary (CTC) or a model with asg_transitions (ASG)"
+            )
+        if asg_transitions is not None and mode == "beam":
+            raise NotImplementedError(
+                "beam decoding over ASG emissions is not implemented; use "
+                "--ctc-decoding greedy / --w2l-decoder viterbi (native ASG "
+                "Viterbi with learned transitions)"
+            )
 
         beam_decoder = None
         if mode == "beam":
@@ -211,6 +234,38 @@ def main(args):
                 )
             return out
 
+        def generate_asg_viterbi(models_, sample, prefix_tokens=None, **kw):
+            from ..data.replabels import unpack_replabels
+            from ..ops.asg import asg_viterbi_decode
+
+            logits, lengths = _emissions(sample)
+            paths, scores = jax.device_get(
+                asg_viterbi_decode(logits, asg_transitions, lengths)
+            )
+            lengths = np.asarray(jax.device_get(lengths))
+            out = []
+            for i in range(paths.shape[0]):
+                path = paths[i, : lengths[i]].tolist()
+                # ASG has no blank: collapse consecutive repeats, then
+                # expand replabels (reference w2l Viterbi + post-process)
+                collapsed = [
+                    tok for j, tok in enumerate(path)
+                    if j == 0 or tok != path[j - 1]
+                ]
+                tokens = unpack_replabels(
+                    collapsed, tgt_dict, getattr(args, "max_replabel", 2)
+                )
+                out.append(
+                    [{
+                        "tokens": np.asarray(tokens, np.int64),
+                        "score": float(scores[i]),
+                        "positional_scores": np.zeros(len(tokens), np.float32),
+                        "alignment": None,
+                        "attention": None,
+                    }]
+                )
+            return out
+
         def generate_beam(models_, sample, prefix_tokens=None, **kw):
             from ..generation.ctc_decoder import ctc_beam_decode_batch
 
@@ -239,7 +294,12 @@ def main(args):
             pass
 
         g = _G()
-        g.generate = generate_beam if mode == "beam" else generate_greedy
+        if mode == "beam":
+            g.generate = generate_beam
+        elif asg_transitions is not None:
+            g.generate = generate_asg_viterbi
+        else:
+            g.generate = generate_greedy
         return g
 
     if getattr(args, "ctc_decoding", None):

@@ -116,6 +116,13 @@ class ASGCriterion(Criterion):
         out = dict(sample)
         out["asg_target"] = asg_target
         out["asg_target_lengths"] = asg_lengths
+        # keep the sample's true token count (pre-packing): the trainer
+        # normalizes gradients by sample_size, and the reference uses
+        # sample['ntokens'], not the packed length sum
+        # 0-d scalar: batch sharding only applies to rank>=1 arrays
+        out["asg_ntokens"] = np.asarray(
+            sample.get("ntokens", int(lengths.sum())), np.int64
+        )
         return out
 
     # -- traced loss ----------------------------------------------------------
@@ -124,8 +131,8 @@ class ASGCriterion(Criterion):
         (logits, _), new_state = model.forward(
             variables,
             {k: v for k, v in batch.items()
-             if k not in ("asg_target", "asg_target_lengths", "target",
-                          "target_lengths")},
+             if k not in ("asg_target", "asg_target_lengths", "asg_ntokens",
+                          "target", "target_lengths")},
             rng=rng, training=training,
         )
         transitions = variables["params"].get("asg_transitions")
@@ -144,7 +151,11 @@ class ASGCriterion(Criterion):
         )
         valid = (tgt_lengths > 0).astype(losses.dtype)
         loss = jnp.sum(losses * valid)
-        ntokens = jnp.sum(tgt_lengths)
+        ntokens = (
+            batch["asg_ntokens"]
+            if "asg_ntokens" in batch
+            else jnp.sum(tgt_lengths)
+        )
         nsentences = jnp.sum(valid)
         sample_size = (
             nsentences.astype(jnp.float32)

@@ -79,7 +79,17 @@ class LexiconTrie:
                 if not units:
                     parts = line.split()
                     word, units = parts[0], " ".join(parts[1:])
-                ids = [dictionary.index(u) for u in units.split()]
+                ids = []
+                for u in units.split():
+                    if u not in dictionary.indices:
+                        # Dictionary.index would silently return unk,
+                        # collapsing every OOV-unit word onto shared unk
+                        # edges; fail loudly like wav2letter does
+                        raise ValueError(
+                            f"lexicon unit {u!r} (word {word!r}) is not in "
+                            "the dictionary"
+                        )
+                    ids.append(dictionary.index(u))
                 trie.insert(ids, word)
         return trie
 
@@ -283,7 +293,22 @@ class CTCPrefixBeamDecoder:
 
         out = []
         finals = []
+        root = self.trie.root if self.trie is not None else None
         for b in beams.values():
+            # a beam ending exactly at a word end without a trailing
+            # boundary token still completes (and scores) that word
+            if (
+                self.trie is not None
+                and b.node is not None
+                and b.node is not root
+                and b.node.words
+            ):
+                lm_state, delta, words = self._complete_word(b, b.node)
+                b = _Beam(
+                    prefix=b.prefix, p_b=b.p_b, p_nb=b.p_nb, node=root,
+                    lm_state=lm_state, lm_score=b.lm_score + delta,
+                    words=words,
+                )
             score = b.score()
             if self.lm is not None:
                 score += self.lm_weight * self.lm.finish(b.lm_state)

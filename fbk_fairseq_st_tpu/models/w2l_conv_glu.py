@@ -32,24 +32,18 @@ default_conv_enc_config = """[
     (484, 15, 0, 0.22898),
     (532, 16, 0, 0.2450086),
     (584, 17, 0, 0.262159202),
-    (642, 18, 0, 0.28051034412),
-    (706, 19, 0, 0.30014606710912),
-    (776, 20, 0, 0.321156294844329),
-    (852, 21, 0, 0.343637235966024),
-    (936, 22, 0, 0.367691842484512),
-    (1028, 23, 0, 0.393430271458828),
-    (1130, 24, 0, 0.420970390411346),
-    (1242, 25, 0, 0.450438317792849),
-    (1366, 26, 0, 0.481969000062548),
-    (1502, 27, 0, 0.515706883926927),
-    (1652, 28, 0, 0.551806365884276),
-    (1816, 29, 0, 0.590432749300434),
-    (1996, 30, 0, 0.631763056667363),
-    (2192, 31, 0, 0.675986470833536),
-    (2408, 32, 0, 0.723305523419384),
-    (2648, 33, 0, 0.773936910010308),
-    (2912, 34, 0, 0.828112493732581),
-    (3200, 35, 0, 0.886080373440147),
+    (642, 18, 0, 0.28051034614),
+    (706, 19, 0, 0.30014607037),
+    (776, 20, 0, 0.321156295296),
+    (852, 21, 0, 0.343637235966),
+    (936, 22, 0, 0.367691842484),
+    (1028, 23, 0, 0.393430271458),
+    (1130, 24, 0, 0.42097039046),
+    (1242, 25, 0, 0.450438317792),
+    (1366, 26, 0, 0.481969000038),
+    (1502, 27, 0, 0.51570683004),
+    (1652, 28, 0, 0.551806308143),
+    (1816, 29, 0, 0.590432749713),
 ]"""
 
 
@@ -82,6 +76,16 @@ class W2lConvGluEncoderModel(Model):
         cfg = ast.literal_eval(
             getattr(args, "conv_enc_config", None) or default_conv_enc_config
         )
+        # the reference's forward asserts the conv stack preserves T
+        # (w2l_conv_glu_enc.py:141); enforce the same contract up front so
+        # src_lengths remain valid emission lengths for CTC/ASG
+        delta = sum(2 * pad - k + 1 for _, k, pad, _ in cfg)
+        if delta != 0:
+            raise ValueError(
+                "conv_enc_config must preserve sequence length "
+                f"(net length change {delta:+d} frames); the reference "
+                "model asserts this too"
+            )
         model = cls(
             vocab_size=len(task.target_dictionary),
             input_feat=args.input_feat_per_channel,

@@ -78,12 +78,9 @@ def wait_for_async_writes() -> None:
 
 
 def _remove_checkpoint(path: str) -> None:
-    if os.path.isdir(path):
-        import shutil
+    from .sharded_checkpoint import clear_path
 
-        shutil.rmtree(path)
-    elif os.path.lexists(path):
-        os.remove(path)
+    clear_path(path)
 
 
 def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
@@ -214,10 +211,7 @@ def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
 
                 save_sharded(checkpoints[0], state)
                 for cp in checkpoints[1:]:
-                    if os.path.isdir(cp):
-                        shutil.rmtree(cp)
-                    elif os.path.lexists(cp):
-                        os.remove(cp)
+                    _remove_checkpoint(cp)
                     shutil.copytree(checkpoints[0], cp)
         else:
             save_state(checkpoints[0], state)
@@ -231,8 +225,11 @@ def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
             )
         )
 
-    # retention GC (async saves run this from the writer thread instead)
-    _collect_garbage()
+    # retention GC; under async checkpointing ONLY the writer thread runs
+    # it (after its files land) — a concurrent main-thread pass would race
+    # the in-flight writer's deferred GC on the same paths
+    if not (sharded and getattr(args, "async_checkpoint", False)):
+        _collect_garbage()
 
 
 def checkpoint_paths(path: str, pattern: str = r"checkpoint(\d+)\.pt") -> List[str]:

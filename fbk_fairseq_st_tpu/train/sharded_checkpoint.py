@@ -6,14 +6,17 @@ orbax-style sharded layout without leaving the repo:
 
     <name>.pt/                  (a directory; callers keep fork-style names)
       meta.pkl                  args / scheduler / extra_state + manifest
-      arrays/<leaf>.<shard>.npy one file per addressable shard (replica 0)
+      arrays/<key>.<leaf>.<shard>.npy   one file per DISTINCT global shard
 
-Each process writes only the shards it owns (``addressable_shards`` with
-``replica_id == 0``), so a multi-host mesh never all-gathers params to save.
-The manifest records every leaf's path, shape, dtype, and each shard's
-index, so restore can assemble on any topology; placement on the *current*
-mesh is the trainer's job (``load_trainer_state`` re-places with its
-init-time shardings — see trainer.py).
+The manifest enumerates every leaf's COMPLETE global shard layout (from the
+sharding's devices_indices_map), identical on all processes; each process
+writes only the shard files it owns (addressable replica-0 shards), into a
+SHARED tmp dir with process-0-prepares / write / process-0-commits barriers
+(multihost_utils.sync_global_devices) — so a multi-host mesh saves without
+any cross-host gather and without clobbering other hosts' files. Restore
+validates that shard volumes tile each leaf exactly (no silent holes);
+placement on the *current* mesh is the trainer's job (``load_trainer_state``
+re-places with its init-time shardings — see trainer.py).
 
 Async mode snapshots device shards to host memory synchronously (that is
 the unavoidable device->host copy) and performs file IO on a background
@@ -46,18 +49,12 @@ def is_sharded_checkpoint(path: str) -> bool:
 
 
 def _flatten(tree) -> List[Tuple[str, Any]]:
-    flat = []
-    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
-        parts = []
-        for p in path:
-            if hasattr(p, "key"):
-                parts.append(str(p.key))
-            elif hasattr(p, "idx"):
-                parts.append(str(p.idx))
-            else:
-                parts.append(str(p))
-        flat.append(("/".join(parts), leaf))
-    return flat
+    from ..parallel.mesh import _path_str
+
+    return [
+        (_path_str(path), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree)
+    ]
 
 
 def _index_to_tuples(index, shape) -> Tuple[Tuple[int, int], ...]:
@@ -80,7 +77,17 @@ def save_sharded(path: str, state: Dict[str, Any], array_keys=("model", "model_s
 
 
 def _snapshot(state: Dict[str, Any], array_keys) -> Dict[str, Any]:
-    """Device->host copy of owned shards + manifest (synchronous part)."""
+    """Device->host copy of OWNED shards + the GLOBAL manifest.
+
+    The manifest enumerates every distinct shard of every leaf from the
+    array's sharding metadata (``devices_indices_map``), not just the
+    shards addressable on this process — every process therefore computes
+    the identical, complete manifest, and shard file names derive from the
+    (deterministic) sorted shard index, never from device ids. This
+    process's payload contains only the shards it owns (an addressable
+    replica-0 copy), so a multi-host save writes each shard exactly once
+    with no cross-host gather.
+    """
     manifest: Dict[str, Any] = {
         "meta": {k: v for k, v in state.items() if k not in array_keys},
         "trees": {},
@@ -101,36 +108,81 @@ def _snapshot(state: Dict[str, Any], array_keys) -> Dict[str, Any]:
                 "shards": [],
             }
             if isinstance(leaf, jax.Array) and leaf.ndim > 0:
+                # complete global shard list, identical on every process
+                index_map = leaf.sharding.devices_indices_map(leaf.shape)
+                distinct = sorted(
+                    {
+                        _index_to_tuples(idx, leaf.shape)
+                        for idx in index_map.values()
+                    }
+                )
+                shard_ids = {idx: i for i, idx in enumerate(distinct)}
+                for idx in distinct:
+                    fname = f"{key}.{leaf_id}.{shard_ids[idx]}.npy"
+                    entry["shards"].append({"index": idx, "file": fname})
+                # payload: only shards owned by this process (replica 0)
                 for shard in leaf.addressable_shards:
                     if shard.replica_id != 0:
-                        continue  # one replica writes
+                        continue
                     idx = _index_to_tuples(shard.index, leaf.shape)
-                    fname = f"{key}.{leaf_id}.{shard.device.id}.npy"
-                    entry["shards"].append({"index": idx, "file": fname})
+                    fname = f"{key}.{leaf_id}.{shard_ids[idx]}.npy"
                     shard_payload.append((fname, np.asarray(shard.data)))
             else:
                 arr = np.asarray(jax.device_get(leaf))
                 idx = tuple((0, d) for d in arr.shape)
-                fname = f"{key}.{leaf_id}.full.npy"
+                fname = f"{key}.{leaf_id}.0.npy"
                 entry["shards"].append({"index": idx, "file": fname})
-                shard_payload.append((fname, arr))
+                if jax.process_index() == 0:
+                    shard_payload.append((fname, arr))
             leaves.append(entry)
         manifest["trees"][key] = {"treedef": treedef, "leaves": leaves}
     return {"manifest": manifest, "shards": shard_payload}
 
 
+def clear_path(path: str) -> None:
+    """Remove a checkpoint file OR sharded checkpoint directory."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.lexists(path):
+        os.remove(path)
+
+
 def _write_snapshot(path: str, snapshot: Dict[str, Any]) -> None:
+    """Commit a snapshot to *path*.
+
+    Multi-process protocol (shared filesystem, orbax-style): process 0
+    prepares the shared tmp dir; after a barrier every process writes ITS
+    OWN shard files into it; after a second barrier process 0 writes the
+    manifest and atomically renames. Single-process reduces to
+    prepare/write/rename with no barriers.
+    """
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        barrier = multihost_utils.sync_global_devices
+    else:
+        def barrier(name):
+            return None
+
     tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(os.path.join(tmp, _ARRAYS), exist_ok=True)
+    is_primary = jax.process_index() == 0
+    if is_primary:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(os.path.join(tmp, _ARRAYS), exist_ok=True)
+    barrier("ckpt_tmp_ready")
     for fname, arr in snapshot["shards"]:
         np.save(os.path.join(tmp, _ARRAYS, fname), arr)
-    with open(os.path.join(tmp, _MANIFEST), "wb") as f:
-        pickle.dump(snapshot["manifest"], f, protocol=pickle.HIGHEST_PROTOCOL)
-    if os.path.exists(path):
-        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
-    os.replace(tmp, path)
+    barrier("ckpt_shards_written")
+    if is_primary:
+        with open(os.path.join(tmp, _MANIFEST), "wb") as f:
+            pickle.dump(
+                snapshot["manifest"], f, protocol=pickle.HIGHEST_PROTOCOL
+            )
+        clear_path(path)
+        os.replace(tmp, path)
+    barrier("ckpt_committed")
 
 
 def load_sharded(path: str) -> Dict[str, Any]:
@@ -146,6 +198,7 @@ def load_sharded(path: str) -> Dict[str, Any]:
         leaves = []
         for entry in tree_info["leaves"]:
             arr = np.empty(entry["shape"], np.dtype(entry["dtype"]))
+            covered = 0
             for shard in entry["shards"]:
                 data = np.load(
                     os.path.join(path, _ARRAYS, shard["file"])
@@ -155,6 +208,18 @@ def load_sharded(path: str) -> Dict[str, Any]:
                     arr = data.reshape(())
                 else:
                     arr[sl] = data
+                covered += int(
+                    np.prod([b - a for a, b in shard["index"]])
+                    if shard["index"] else 1
+                )
+            # rectangular partitions: volumes must tile the leaf exactly,
+            # so a hole (missing shard entry) cannot yield silent garbage
+            if arr.ndim > 0 and covered != arr.size:
+                raise ValueError(
+                    f"sharded checkpoint leaf {entry['path']!r} is "
+                    f"incomplete: shards cover {covered} of {arr.size} "
+                    "elements"
+                )
             leaves.append(arr)
         out[key] = jax.tree_util.tree_unflatten(tree_info["treedef"], leaves)
     return out
@@ -187,10 +252,7 @@ class AsyncCheckpointWriter:
             try:
                 _write_snapshot(paths[0], snapshot)
                 for extra in paths[1:]:
-                    if os.path.isdir(extra):
-                        shutil.rmtree(extra)
-                    elif os.path.lexists(extra):
-                        os.remove(extra)
+                    clear_path(extra)
                     shutil.copytree(paths[0], extra)
                 logger.info("async checkpoint written: %s", ", ".join(paths))
                 if on_complete is not None:

@@ -233,15 +233,9 @@ def port_parameters(
         return None
 
     def fill(path, leaf):
-        parts = []
-        for p in path:
-            if hasattr(p, "key"):
-                parts.append(str(p.key))
-            elif hasattr(p, "idx"):
-                parts.append(str(p.idx))
-            else:
-                parts.append(str(p))
-        name = translate_path(parts)
+        from ..parallel.mesh import _path_str
+
+        name = translate_path(_path_str(path).split("/"))
         src = resolve(name) if name else None
         if src is None:
             missing.append("/".join(parts) + f" (wanted {name})")
@@ -401,16 +395,10 @@ def export_parameters(variables) -> Dict[str, np.ndarray]:
     for tree in (variables.get("params"), variables.get("state")):
         if tree is None:
             continue
+        from ..parallel.mesh import _path_str
+
         for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
-            parts = []
-            for p in path:
-                if hasattr(p, "key"):
-                    parts.append(str(p.key))
-                elif hasattr(p, "idx"):
-                    parts.append(str(p.idx))
-                else:
-                    parts.append(str(p))
-            name = translate_path(parts)
+            name = translate_path(_path_str(path).split("/"))
             if name is None:
                 continue
             if name.endswith("embed_out"):

@@ -213,3 +213,57 @@ def test_w2l_asg_end_to_end(tmp_path):
         os.path.join(save_dir, "checkpoint_last.pt")
     )
     assert "asg_transitions" in state["model"]
+
+
+def test_infer_asg_viterbi_end_to_end(tmp_path):
+    """infer --w2l-decoder viterbi on an ASG model decodes through the
+    native ASG Viterbi (learned transitions + replabel unpacking) instead
+    of mislabeling it as blank-CTC."""
+    from fbk_fairseq_st_tpu.cli import infer as infer_cli
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    from .test_binaries import create_dummy_speech_data
+
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "ckpt")
+    results = str(tmp_path / "results")
+    create_dummy_speech_data(data_dir, n=8)
+    with open(os.path.join(data_dir, "dict.de.txt"), "a") as f:
+        f.write("1 1\n2 1\n| 1\n")
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "speech_recognition", "-t", "de",
+            "--arch", "asr_w2l_conv_glu_encoder",
+            "--criterion", "asg_loss",
+            "--max-replabel", "2",
+            "--optimizer", "adadelta", "--lr", "0.5",
+            "--lr-scheduler", "fixed",
+            "--max-tokens", "400", "--max-epoch", "1",
+            "--input-feat-per-channel", "8",
+            "--conv-enc-config", "[(8, 3, 1, 0.0), (8, 3, 1, 0.0)]",
+            "--max-source-positions", "64", "--max-target-positions", "32",
+            "--log-format", "none",
+        ]
+    )
+    infer_cli.cli_main(
+        [
+            data_dir,
+            "--task", "speech_recognition", "-t", "de",
+            "--criterion", "asg_loss",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--gen-subset", "test",
+            "--results-path", results,
+            "--w2l-decoder", "viterbi",
+            "--max-tokens", "400",
+            "--log-format", "none",
+        ]
+    )
+    files = os.listdir(results)
+    hypo_file = [f for f in files if f.startswith("hypo.units")][0]
+    content = open(os.path.join(results, hypo_file)).read()
+    assert "(" in content
+    # replabels must have been expanded away in the output
+    for line in content.splitlines():
+        sent = line.rsplit("(", 1)[0].split()
+        assert "1" not in sent and "2" not in sent, sent

@@ -199,3 +199,32 @@ def test_token_top_k_pruning_keeps_winner():
         blank=BLANK, beam_size=64, token_top_k=4
     ).decode(lp)
     assert pruned[0]["tokens"].tolist() == full[0]["tokens"].tolist()
+
+
+def test_lexicon_rejects_oov_units(tmp_path):
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d = Dictionary()
+    d.add_symbol("a")
+    lex = tmp_path / "lex.txt"
+    lex.write_text("word\ta zz\n")
+    with pytest.raises(ValueError, match="zz"):
+        LexiconTrie.from_lexicon_file(str(lex), d)
+
+
+def test_final_word_completes_without_trailing_boundary():
+    """A hypothesis ending exactly at a word end (no trailing '|') must
+    still record and score the word."""
+    trie = LexiconTrie()
+    trie.insert([1, 2], "ab")
+    logits = np.full((3, 5), -5.0)
+    logits[0, 1] = 5.0
+    logits[1, 2] = 5.0
+    logits[2, 0] = 5.0  # blank, no boundary emitted
+    lp = _log_softmax(logits)
+    dec = CTCPrefixBeamDecoder(
+        blank=BLANK, beam_size=16, trie=trie, word_boundary=4, word_score=0.0
+    )
+    hypos = dec.decode(lp)
+    assert hypos[0]["tokens"].tolist() == [1, 2]
+    assert hypos[0]["words"] == ["ab"]

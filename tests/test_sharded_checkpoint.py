@@ -160,3 +160,17 @@ def test_cli_train_resume_with_sharded_async(tmp_path):
             "--log-format", "none", "--quiet",
         ]
     )
+
+
+def test_load_sharded_detects_missing_shard(tp_trainer, tmp_path):
+    """Deleting a shard file must raise, never silently return np.empty
+    garbage (the manifest is global and complete; restore validates)."""
+    trainer = tp_trainer
+    path = str(tmp_path / "ck.pt")
+    save_sharded(path, {"model": trainer.params, "model_state": {},
+                        "opt_state": None})
+    arrays = os.path.join(path, "arrays")
+    victim = sorted(os.listdir(arrays))[0]
+    os.remove(os.path.join(arrays, victim))
+    with pytest.raises((FileNotFoundError, ValueError)):
+        load_sharded(path)

@@ -232,7 +232,7 @@ def test_infer_ctc_beam_decoding(tmp_path):
         base_argv
         + [
             "--results-path", results,
-            "--w2l-decoder", "kenlm",  # kenlm model absent -> lexicon only
+            "--ctc-decoding", "beam",  # lexicon-only beam (no LM)
             "--lexicon", lexicon,
             "--ctc-beam-size", "8",
             "--word-boundary-unit", syms[3],
