@@ -173,16 +173,11 @@ def main(args):
                 "--ctc-decoding needs either a <ctc_blank> symbol in the "
                 "dictionary (CTC) or a model with asg_transitions (ASG)"
             )
-        if asg_transitions is not None and mode == "beam":
-            raise NotImplementedError(
-                "beam decoding over ASG emissions is not implemented; use "
-                "--ctc-decoding greedy / --w2l-decoder viterbi (native ASG "
-                "Viterbi with learned transitions)"
-            )
 
         beam_decoder = None
         if mode == "beam":
             from ..generation.ctc_decoder import (
+                ASGBeamDecoder,
                 CTCPrefixBeamDecoder,
                 KenLMWordLM,
                 LexiconTrie,
@@ -194,15 +189,26 @@ def main(args):
                 trie = LexiconTrie.from_lexicon_file(args.lexicon, tgt_dict)
                 boundary = tgt_dict.index(args.word_boundary_unit)
             lm = KenLMWordLM(args.kenlm_model) if args.kenlm_model else None
-            beam_decoder = CTCPrefixBeamDecoder(
-                blank=blank,
-                beam_size=args.ctc_beam_size,
-                trie=trie,
-                lm=lm,
-                lm_weight=args.lm_weight,
-                word_score=args.word_score,
-                word_boundary=boundary,
-            )
+            if asg_transitions is not None:
+                beam_decoder = ASGBeamDecoder(
+                    np.asarray(jax.device_get(asg_transitions)),
+                    beam_size=args.ctc_beam_size,
+                    trie=trie,
+                    lm=lm,
+                    lm_weight=args.lm_weight,
+                    word_score=args.word_score,
+                    word_boundary=boundary,
+                )
+            else:
+                beam_decoder = CTCPrefixBeamDecoder(
+                    blank=blank,
+                    beam_size=args.ctc_beam_size,
+                    trie=trie,
+                    lm=lm,
+                    lm_weight=args.lm_weight,
+                    word_score=args.word_score,
+                    word_boundary=boundary,
+                )
 
         def _emissions(sample):
             enc, _ = model.encode(
@@ -270,12 +276,28 @@ def main(args):
             from ..generation.ctc_decoder import ctc_beam_decode_batch
 
             logits, lengths = _emissions(sample)
-            log_probs = jax.device_get(jax.nn.log_softmax(logits, axis=-1))
+            if asg_transitions is not None:
+                # ASG scores are unnormalized; no softmax. Replabels stay
+                # packed through the search and are expanded afterwards.
+                scores = jax.device_get(logits)
+            else:
+                scores = jax.device_get(jax.nn.log_softmax(logits, axis=-1))
             lengths = np.asarray(jax.device_get(lengths))
             out = []
             for hyps in ctc_beam_decode_batch(
-                log_probs, lengths, beam_decoder, n_best=args.nbest
+                scores, lengths, beam_decoder, n_best=args.nbest
             ):
+                if asg_transitions is not None:
+                    from ..data.replabels import unpack_replabels
+
+                    for h in hyps:
+                        h["tokens"] = np.asarray(
+                            unpack_replabels(
+                                h["tokens"].tolist(), tgt_dict,
+                                getattr(args, "max_replabel", 2),
+                            ),
+                            np.int64,
+                        )
                 out.append(
                     [{
                         "tokens": h["tokens"],

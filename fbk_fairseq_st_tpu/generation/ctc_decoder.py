@@ -399,3 +399,192 @@ def ctc_beam_decode_batch(
         decoder.decode(log_probs[i], int(lengths[i]), n_best=n_best)
         for i in range(log_probs.shape[0])
     ]
+
+
+# ---------------------------------------------------------------------------
+# ASG beam search (best path over emissions + transitions; no blank)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _ASGBeam:
+    prefix: Tuple[int, ...] = ()
+    score: float = 0.0  # best-path score (max semiring, as wav2letter)
+    node: Optional[TrieNode] = None
+    lm_state: object = None
+    lm_score: float = 0.0
+    words: Tuple[str, ...] = ()
+
+    def total(self) -> float:
+        return self.score + self.lm_score
+
+
+class ASGBeamDecoder:
+    """Lexicon/LM beam search over ASG emissions (the last piece of the
+    reference's W2lKenLMDecoder surface, w2l_decoder.py:112, for
+    ASG-trained models).
+
+    ASG has no blank: at every frame a beam either STAYS on its last label
+    (``em[t, l] + trans[l, l]``, repeats collapse into one output token) or
+    EXTENDS with a new label (``em[t, c] + trans[c, l]``). Scoring is the
+    max semiring (best path), matching wav2letter's ASG decoder, unlike
+    the CTC prefix decoder's summed marginals. The lexicon trie, word
+    boundary and word-LM semantics are shared with CTCPrefixBeamDecoder.
+    Replabels are NOT unpacked here — they are dictionary units like any
+    other; unpack with data/replabels.py downstream.
+    """
+
+    def __init__(
+        self,
+        transitions: np.ndarray,
+        beam_size: int = 32,
+        token_top_k: int = 0,
+        trie: Optional[LexiconTrie] = None,
+        lm: Optional[WordLM] = None,
+        lm_weight: float = 2.0,
+        word_score: float = -1.0,
+        word_boundary: Optional[int] = None,
+    ):
+        self.transitions = np.asarray(transitions, np.float32)
+        self.beam_size = beam_size
+        self.token_top_k = token_top_k
+        self.trie = trie
+        self.lm = lm
+        self.lm_weight = lm_weight
+        self.word_score = word_score
+        self.word_boundary = word_boundary
+
+    def _complete(self, beam: _ASGBeam, node: TrieNode):
+        best = None
+        for word in node.words:
+            if self.lm is not None:
+                state, logp = self.lm.score(beam.lm_state, word)
+                cand = (state, self.lm_weight * logp + self.word_score,
+                        beam.words + (word,))
+            else:
+                cand = (None, self.word_score, beam.words + (word,))
+            if best is None or cand[1] > best[1]:
+                best = cand
+        return best
+
+    def decode(
+        self, emissions: np.ndarray, length: Optional[int] = None,
+        n_best: int = 1,
+    ) -> List[dict]:
+        em = np.asarray(emissions, np.float32)
+        T = int(length) if length is not None else em.shape[0]
+        V = em.shape[1]
+        trans = self.transitions
+        root = self.trie.root if self.trie is not None else None
+        lm_start = self.lm.start() if self.lm is not None else None
+
+        beams: List[_ASGBeam] = [_ASGBeam(node=root, lm_state=lm_start)]
+        for t in range(T):
+            frame = em[t]
+            if self.token_top_k > 0:
+                cand_tokens = np.argpartition(
+                    -frame, min(self.token_top_k, V - 1)
+                )[: self.token_top_k]
+            else:
+                cand_tokens = range(V)
+            nxt: Dict[Tuple, _ASGBeam] = {}
+
+            def upsert(b: _ASGBeam):
+                key = (
+                    b.prefix,
+                    id(b.node) if b.node is not None else 0,
+                    b.words,
+                )
+                cur = nxt.get(key)
+                if cur is None or b.total() > cur.total():
+                    nxt[key] = b
+
+            for beam in beams:
+                last = beam.prefix[-1] if beam.prefix else None
+                if last is not None:
+                    # stay on the current label (no new output token)
+                    upsert(
+                        _ASGBeam(
+                            prefix=beam.prefix,
+                            score=beam.score + float(frame[last])
+                            + float(trans[last, last]),
+                            node=beam.node, lm_state=beam.lm_state,
+                            lm_score=beam.lm_score, words=beam.words,
+                        )
+                    )
+                for c in cand_tokens:
+                    c = int(c)
+                    if c == last:
+                        continue  # a repeat is the stay move
+                    base = beam.score + float(frame[c]) + (
+                        float(trans[c, last]) if last is not None else 0.0
+                    )
+                    if self.trie is None:
+                        upsert(
+                            _ASGBeam(
+                                prefix=beam.prefix + (c,), score=base,
+                                lm_state=beam.lm_state,
+                                lm_score=beam.lm_score, words=beam.words,
+                            )
+                        )
+                        continue
+                    node = beam.node
+                    if (
+                        self.word_boundary is not None
+                        and c == self.word_boundary
+                    ):
+                        if (
+                            node is None or node is self.trie.root
+                            or not node.words
+                        ):
+                            continue
+                        lm_state, delta, words = self._complete(beam, node)
+                        upsert(
+                            _ASGBeam(
+                                prefix=beam.prefix + (c,), score=base,
+                                node=self.trie.root, lm_state=lm_state,
+                                lm_score=beam.lm_score + delta, words=words,
+                            )
+                        )
+                    else:
+                        child = node.children.get(c) if node else None
+                        if child is None:
+                            continue
+                        upsert(
+                            _ASGBeam(
+                                prefix=beam.prefix + (c,), score=base,
+                                node=child, lm_state=beam.lm_state,
+                                lm_score=beam.lm_score, words=beam.words,
+                            )
+                        )
+            beams = sorted(nxt.values(), key=_ASGBeam.total, reverse=True)[
+                : self.beam_size
+            ]
+
+        finals = []
+        for b in beams:
+            if (
+                self.trie is not None
+                and b.node is not None
+                and b.node is not (self.trie.root)
+                and b.node.words
+            ):
+                lm_state, delta, words = self._complete(b, b.node)
+                b = _ASGBeam(
+                    prefix=b.prefix, score=b.score, node=self.trie.root,
+                    lm_state=lm_state, lm_score=b.lm_score + delta,
+                    words=words,
+                )
+            score = b.total()
+            if self.lm is not None:
+                score += self.lm_weight * self.lm.finish(b.lm_state)
+            finals.append((score, b))
+        finals.sort(key=lambda x: x[0], reverse=True)
+        return [
+            {
+                "tokens": np.asarray(b.prefix, np.int64),
+                "score": float(score),
+                "words": list(b.words),
+            }
+            for score, b in finals[:n_best]
+        ]

@@ -267,3 +267,56 @@ def test_infer_asg_viterbi_end_to_end(tmp_path):
     for line in content.splitlines():
         sent = line.rsplit("(", 1)[0].split()
         assert "1" not in sent and "2" not in sent, sent
+
+
+def test_infer_asg_beam_end_to_end(tmp_path):
+    """--ctc-decoding beam on an ASG model runs the native ASG beam search
+    (unnormalized scores + learned transitions), unpacking replabels."""
+    from fbk_fairseq_st_tpu.cli import infer as infer_cli
+    from fbk_fairseq_st_tpu.cli import train as train_cli
+
+    from .test_binaries import create_dummy_speech_data
+
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "ckpt")
+    results = str(tmp_path / "results")
+    create_dummy_speech_data(data_dir, n=8)
+    with open(os.path.join(data_dir, "dict.de.txt"), "a") as f:
+        f.write("1 1\n2 1\n| 1\n")
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "speech_recognition", "-t", "de",
+            "--arch", "asr_w2l_conv_glu_encoder",
+            "--criterion", "asg_loss",
+            "--optimizer", "adadelta", "--lr", "0.5",
+            "--lr-scheduler", "fixed",
+            "--max-tokens", "400", "--max-epoch", "1",
+            "--input-feat-per-channel", "8",
+            "--conv-enc-config", "[(8, 3, 1, 0.0), (8, 3, 1, 0.0)]",
+            "--max-source-positions", "64", "--max-target-positions", "32",
+            "--log-format", "none",
+        ]
+    )
+    infer_cli.cli_main(
+        [
+            data_dir,
+            "--task", "speech_recognition", "-t", "de",
+            "--criterion", "asg_loss",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--gen-subset", "test",
+            "--results-path", results,
+            "--ctc-decoding", "beam",
+            "--ctc-beam-size", "8",
+            "--max-tokens", "400",
+            "--log-format", "none",
+        ]
+    )
+    hypo_file = [
+        f for f in os.listdir(results) if f.startswith("hypo.units")
+    ][0]
+    content = open(os.path.join(results, hypo_file)).read()
+    assert "(" in content
+    for line in content.splitlines():
+        sent = line.rsplit("(", 1)[0].split()
+        assert "1" not in sent and "2" not in sent, sent

@@ -228,3 +228,79 @@ def test_final_word_completes_without_trailing_boundary():
     hypos = dec.decode(lp)
     assert hypos[0]["tokens"].tolist() == [1, 2]
     assert hypos[0]["words"] == ["ab"]
+
+
+# ---------------------------------------------------------------------------
+# ASG beam search
+# ---------------------------------------------------------------------------
+
+
+def test_asg_beam_matches_viterbi_brute_force():
+    """Unconstrained ASG beam with full width == exhaustive best path
+    (emissions + transitions, max semiring)."""
+    from fbk_fairseq_st_tpu.generation.ctc_decoder import ASGBeamDecoder
+
+    rng = np.random.RandomState(2)
+    T, V = 5, 3
+    em = rng.randn(T, V).astype(np.float32)
+    trans = (rng.randn(V, V) * 0.5).astype(np.float32)
+
+    best, best_score = None, -np.inf
+    for path in itertools.product(range(V), repeat=T):
+        s = em[0, path[0]]
+        for t in range(1, T):
+            s += em[t, path[t]] + trans[path[t], path[t - 1]]
+        if s > best_score:
+            best_score = s
+            # collapse repeats: ASG output tokens are the run labels
+            best = tuple(
+                tok for j, tok in enumerate(path)
+                if j == 0 or tok != path[j - 1]
+            )
+    dec = ASGBeamDecoder(trans, beam_size=4096)
+    hypos = dec.decode(em)
+    assert tuple(hypos[0]["tokens"].tolist()) == best
+    assert hypos[0]["score"] == pytest.approx(best_score, abs=1e-5)
+
+
+def test_asg_beam_lexicon_and_lm():
+    from fbk_fairseq_st_tpu.generation.ctc_decoder import ASGBeamDecoder
+
+    V = 5  # 1=a 2=b 3=c 4=| (no blank in ASG)
+    trie = LexiconTrie()
+    trie.insert([1, 2], "ab")
+    trie.insert([3, 2], "cb")
+    trans = np.zeros((V, V), np.float32)
+    em = np.full((3, V), -5.0, np.float32)
+    em[0, 1] = 3.0
+    em[0, 3] = 2.9  # near-tie between a and c
+    em[1, 2] = 5.0
+    em[2, 4] = 5.0
+
+    dec = ASGBeamDecoder(
+        trans, beam_size=16, trie=trie, word_boundary=4, word_score=0.0
+    )
+    out = dec.decode(em)
+    assert out[0]["words"] == ["ab"]  # acoustics win without an LM
+    assert out[0]["tokens"].tolist() == [1, 2, 4]
+
+    lm = CallableWordLM(lambda hist, w: 0.0 if w == "cb" else -10.0)
+    dec_lm = ASGBeamDecoder(
+        trans, beam_size=16, trie=trie, word_boundary=4,
+        lm=lm, lm_weight=1.0, word_score=0.0,
+    )
+    assert dec_lm.decode(em)[0]["words"] == ["cb"]
+
+
+def test_asg_beam_transitions_steer_the_path():
+    """Transitions must influence decoding: boost 1->2 so the beam prefers
+    extending over staying despite equal emissions."""
+    from fbk_fairseq_st_tpu.generation.ctc_decoder import ASGBeamDecoder
+
+    V = 3
+    em = np.zeros((2, V), np.float32)  # all emissions equal
+    trans = np.zeros((V, V), np.float32)
+    trans[2, 1] = 5.0  # strong 1 -> 2
+    dec = ASGBeamDecoder(trans, beam_size=64)
+    hypos = dec.decode(em, n_best=3)
+    assert hypos[0]["tokens"].tolist() == [1, 2]
