@@ -154,3 +154,65 @@ def test_extract_phonemes(tmp_path, capsys):
     assert len(times) == len(ph)
     # the unaligned word's offsets are the "last/next" interval form
     assert "/" in times[4]
+
+
+def test_bt_tools_extract_and_dedup(tmp_path, capsys):
+    from fbk_fairseq_st_tpu.scripts import bt_tools
+
+    gen = tmp_path / "gen.out"
+    gen.write_text(
+        "S-0\tdas haus\n"
+        "H-0\t-0.1\tthe house\n"
+        "H-0\t-0.5\tthe home\n"  # second hypothesis ignored
+        "S-1\tkatze\n"
+        "H-1\t-0.2\ta very long hypothesis that breaks the ratio filter\n"
+        "S-2\thund\n"
+        "H-2\t-0.3\tdog\n"
+    )
+    out = str(tmp_path / "bt")
+    bt_tools.cli_main([
+        "extract", "--output", out, "--srclang", "en", "--tgtlang", "de",
+        "--ratio", "3.0", str(gen),
+    ])
+    src = open(out + ".en").read().splitlines()
+    tgt = open(out + ".de").read().splitlines()
+    assert src == ["the house", "dog"]
+    assert tgt == ["das haus", "hund"]
+
+    dup = tmp_path / "dup.txt"
+    dup.write_text("a\nb\na\nc\nb\n")
+    import contextlib
+    import io
+
+    buf = io.BytesIO()
+
+    class _Out:
+        buffer = buf
+
+    with contextlib.redirect_stdout(_Out()):
+        bt_tools.cli_main(["dedup", str(dup)])
+    assert buf.getvalue() == b"a\nb\nc\n"
+
+
+def test_wav2vec_manifest(tmp_path):
+    import numpy as np
+
+    from fbk_fairseq_st_tpu.scripts import wav2vec_manifest
+    from .test_asr_json import write_wav
+
+    root = tmp_path / "audio"
+    (root / "sub").mkdir(parents=True)
+    for i, n in enumerate([1600, 3200]):
+        write_wav(
+            str(root / "sub" / f"u{i}.wav"),
+            np.zeros(n, np.float32),
+        )
+    dest = str(tmp_path / "manifest")
+    wav2vec_manifest.cli_main(
+        [str(root), "--dest", dest, "--valid-percent", "0.0"]
+    )
+    lines = open(os.path.join(dest, "train.tsv")).read().splitlines()
+    assert lines[0] == str(root.resolve())
+    rows = dict(l.split("\t") for l in lines[1:])
+    assert rows["sub/u0.wav"] == "1600"
+    assert rows["sub/u1.wav"] == "3200"
