@@ -229,6 +229,11 @@ def validate_and_save(args, trainer, task, epoch_itr, valid_subsets, end_of_epoc
     )
 
     valid_losses = [None]
+    if do_validate or do_save:
+        # drain deferred logging outputs first: the NaN check runs there,
+        # so a checkpoint can never persist params from an undetected
+        # non-finite update, and saved metrics state is current
+        trainer.flush_logs()
     if do_validate:
         valid_losses = validate(args, trainer, task, epoch_itr, valid_subsets)
     if do_save:

@@ -80,27 +80,35 @@ def _chunks(itr, n):
         yield chunk
 
 
-class DevicePrefetchIterator(CountingIterator):
-    """Background-thread staging of collated batches onto the device.
+class _BackgroundIterator(CountingIterator):
+    """Queue-fed background prefetch over a (Counting)iterator, optionally
+    transforming items on the worker thread.
 
-    The host->device transfer of a batch otherwise serializes with the
-    train step (and is very expensive over slow host links); staging
-    ``lookahead`` batches ahead overlaps the DMA with compute — the
-    trainer's shard_batch then passes the already-placed arrays through.
-    This is the TPU counterpart of the reference's pin_memory +
-    non_blocking CUDA copies."""
+    The wrapped iterator's position is advanced on DELIVERY (when the
+    consumer takes an item), not on production: the worker consumes the
+    RAW underlying stream, and ``__next__`` syncs the wrapped counter to
+    the consumed count. Mid-epoch resume state and ``end_of_epoch`` read
+    that counter, so prefetched-but-untrained batches are never recorded
+    as consumed (they would otherwise be silently skipped on resume)."""
 
-    def __init__(self, iterable, stage_fn, lookahead: int = 2):
-        self._q: "queue.Queue" = queue.Queue(maxsize=max(lookahead, 1))
+    def __init__(self, iterable, size: int, transform=None):
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(size, 1))
         self._sentinel = object()
         self._err: Optional[BaseException] = None
+        self._source = iterable
         start = getattr(iterable, "n", 0)
         total = len(iterable)
+        raw = getattr(iterable, "_itr", None)
+        src = (
+            itertools.islice(raw, max(total - start, 0))
+            if raw is not None
+            else iter(iterable)
+        )
 
         def worker():
             try:
-                for item in iterable:
-                    self._q.put(stage_fn(item))
+                for item in src:
+                    self._q.put(transform(item) if transform else item)
             except BaseException as e:  # propagate to consumer
                 self._err = e
             finally:
@@ -119,6 +127,26 @@ class DevicePrefetchIterator(CountingIterator):
                 yield item
 
         super().__init__(gen(), start=start, total=total)
+
+    def __next__(self):
+        x = super().__next__()
+        if hasattr(self._source, "n"):
+            self._source.n = self.n  # delivery-time position sync
+        return x
+
+
+class DevicePrefetchIterator(_BackgroundIterator):
+    """Background-thread staging of collated batches onto the device.
+
+    The host->device transfer of a batch otherwise serializes with the
+    train step (and is very expensive over slow host links); staging
+    ``lookahead`` batches ahead overlaps the DMA with compute — the
+    trainer's shard_batch then passes the already-placed arrays through.
+    This is the TPU counterpart of the reference's pin_memory +
+    non_blocking CUDA copies."""
+
+    def __init__(self, iterable, stage_fn, lookahead: int = 2):
+        super().__init__(iterable, lookahead, transform=stage_fn)
 
 
 class ShardedIterator(CountingIterator):
@@ -140,40 +168,11 @@ class ShardedIterator(CountingIterator):
         super().__init__(itr, start=0, total=sharded_len)
 
 
-class BufferedIterator(CountingIterator):
+class BufferedIterator(_BackgroundIterator):
     """Background-thread prefetch of host-side batch collation."""
 
     def __init__(self, size: int, iterable):
-        self._q: "queue.Queue" = queue.Queue(maxsize=size)
-        self._sentinel = object()
-        self._err: Optional[BaseException] = None
-        # snapshot position BEFORE the worker starts consuming, else the
-        # prefetch thread races ahead and this wrapper looks exhausted
-        start = getattr(iterable, "n", 0)
-        total = len(iterable)
-
-        def worker():
-            try:
-                for item in iterable:
-                    self._q.put(item)
-            except BaseException as e:  # propagate to consumer
-                self._err = e
-            finally:
-                self._q.put(self._sentinel)
-
-        self._thread = threading.Thread(target=worker, daemon=True)
-        self._thread.start()
-
-        def gen():
-            while True:
-                item = self._q.get()
-                if item is self._sentinel:
-                    if self._err is not None:
-                        raise self._err
-                    return
-                yield item
-
-        super().__init__(gen(), start=start, total=total)
+        super().__init__(iterable, size)
 
 
 class EpochBatchIterator:

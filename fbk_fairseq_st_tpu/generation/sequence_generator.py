@@ -155,9 +155,6 @@ class SequenceGenerator:
         if prefix_tokens is not None:
             prefix_tokens = jnp.asarray(prefix_tokens)
 
-        if getattr(self.search, "src_lengths", "absent") is None:
-            self.search.src_lengths = batch["src_lengths"]
-
         fin = self._run(ensemble, batch, max_len, prefix_tokens, bos_token)
         return self._collect(fin, bsz, max_len)
 
@@ -169,6 +166,7 @@ class SequenceGenerator:
         has_prefix = prefix_tokens is not None
         key = (
             id(ensemble.models[0][0]),
+            id(ensemble.models[0][1]),  # variables: new weights != old fn
             max_len,
             has_prefix and tuple(prefix_tokens.shape),
             bos_token,
@@ -187,6 +185,13 @@ class SequenceGenerator:
                     )
                 )
             self._jit_cache[key] = fn
+            # bounded cache: each entry retains an XLA executable plus its
+            # closed-over model variables; long multi-shape decode runs
+            # would otherwise grow without limit
+            while len(self._jit_cache) > 16:
+                self._jit_cache.pop(next(iter(self._jit_cache)))
+        else:
+            self._jit_cache[key] = self._jit_cache.pop(key)  # LRU touch
         if has_prefix:
             return jax.device_get(self._jit_cache[key](batch, prefix_tokens))
         return jax.device_get(self._jit_cache[key](batch))
@@ -221,6 +226,12 @@ class SequenceGenerator:
         K = self.beam_size
         T = max_len + 2
         V = self.vocab_size
+
+        # length-constrained search reads per-sentence source lengths;
+        # assigning INSIDE the traced function makes them a per-call traced
+        # input (never a constant baked from the first batch)
+        if hasattr(self.search, "src_lengths") and "src_lengths" in batch:
+            self.search.src_lengths = batch["src_lengths"]
 
         if encoder_outs is None:
             encoder_outs = ensemble.forward_encoder(batch)

@@ -146,13 +146,13 @@ def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
             "extra_state": extra_state,
         }
     else:
+        fetched = trainer.state_for_checkpoint()  # ONE device->host fetch
         state = {
             "args": vars(args) if not isinstance(args, dict) else args,
-            "model": _to_numpy(trainer.params),
+            "model": _to_numpy(fetched.pop("params")),
             **{
                 k: _to_numpy(v) if k in ("model_state", "opt_state") else v
-                for k, v in trainer.state_for_checkpoint().items()
-                if k != "params"
+                for k, v in fetched.items()
             },
             "extra_state": extra_state,
         }
@@ -215,10 +215,13 @@ def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
                     shutil.copytree(checkpoints[0], cp)
         else:
             save_state(checkpoints[0], state)
+            import shutil
+
             for cp in checkpoints[1:]:
-                # cheap copy (reference uses PathManager.copy)
-                with open(checkpoints[0], "rb") as src, open(cp, "wb") as dst:
-                    dst.write(src.read())
+                # streaming copy to a tmp name + atomic rename: a crash
+                # mid-copy must never leave a truncated checkpoint_last.pt
+                shutil.copyfile(checkpoints[0], cp + ".tmp")
+                os.replace(cp + ".tmp", cp)
         logger.info(
             "saved checkpoint {} (epoch {} @ {} updates)".format(
                 checkpoints[0], epoch, updates

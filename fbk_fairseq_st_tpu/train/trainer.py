@@ -231,6 +231,14 @@ class Trainer:
         updates, new_opt_state = self.tx.update(
             grads, train_state["opt_state"], train_state["params"]
         )
+        if self._grad_mask is not None:
+            # zeroed grads are not enough: transforms like
+            # add_decayed_weights re-introduce wd*param into the update
+            # stream, which would decay "frozen" weights — mask the final
+            # updates as well (reference freeze = excluded from optimizer)
+            updates = jax.tree_util.tree_map(
+                jnp.multiply, updates, self._grad_mask
+            )
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(train_state["params"], updates)
         return (
@@ -440,7 +448,10 @@ class Trainer:
         self._pending_logs.append((logging_output, gnorm, logging_meta, batches[-1]))
         if self._num_updates % self.log_sync_interval != 0:
             metrics.log_stop_time("train_wall")
-            return None  # deferred; synced at the next boundary
+            # {} = an update WAS applied, logs deferred to the next sync
+            # boundary; None remains "no update" (empty/invalid sample) —
+            # the train loop must still run validate/save/max-update checks
+            return {}
         out = self.flush_logs()
         metrics.log_stop_time("train_wall")
         return out
