@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 import shutil
 import struct
+import itertools
 from functools import lru_cache
 from typing import Optional
 
@@ -138,7 +139,7 @@ def load_indexed_dataset(
     reference load path (fairseq/data/data_utils.py:51-96).
     """
     datasets = []
-    for k in range(100):  # itertools.count() bounded for safety
+    for k in itertools.count():  # unbounded, like the reference
         path_k = path + (str(k) if k > 0 else "")
         impl = dataset_impl or infer_dataset_impl(path_k) or default
         ds = make_dataset(
@@ -205,8 +206,14 @@ class IndexedDataset:
         if i < 0 or i >= self._len:
             raise IndexError("index out of range")
 
-    @lru_cache(maxsize=8)
     def __getitem__(self, i: int) -> np.ndarray:
+        # copy out of the lru cache: a consumer's in-place op (sort, -=)
+        # must never mutate the cached entry (reference
+        # IndexedCachedDataset copies per access)
+        return self._cached_item(i).copy()
+
+    @lru_cache(maxsize=8)
+    def _cached_item(self, i: int) -> np.ndarray:
         self.check_index(i)
         shape = tuple(self.sizes[self.dim_offsets[i]: self.dim_offsets[i + 1]])
         start = self.data_offsets[i]
@@ -257,8 +264,14 @@ class FilterBanksDataset(IndexedDataset):
         assert len(self.sizes) == len(self) * 2
         self.legacy_audio_fix_lua_indexing = legacy_audio_fix_lua_indexing
 
-    @lru_cache(maxsize=8)
     def __getitem__(self, i: int) -> np.ndarray:
+        # copy out of the lru cache: a consumer's in-place op (sort, -=)
+        # must never mutate the cached entry (reference
+        # IndexedCachedDataset copies per access)
+        return self._cached_item(i).copy()
+
+    @lru_cache(maxsize=8)
+    def _cached_item(self, i: int) -> np.ndarray:
         self.check_index(i)
         shape = tuple(self.sizes[self.dim_offsets[i]: self.dim_offsets[i + 1]])
         start = self.data_offsets[i]
@@ -378,8 +391,14 @@ class MMapIndexedDataset:
     def __len__(self) -> int:
         return self._len
 
-    @lru_cache(maxsize=8)
     def __getitem__(self, i: int) -> np.ndarray:
+        # copy out of the lru cache: a consumer's in-place op (sort, -=)
+        # must never mutate the cached entry (reference
+        # IndexedCachedDataset copies per access)
+        return self._cached_item(i).copy()
+
+    @lru_cache(maxsize=8)
+    def _cached_item(self, i: int) -> np.ndarray:
         ptr, size = int(self._pointers[i]), int(self._sizes[i])
         a = np.frombuffer(
             self._bin_buffer, dtype=self._dtype, count=size, offset=ptr

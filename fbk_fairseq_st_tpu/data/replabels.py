@@ -17,7 +17,16 @@ def pack_replabels(tokens: List[int], dictionary, max_reps: int) -> List[int]:
         return list(tokens)
     rep_idx = [0] * (max_reps + 1)
     for i in range(1, max_reps + 1):
-        rep_idx[i] = dictionary.index(replabel_symbol(i))
+        sym = replabel_symbol(i)
+        if sym not in dictionary.indices:
+            # Dictionary.index would silently return <unk>, corrupting
+            # every packed repetition; the task adds these symbols when
+            # --criterion asg_loss is set
+            raise ValueError(
+                f"replabel symbol {sym!r} is not in the dictionary; use "
+                "the speech_recognition task with --criterion asg_loss"
+            )
+        rep_idx[i] = dictionary.index(sym)
 
     out: List[int] = []
     prev = -1

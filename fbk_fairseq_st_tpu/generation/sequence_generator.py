@@ -126,8 +126,13 @@ class SequenceGenerator:
     # public API
     # ------------------------------------------------------------------
 
-    def generate(self, models, sample, prefix_tokens=None, bos_token=None, **kwargs):
+    def generate(self, models, sample, prefix_tokens=None, bos_token=None,
+                 encoder_outs=None, **kwargs):
         """models: list of (model, variables); sample: collated host batch.
+
+        ``encoder_outs``: optional precomputed, already beam-replicated
+        (B*K ordered [s0 x K, ...]) encoder outputs — lets callers (e.g.
+        the two-phase generator) encode once and share across phases.
 
         Returns, per sentence, a list of up to beam hypo dicts sorted by
         score descending: {tokens, score, positional_scores, alignment}.
@@ -155,46 +160,63 @@ class SequenceGenerator:
         if prefix_tokens is not None:
             prefix_tokens = jnp.asarray(prefix_tokens)
 
-        fin = self._run(ensemble, batch, max_len, prefix_tokens, bos_token)
+        fin = self._run(
+            ensemble, batch, max_len, prefix_tokens, bos_token,
+            encoder_outs=encoder_outs,
+        )
         return self._collect(fin, bsz, max_len)
 
     # ------------------------------------------------------------------
     # device loop
     # ------------------------------------------------------------------
 
-    def _run(self, ensemble, batch, max_len: int, prefix_tokens, bos_token=None):
-        has_prefix = prefix_tokens is not None
+    def _run(self, ensemble, batch, max_len: int, prefix_tokens,
+             bos_token=None, encoder_outs=None, init_scores=None,
+             beam_ctx=None):
+        """Dispatch to a cached jitted beam loop.
+
+        Every per-call tensor (batch, prefix, precomputed encoder outs,
+        step-0 score offsets, per-beam context) rides in the traced
+        operand dict, never in the closure — so one jit per
+        (model, variables, max_len, bos) serves every batch, and jax's own
+        per-treedef/shape caching handles the optional-operand combos."""
+        ops = {"b": batch}
+        if prefix_tokens is not None:
+            ops["p"] = prefix_tokens
+        if encoder_outs is not None:
+            ops["enc"] = encoder_outs
+        if init_scores is not None:
+            ops["init"] = jnp.asarray(init_scores)
+        if beam_ctx is not None:
+            ops["ctx"] = beam_ctx
         key = (
             id(ensemble.models[0][0]),
             id(ensemble.models[0][1]),  # variables: new weights != old fn
             max_len,
-            has_prefix and tuple(prefix_tokens.shape),
             bos_token,
         )
         if key not in self._jit_cache:
-            if has_prefix:
-                fn = jax.jit(
-                    lambda b, p: self._generate_impl(
-                        ensemble, b, max_len, p, bos_token=bos_token
-                    )
+            fn = jax.jit(
+                lambda o: self._generate_impl(
+                    ensemble,
+                    o["b"],
+                    max_len,
+                    o.get("p"),
+                    init_scores=o.get("init"),
+                    beam_ctx=o.get("ctx"),
+                    encoder_outs=o.get("enc"),
+                    bos_token=bos_token,
                 )
-            else:
-                fn = jax.jit(
-                    lambda b: self._generate_impl(
-                        ensemble, b, max_len, None, bos_token=bos_token
-                    )
-                )
+            )
             self._jit_cache[key] = fn
-            # bounded cache: each entry retains an XLA executable plus its
-            # closed-over model variables; long multi-shape decode runs
-            # would otherwise grow without limit
+            # bounded cache: each entry retains XLA executables plus their
+            # closed-over model variables; long multi-model runs would
+            # otherwise grow without limit
             while len(self._jit_cache) > 16:
                 self._jit_cache.pop(next(iter(self._jit_cache)))
         else:
             self._jit_cache[key] = self._jit_cache.pop(key)  # LRU touch
-        if has_prefix:
-            return jax.device_get(self._jit_cache[key](batch, prefix_tokens))
-        return jax.device_get(self._jit_cache[key](batch))
+        return jax.device_get(self._jit_cache[key](ops))
 
     def _generate_impl(
         self,

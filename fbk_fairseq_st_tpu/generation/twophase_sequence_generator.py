@@ -21,14 +21,14 @@ transcripts.
 
 from __future__ import annotations
 
-from typing import List
+from typing import Any, List, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import EncoderOut, reorder_encoder_out
-from .sequence_generator import SequenceGenerator
+from .sequence_generator import EnsembleModel, SequenceGenerator
 
 
 class _AuxAdapter:
@@ -49,25 +49,39 @@ class _AuxAdapter:
         return self.model.decode_aux_step(variables, tokens, cache, step, encoder_out)
 
 
-class _TgtAdapter:
-    """Target decoder with per-beam aux context for phase 2."""
+class _PackedEncOut(NamedTuple):
+    """Encoder output + teacher-forced aux-decoder features, packed so both
+    ride the standard (traced) encoder_outs path instead of being baked
+    into a closure — one compiled phase-2 executable then serves every
+    batch."""
 
-    def __init__(self, model, encoder_out, aux_out):
+    enc: Any
+    aux: Any
+
+    @property
+    def encoder_out(self):  # dtype probe in the beam loop
+        return self.enc.encoder_out
+
+
+class _TgtAdapter:
+    """Target decoder with per-beam aux context for phase 2. Stateless:
+    the packed (encoder_out, aux_features) arrives per call through the
+    encoder_outs operand."""
+
+    def __init__(self, model):
         self.model = model
         self.max_target_positions = model.decoder_cfg.max_positions
-        self._encoder_out = encoder_out
-        self._aux_out = aux_out
 
-    def init_cache(self, variables, batch, max_len, encoder_out, dtype=jnp.float32):
+    def init_cache(self, variables, batch, max_len, enc_pack, dtype=jnp.float32):
         return self.model.init_cache(
-            variables, batch, max_len, self._encoder_out, dtype,
-            aux_out=self._aux_out,
+            variables, batch, max_len, enc_pack.enc, dtype,
+            aux_out=enc_pack.aux,
         )
 
-    def decode_step(self, variables, tokens, cache, step, encoder_out,
+    def decode_step(self, variables, tokens, cache, step, enc_pack,
                     aux_padding_mask=None):
         return self.model.decode_step(
-            variables, tokens, cache, step, self._encoder_out,
+            variables, tokens, cache, step, enc_pack.enc,
             aux_padding_mask=aux_padding_mask,
         )
 
@@ -76,26 +90,12 @@ class TwoPhaseSequenceGenerator(SequenceGenerator):
     def __init__(self, src_dict, tgt_dict, **kwargs):
         super().__init__(tgt_dict, **kwargs)
         self.src_dict = src_dict
-
-    def generate(self, models, sample, prefix_tokens=None, **kwargs):
-        model, variables = models[0]
-        net_input = sample["net_input"]
-        batch = {
-            "src_tokens": jnp.asarray(net_input["src_tokens"]),
-            "src_lengths": jnp.asarray(net_input["src_lengths"]),
-        }
-        bsz = batch["src_tokens"].shape[0]
-        K = self.beam_size
-        src_len = int(batch["src_tokens"].shape[1])
-        max_len = min(
-            int(self.max_len_a * src_len + self.max_len_b),
-            model.max_target_positions - 1,
-        )
-
-        # ---- phase 1: transcripts with the auxiliary decoder ----
-        aux_gen = SequenceGenerator(
+        # phase-1 generator persists so its compiled-executable cache does;
+        # per-model aux adapters are reused for the same reason (the jit
+        # cache keys on the adapter object's identity)
+        self.aux_gen = SequenceGenerator(
             self.src_dict,
-            beam_size=K,
+            beam_size=self.beam_size,
             max_len_a=self.max_len_a,
             max_len_b=self.max_len_b,
             min_len=self.min_len,
@@ -104,9 +104,53 @@ class TwoPhaseSequenceGenerator(SequenceGenerator):
             unk_penalty=self.unk_penalty,
             temperature=self.temperature,
             no_repeat_ngram_size=self.no_repeat_ngram_size,
+            match_source_len=self.match_source_len,
             seed=self.seed,
         )
-        aux_hypos = aux_gen.generate([(_AuxAdapter(model), variables)], sample)
+        self._adapters: dict = {}
+
+    def _adapters_for(self, model):
+        key = id(model)
+        if key not in self._adapters:
+            self._adapters[key] = (_AuxAdapter(model), _TgtAdapter(model))
+        return self._adapters[key]
+
+    def generate(self, models, sample, prefix_tokens=None, **kwargs):
+        model, variables = models[0]
+        aux_adapter, tgt_adapter = self._adapters_for(model)
+        net_input = sample["net_input"]
+        batch = {
+            "src_tokens": jnp.asarray(net_input["src_tokens"]),
+            "src_lengths": jnp.asarray(net_input["src_lengths"]),
+        }
+        bsz = batch["src_tokens"].shape[0]
+        K = self.beam_size
+        src_len = int(batch["src_tokens"].shape[1])
+        if self.match_source_len:
+            max_len = int(np.max(np.asarray(net_input["src_lengths"])))
+        else:
+            max_len = min(
+                int(self.max_len_a * src_len + self.max_len_b),
+                model.max_target_positions - 1,
+            )
+        max_len = max(max_len, self.min_len)
+        if prefix_tokens is not None:
+            prefix_tokens = jnp.asarray(prefix_tokens)
+
+        # ---- encode ONCE, beam-replicate, share across both phases ----
+        enc_single = model.encode(
+            variables, batch["src_tokens"], batch["src_lengths"]
+        )[0]
+        enc_rep = reorder_encoder_out(
+            enc_single, jnp.repeat(jnp.arange(bsz), K)
+        )
+
+        # ---- phase 1: transcripts with the auxiliary decoder ----
+        aux_hypos = self.aux_gen.generate(
+            [(aux_adapter, variables)], sample,
+            prefix_tokens=prefix_tokens,
+            encoder_outs=[enc_rep],
+        )
 
         # assemble padded transcripts + scores (B, K)
         aux_len = max(
@@ -143,32 +187,18 @@ class TwoPhaseSequenceGenerator(SequenceGenerator):
         # positions beyond the hypothesis stay pad
         prev_aux = jnp.where(flat_transcripts == src_pad, src_pad, prev_aux)
 
-        enc_outs = [
-            reorder_encoder_out(e, jnp.repeat(jnp.arange(bsz), K))
-            for e in [model.encode(variables, batch["src_tokens"], batch["src_lengths"])[0]]
-        ]
-        aux_feats = model.aux_features(variables, prev_aux, enc_outs[0])
+        aux_feats = model.aux_features(variables, prev_aux, enc_rep)
         aux_padding_mask = flat_transcripts == src_pad
 
-        tgt_adapter = _TgtAdapter(model, enc_outs[0], aux_feats)
-        ensemble = _SingleEnsemble(tgt_adapter, variables, model.max_target_positions)
-
-        fin = jax.device_get(
-            jax.jit(
-                lambda b, init_scores, ctx: self._generate_impl(
-                    ensemble,
-                    b,
-                    max_len,
-                    None,
-                    init_scores=init_scores,
-                    beam_ctx=ctx,
-                    encoder_outs=enc_outs,
-                )
-            )(
-                batch,
-                jnp.asarray(aux_scores),
-                {"aux_padding_mask": aux_padding_mask},
-            )
+        ensemble = EnsembleModel([(tgt_adapter, variables)])
+        fin = self._run(
+            ensemble,
+            batch,
+            max_len,
+            prefix_tokens,
+            encoder_outs=[_PackedEncOut(enc_rep, aux_feats)],
+            init_scores=aux_scores,
+            beam_ctx={"aux_padding_mask": aux_padding_mask},
         )
         results = self._collect(fin, bsz, max_len)
         # attach the originating transcript to each hypothesis
@@ -180,32 +210,3 @@ class TwoPhaseSequenceGenerator(SequenceGenerator):
                 ]
                 h["transcript_score"] = float(aux_scores[b, min(origin, K - 1)])
         return results
-
-
-class _SingleEnsemble:
-    """EnsembleModel-compatible wrapper around one adapter model."""
-
-    def __init__(self, adapter, variables, max_positions):
-        self.models = [(adapter, variables)]
-        self._max_positions = max_positions
-
-    def max_decoder_positions(self):
-        return self._max_positions
-
-    def forward_encoder(self, batch):  # pragma: no cover - encoder precomputed
-        raise RuntimeError("phase-2 ensemble uses precomputed encoder outs")
-
-    def init_caches(self, encoder_outs, batch, max_len, dtype):
-        adapter, variables = self.models[0]
-        return [adapter.init_cache(variables, batch, max_len, encoder_outs[0], dtype)]
-
-    def forward_decoder(self, tokens, encoder_outs, caches, step, temperature=1.0,
-                        **decode_kwargs):
-        adapter, variables = self.models[0]
-        logits, new_cache, _ = adapter.decode_step(
-            variables, tokens, caches[0], step, encoder_outs[0], **decode_kwargs
-        )
-        logits = logits.astype(jnp.float32)
-        if temperature != 1.0:
-            logits = logits / temperature
-        return jax.nn.log_softmax(logits, axis=-1), [new_cache]

@@ -133,6 +133,14 @@ class SpeechRecognitionTask(Task):
         tgt_dict = Dictionary.load(dict_path)
         if getattr(args, "criterion", None) == "ctc_loss":
             tgt_dict.add_symbol("<ctc_blank>")
+        elif getattr(args, "criterion", None) == "asg_loss":
+            # replabel symbols must be dictionary entries, or packing would
+            # silently map them to <unk> (reference
+            # tasks/speech_recognition.py:168-170)
+            from ..data.replabels import replabel_symbol
+
+            for i in range(1, getattr(args, "max_replabel", 2) + 1):
+                tgt_dict.add_symbol(replabel_symbol(i))
         logger.info("dictionary: {} types".format(len(tgt_dict)))
         return cls(args, tgt_dict)
 

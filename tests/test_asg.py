@@ -186,8 +186,10 @@ def test_w2l_asg_end_to_end(tmp_path):
     save_dir = str(tmp_path / "ckpt")
     create_dummy_speech_data(data_dir, n=8)
     # ASG needs replabel symbols in the dictionary
+    # the task itself adds replabel symbols for asg_loss; only the
+    # silence token needs to exist in the corpus dictionary
     with open(os.path.join(data_dir, "dict.de.txt"), "a") as f:
-        f.write("1 1\n2 1\n| 1\n")
+        f.write("| 1\n")
     train_cli.cli_main(
         [
             data_dir, "--save-dir", save_dir,
@@ -228,8 +230,10 @@ def test_infer_asg_viterbi_end_to_end(tmp_path):
     save_dir = str(tmp_path / "ckpt")
     results = str(tmp_path / "results")
     create_dummy_speech_data(data_dir, n=8)
+    # the task itself adds replabel symbols for asg_loss; only the
+    # silence token needs to exist in the corpus dictionary
     with open(os.path.join(data_dir, "dict.de.txt"), "a") as f:
-        f.write("1 1\n2 1\n| 1\n")
+        f.write("| 1\n")
     train_cli.cli_main(
         [
             data_dir, "--save-dir", save_dir,
@@ -281,8 +285,10 @@ def test_infer_asg_beam_end_to_end(tmp_path):
     save_dir = str(tmp_path / "ckpt")
     results = str(tmp_path / "results")
     create_dummy_speech_data(data_dir, n=8)
+    # the task itself adds replabel symbols for asg_loss; only the
+    # silence token needs to exist in the corpus dictionary
     with open(os.path.join(data_dir, "dict.de.txt"), "a") as f:
-        f.write("1 1\n2 1\n| 1\n")
+        f.write("| 1\n")
     train_cli.cli_main(
         [
             data_dir, "--save-dir", save_dir,

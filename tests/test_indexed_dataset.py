@@ -122,3 +122,25 @@ def test_merge_file(tmp_path):
     ds = IndexedDataset(str(tmp_path / "m"), fix_lua_indexing=True)
     np.testing.assert_array_equal(ds[0], [9])
     np.testing.assert_array_equal(ds[1], [1, 2])
+
+
+def test_cached_getitem_returns_fresh_copies(tmp_path):
+    """In-place mutation of a returned item must not corrupt the cache
+    (reference IndexedCachedDataset copies per access)."""
+    import numpy as np
+
+    from fbk_fairseq_st_tpu.data.indexed_dataset import (
+        IndexedDataset,
+        IndexedDatasetBuilder,
+    )
+
+    prefix = str(tmp_path / "data")
+    b = IndexedDatasetBuilder(prefix + ".bin")
+    b.add_item(np.array([5, 6, 7], np.int64))
+    b.finalize(prefix + ".idx")
+    ds = IndexedDataset(prefix)
+    before = ds[0].copy()
+    item = ds[0]
+    item -= 5  # consumer mutates its copy
+    again = ds[0]
+    assert again.tolist() == before.tolist()
