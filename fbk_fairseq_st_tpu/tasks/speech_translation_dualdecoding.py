@@ -8,6 +8,20 @@ from __future__ import annotations
 from ..registry import register_task
 from .speech_translation_ctc import SpeechTranslationCTCTask
 
+# generator kwarg <- (args attribute, default): the CLI generation-args
+# contract shared with the base SequenceGenerator dispatch
+_GEN_ARG_MAP = {
+    "beam_size": ("beam", 5),
+    "max_len_a": ("max_len_a", 0),
+    "max_len_b": ("max_len_b", 200),
+    "min_len": ("min_len", 1),
+    "len_penalty": ("lenpen", 1),
+    "unk_penalty": ("unkpen", 0),
+    "temperature": ("temperature", 1.0),
+    "match_source_len": ("match_source_len", False),
+    "no_repeat_ngram_size": ("no_repeat_ngram_size", 0),
+}
+
 
 @register_task("speech_translation_dualdecoding")
 class SpeechTranslationDualDecodingTask(SpeechTranslationCTCTask):
@@ -16,17 +30,11 @@ class SpeechTranslationDualDecodingTask(SpeechTranslationCTCTask):
             TwoPhaseSequenceGenerator,
         )
 
+        kwargs = {
+            name: getattr(args, attr, default)
+            for name, (attr, default) in _GEN_ARG_MAP.items()
+        }
+        kwargs["normalize_scores"] = not getattr(args, "unnormalized", False)
         return TwoPhaseSequenceGenerator(
-            self.source_dictionary,
-            self.target_dictionary,
-            beam_size=getattr(args, "beam", 5),
-            max_len_a=getattr(args, "max_len_a", 0),
-            max_len_b=getattr(args, "max_len_b", 200),
-            min_len=getattr(args, "min_len", 1),
-            normalize_scores=(not getattr(args, "unnormalized", False)),
-            len_penalty=getattr(args, "lenpen", 1),
-            unk_penalty=getattr(args, "unkpen", 0),
-            temperature=getattr(args, "temperature", 1.0),
-            match_source_len=getattr(args, "match_source_len", False),
-            no_repeat_ngram_size=getattr(args, "no_repeat_ngram_size", 0),
+            self.source_dictionary, self.target_dictionary, **kwargs
         )
