@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     multilingual_transformer,
     multitask_conv_transformer,
     nat,
+    gru_transformer,
     transformer,
     huggingface_gpt2,
     transformer_align,

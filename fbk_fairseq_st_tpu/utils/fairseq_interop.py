@@ -235,10 +235,11 @@ def port_parameters(
     def fill(path, leaf):
         from ..parallel.mesh import _path_str
 
-        name = translate_path(_path_str(path).split("/"))
+        path_str = _path_str(path)
+        name = translate_path(path_str.split("/"))
         src = resolve(name) if name else None
         if src is None:
-            missing.append("/".join(parts) + f" (wanted {name})")
+            missing.append(path_str + f" (wanted {name})")
             return leaf
         consumed.add(src)
         return jnp.asarray(

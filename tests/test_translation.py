@@ -191,3 +191,124 @@ def test_transformer_align_train(tmp_path):
         ]
     )
     assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+
+def test_gru_transformer_matches_reference():
+    """gru_transformer (byte-level BPE example model): ported weights ->
+    identical teacher-forced logits vs the reference torch module."""
+    import os
+    import sys
+
+    REFERENCE = "/root/reference"
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not available")
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import importlib.util
+
+    import torch
+
+    # the example file registers into fairseq's registry on exec
+    np.float = np.float64
+    np.int = np.int64
+    np.bool = np.bool_
+    spec = importlib.util.spec_from_file_location(
+        "ref_gru_transformer",
+        os.path.join(REFERENCE, "examples/byte_level_bpe/gru_transformer.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    def make_dict(cls):
+        d = cls()
+        for i in range(12):
+            d.add_symbol(f"w{i}")
+        return d
+
+    rd = make_dict(RefDictionary)
+
+    class RT:
+        source_dictionary = rd
+        target_dictionary = rd
+
+    import argparse
+
+    dims = dict(
+        encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        dropout=0.0, attention_dropout=0.0,
+        max_source_positions=64, max_target_positions=64,
+    )
+    rargs = argparse.Namespace(**dims)
+    rargs.encoder_layerdrop = 0
+    rargs.decoder_layerdrop = 0
+    rargs.quant_noise_pq = 0
+    rargs.encoder_layers_to_keep = None
+    rargs.decoder_layers_to_keep = None
+    mod.gru_transformer_base_architecture(rargs)
+    for k, v in dims.items():
+        setattr(rargs, k, v)
+    torch.manual_seed(11)
+    ref_model = mod.GRUTransformerModel.build_model(rargs, RT())
+    ref_model.eval()
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    md = make_dict(Dictionary)
+
+    class MT:
+        source_dictionary = md
+        target_dictionary = md
+
+    import jax
+
+    margs = argparse.Namespace(arch="gru_transformer", **dims)
+    registry.apply_architecture(margs)
+    for k, v in dims.items():
+        setattr(margs, k, v)
+    my_model = registry.build_model(margs, MT())
+    variables = my_model.init(jax.random.PRNGKey(0))
+
+    # port weights (transformer port + packed GRU matrices)
+    import jax.numpy as jnp
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    from fbk_fairseq_st_tpu.utils.fairseq_interop import port_parameters
+
+    variables, report = port_parameters(variables, sd, strict=False)
+    p_enc = variables["params"]["encoder"]
+    for mine, theirs in (("emb_ctx_fwd", "l0"), ("emb_ctx_bwd", "l0_reverse")):
+        p_enc[mine]["w_ih"] = jnp.asarray(
+            sd[f"encoder.emb_ctx.weight_ih_{theirs}"]
+        )
+        p_enc[mine]["w_hh"] = jnp.asarray(
+            sd[f"encoder.emb_ctx.weight_hh_{theirs}"]
+        )
+        p_enc[mine]["b_ih"] = jnp.asarray(sd[f"encoder.emb_ctx.bias_ih_{theirs}"])
+        p_enc[mine]["b_hh"] = jnp.asarray(sd[f"encoder.emb_ctx.bias_hh_{theirs}"])
+
+    rng = np.random.RandomState(3)
+    src = rng.randint(4, 15, size=(2, 9)).astype(np.int64)
+    lengths = np.array([9, 7], np.int64)
+    src[1, 7:] = rd.pad()
+    prev = rng.randint(4, 15, size=(2, 5)).astype(np.int64)
+    prev[:, 0] = rd.eos()
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.tensor(src), torch.tensor(lengths), torch.tensor(prev)
+        )[0].numpy()
+    (logits, _), _ = my_model.forward(
+        variables,
+        {"src_tokens": src, "src_lengths": lengths,
+         "prev_output_tokens": prev},
+    )
+    # compare valid (non-pad-source) rows
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_out, rtol=2e-4, atol=2e-4
+    )
