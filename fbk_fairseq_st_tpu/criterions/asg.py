@@ -71,7 +71,7 @@ class ASGCriterion(Criterion):
             return tgt[:-1]
         return tgt[:-1] + [self.silence]
 
-    def prepare_sample(self, sample, num_updates: int):
+    def prepare_sample(self, sample, num_updates: int, training: bool = True):
         if not sample or "net_input" not in sample:
             return sample
         target = np.asarray(sample["target"])
@@ -83,7 +83,10 @@ class ASGCriterion(Criterion):
         )
         src_lengths = np.asarray(sample["net_input"]["src_lengths"])
         B = target.shape[0]
-        use_linseg = num_updates < self.linseg_updates
+        # reference linseg_step() returns False when not self.training —
+        # validation targets must never be LinSeg-stretched or val losses in
+        # the warmup window aren't comparable to post-warmup ones
+        use_linseg = training and num_updates < self.linseg_updates
         if use_linseg and not self._linseg_announced:
             print("| using LinSeg to initialize ASG")
             self._linseg_announced = True

@@ -146,4 +146,7 @@ def gru_transformer_big(args):
     args.encoder_embed_dim = getattr(args, "encoder_embed_dim", 1024)
     args.encoder_ffn_embed_dim = getattr(args, "encoder_ffn_embed_dim", 4096)
     args.encoder_attention_heads = getattr(args, "encoder_attention_heads", 16)
+    # reference gru_transformer.py:103 sets the big preset's dropout before
+    # delegating; decoder dims inherit from the encoder dims downstream
+    args.dropout = getattr(args, "dropout", 0.3)
     gru_transformer_architecture(args)

@@ -135,10 +135,12 @@ class Task:
         """Device-side training-time augmentation (identity by default)."""
         return batch
 
-    def prepare_sample(self, sample, num_updates: int):
+    def prepare_sample(self, sample, num_updates: int, training: bool = True):
         """Host-side per-update hook run before the sample enters the jitted
         step; inject traced scalar inputs here (e.g. scheduled loss weights)
-        so per-update values never retrace the step."""
+        so per-update values never retrace the step. ``training`` is False
+        when called from the validation path — schedule-dependent target
+        rewrites (e.g. ASG LinSeg) must not apply there."""
         return sample
 
     def inference_step(self, generator, models, sample, prefix_tokens=None):

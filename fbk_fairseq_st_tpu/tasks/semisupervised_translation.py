@@ -165,7 +165,7 @@ class SemisupervisedTranslationTask(MultilingualTranslationTask):
                 self.lambda_denoising_steps, num_updates
             )
 
-    def prepare_sample(self, sample, num_updates: int):
+    def prepare_sample(self, sample, num_updates: int, training: bool = True):
         """Inject the per-update scheduled lambdas as traced scalars
         (reference semisupervised_translation.py:388-397 update_step); the
         schedule changes values, not shapes, so the step never retraces."""

@@ -162,6 +162,10 @@ def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
     ]
 
     def _collect_garbage():
+        # retention GC only on process 0: concurrent per-host rmtree of the
+        # same shared-filesystem paths can throw or leave partial deletes
+        if jax.process_index() != 0:
+            return
         keep_interval_updates = getattr(args, "keep_interval_updates", -1)
         if keep_interval_updates > 0:
             found = checkpoint_paths(
@@ -207,21 +211,27 @@ def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
                 )
                 return
             else:
+                # extra-name copies happen inside the commit protocol:
+                # process 0 only, tmp+rename atomic, behind the shard
+                # barriers (ADVICE r02 medium)
+                save_sharded(checkpoints, state)
+        else:
+            # pickle format gathers the whole tree on every process; only
+            # process 0 may touch the shared filesystem
+            if jax.process_index() == 0:
+                save_state(checkpoints[0], state)
                 import shutil
 
-                save_sharded(checkpoints[0], state)
                 for cp in checkpoints[1:]:
-                    _remove_checkpoint(cp)
-                    shutil.copytree(checkpoints[0], cp)
-        else:
-            save_state(checkpoints[0], state)
-            import shutil
+                    # streaming copy to a tmp name + atomic rename: a crash
+                    # mid-copy must never leave a truncated checkpoint_last.pt
+                    shutil.copyfile(checkpoints[0], cp + ".tmp")
+                    os.replace(cp + ".tmp", cp)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
 
-            for cp in checkpoints[1:]:
-                # streaming copy to a tmp name + atomic rename: a crash
-                # mid-copy must never leave a truncated checkpoint_last.pt
-                shutil.copyfile(checkpoints[0], cp + ".tmp")
-                os.replace(cp + ".tmp", cp)
+                # other hosts must not read checkpoint_last.pt mid-copy
+                multihost_utils.sync_global_devices("pickle_ckpt_committed")
         logger.info(
             "saved checkpoint {} (epoch {} @ {} updates)".format(
                 checkpoints[0], epoch, updates

@@ -31,6 +31,7 @@ import os
 import pickle
 import shutil
 import threading
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -66,14 +67,17 @@ def _index_to_tuples(index, shape) -> Tuple[Tuple[int, int], ...]:
     return tuple(out)
 
 
-def save_sharded(path: str, state: Dict[str, Any], array_keys=("model", "model_state", "opt_state")) -> None:
-    """Write *state* as a sharded checkpoint directory.
+def save_sharded(paths, state: Dict[str, Any], array_keys=("model", "model_state", "opt_state")) -> None:
+    """Write *state* as a sharded checkpoint directory (plus extra-name
+    copies such as checkpoint_last.pt when *paths* lists several names).
 
     Leaves under *array_keys* may be jax.Arrays (possibly sharded across the
     mesh) or numpy arrays; everything else goes into the manifest pickle.
     """
+    if isinstance(paths, str):
+        paths = [paths]
     snapshot = _snapshot(state, array_keys)
-    _write_snapshot(path, snapshot)
+    _write_snapshot(paths, snapshot)
 
 
 def _snapshot(state: Dict[str, Any], array_keys) -> Dict[str, Any]:
@@ -147,24 +151,114 @@ def clear_path(path: str) -> None:
         os.remove(path)
 
 
-def _write_snapshot(path: str, snapshot: Dict[str, Any]) -> None:
-    """Commit a snapshot to *path*.
+class FsBarrier:
+    """Cross-process barrier over the shared checkpoint filesystem.
+
+    The synchronous save path barriers with
+    ``multihost_utils.sync_global_devices`` — a device collective, safe
+    because it runs on the main thread between training steps. The ASYNC
+    writer thread must never issue device collectives: the main thread keeps
+    launching training-step collectives concurrently, and two collective
+    streams interleaved in different orders across hosts deadlock the mesh
+    (orbax coordinates async commits out-of-band for the same reason).
+
+    Protocol per barrier point: every process drops a zero-byte sentinel
+    ``b<seq>.<name>.<process>``; the primary waits for all of them and then
+    writes ``b<seq>.<name>.DONE``; non-primaries wait for the DONE marker
+    only (so the primary can later GC sentinel files without a lost-wakeup
+    race). Sentinels of save *seq* are deleted by the primary at the start
+    of save *seq+1* — reaching save seq+1's first barrier proves every
+    process finished all of save seq's barriers.
+    """
+
+    def __init__(self, root: str, seq: int, timeout: float = 600.0,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        self.root = root
+        self.seq = seq
+        self.timeout = timeout
+        self.index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.count = (
+            jax.process_count() if process_count is None else process_count
+        )
+
+    def _prefix(self, name: str) -> str:
+        return "b{:08d}.{}".format(self.seq, name)
+
+    def __call__(self, name: str) -> None:
+        if self.count == 1:
+            return
+        os.makedirs(self.root, exist_ok=True)
+        prefix = self._prefix(name)
+        open(os.path.join(self.root, f"{prefix}.{self.index}"), "w").close()
+        done = os.path.join(self.root, f"{prefix}.DONE")
+        deadline = time.monotonic() + self.timeout
+        if self.index == 0:
+            while True:
+                present = [
+                    f for f in os.listdir(self.root)
+                    if f.startswith(prefix + ".") and not f.endswith(".DONE")
+                ]
+                if len(present) >= self.count:
+                    break
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"checkpoint barrier {prefix!r}: only "
+                        f"{len(present)}/{self.count} processes arrived"
+                    )
+                time.sleep(0.05)
+            open(done, "w").close()
+        else:
+            while not os.path.exists(done):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"checkpoint barrier {prefix!r}: no DONE marker "
+                        f"from process 0"
+                    )
+                time.sleep(0.05)
+
+    def gc_older(self) -> None:
+        """Primary-only: delete sentinels from saves before *seq* (safe once
+        this save's first barrier has been passed by every process)."""
+        if self.index != 0 or not os.path.isdir(self.root):
+            return
+        cur = "b{:08d}.".format(self.seq)
+        for f in os.listdir(self.root):
+            if f.startswith("b") and f < cur:
+                try:
+                    os.remove(os.path.join(self.root, f))
+                except OSError:
+                    pass
+
+
+def _default_barrier():
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.sync_global_devices
+    return lambda name: None
+
+
+def _write_snapshot(paths, snapshot: Dict[str, Any], barrier=None) -> None:
+    """Commit a snapshot to ``paths[0]`` and copy it to the extra names.
 
     Multi-process protocol (shared filesystem, orbax-style): process 0
     prepares the shared tmp dir; after a barrier every process writes ITS
-    OWN shard files into it; after a second barrier process 0 writes the
-    manifest and atomically renames. Single-process reduces to
+    OWN shard files into it; after a second barrier process 0 alone writes
+    the manifest, atomically renames, and makes the extra-name copies
+    (checkpoint_last.pt etc.) via tmp-dir + os.replace so a crash mid-copy
+    never leaves a truncated checkpoint; a final barrier keeps other hosts
+    from reading a half-committed name. Single-process reduces to
     prepare/write/rename with no barriers.
     """
-    multiproc = jax.process_count() > 1
-    if multiproc:
-        from jax.experimental import multihost_utils
+    if isinstance(paths, str):
+        paths = [paths]
+    if barrier is None:
+        barrier = _default_barrier()
 
-        barrier = multihost_utils.sync_global_devices
-    else:
-        def barrier(name):
-            return None
-
+    path = paths[0]
     tmp = path + ".tmp"
     is_primary = jax.process_index() == 0
     if is_primary:
@@ -182,6 +276,11 @@ def _write_snapshot(path: str, snapshot: Dict[str, Any]) -> None:
             )
         clear_path(path)
         os.replace(tmp, path)
+        for extra in paths[1:]:
+            clear_path(extra + ".tmp")  # leftover from a crashed save
+            shutil.copytree(path, extra + ".tmp")
+            clear_path(extra)
+            os.replace(extra + ".tmp", extra)
     barrier("ckpt_committed")
 
 
@@ -228,11 +327,14 @@ def load_sharded(path: str) -> Dict[str, Any]:
 class AsyncCheckpointWriter:
     """One background writer: the device->host snapshot happens on the
     caller's thread, file IO on the worker. A new save waits for the
-    previous write (single in-flight checkpoint, orbax-style)."""
+    previous write (single in-flight checkpoint, orbax-style). Cross-host
+    coordination uses :class:`FsBarrier` — never device collectives — so the
+    main thread's training collectives can keep running concurrently."""
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
         self._error: Optional[BaseException] = None
+        self._seq = 0  # saves are issued in lockstep on every process
 
     def wait(self) -> None:
         if self._thread is not None:
@@ -247,16 +349,24 @@ class AsyncCheckpointWriter:
             paths = [paths]
         self.wait()
         snapshot = _snapshot(state, array_keys)
+        seq = self._seq
+        self._seq += 1
+        barrier = FsBarrier(
+            os.path.join(os.path.dirname(paths[0]), ".ckpt_sync"), seq
+        )
 
         def _run():
             try:
-                _write_snapshot(paths[0], snapshot)
-                for extra in paths[1:]:
-                    clear_path(extra)
-                    shutil.copytree(paths[0], extra)
-                logger.info("async checkpoint written: %s", ", ".join(paths))
-                if on_complete is not None:
-                    on_complete()  # e.g. retention GC, after files exist
+                _write_snapshot(paths, snapshot, barrier=barrier)
+                barrier.gc_older()
+                if jax.process_index() == 0:
+                    logger.info(
+                        "async checkpoint written: %s", ", ".join(paths)
+                    )
+                    if on_complete is not None:
+                        # retention GC: primary only, after files exist —
+                        # concurrent per-host rmtree of shared paths races
+                        on_complete()
             except BaseException as e:  # surfaced at the next wait()
                 self._error = e
 

@@ -511,7 +511,7 @@ class Trainer:
     def valid_step(self, sample) -> Optional[Dict[str, float]]:
         crit_prepare = getattr(self.criterion, "prepare_sample", None)
         if crit_prepare is not None:
-            sample = crit_prepare(sample, self._num_updates)
+            sample = crit_prepare(sample, self._num_updates, training=False)
         b = self._device_batch(sample)
         if b is None:
             return None

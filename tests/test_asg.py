@@ -326,3 +326,38 @@ def test_infer_asg_beam_end_to_end(tmp_path):
     for line in content.splitlines():
         sent = line.rsplit("(", 1)[0].split()
         assert "1" not in sent and "2" not in sent, sent
+
+
+def test_linseg_not_applied_during_validation():
+    """ADVICE r02: the reference's linseg_step() returns False when not
+    training, so validation targets in the warmup window must stay
+    unstretched (else val losses are not comparable for best-ckpt logic)."""
+    import argparse
+
+    from fbk_fairseq_st_tpu.criterions.asg import ASGCriterion
+
+    d = _dict_with_replabels()
+
+    class _Task:
+        target_dictionary = d
+
+    args = argparse.Namespace(
+        max_replabel=2, linseg_updates=100, hide_linseg_messages=True,
+        silence_token="|", asg_scale_mode="target_sz_sqrt",
+    )
+    crit = ASGCriterion(_Task(), args)
+    tgt = np.array([[d.index("a"), d.index("b"), d.pad()]], np.int32)
+    sample = {
+        "target": tgt,
+        "target_lengths": np.array([2], np.int32),
+        "net_input": {"src_lengths": np.array([8], np.int32)},
+        "ntokens": 2,
+    }
+    train_out = crit.prepare_sample(dict(sample), num_updates=0,
+                                    training=True)
+    valid_out = crit.prepare_sample(dict(sample), num_updates=0,
+                                    training=False)
+    # LinSeg stretches the target over all 8 frames in training...
+    assert int(train_out["asg_target_lengths"][0]) == 8
+    # ...but validation keeps the raw (replabel-packed) target
+    assert int(valid_out["asg_target_lengths"][0]) == 2

@@ -174,3 +174,61 @@ def test_load_sharded_detects_missing_shard(tp_trainer, tmp_path):
     os.remove(os.path.join(arrays, victim))
     with pytest.raises((FileNotFoundError, ValueError)):
         load_sharded(path)
+
+
+def test_fs_barrier_threads(tmp_path):
+    """FsBarrier coordinates N simulated processes without device
+    collectives (the async-writer requirement, ADVICE r02): every thread
+    must observe every other thread's arrival at each point, in order."""
+    import threading
+
+    from fbk_fairseq_st_tpu.train.sharded_checkpoint import FsBarrier
+
+    root = str(tmp_path / "sync")
+    n = 4
+    order = []
+    lock = threading.Lock()
+    errors = []
+
+    def run(idx):
+        try:
+            bar = FsBarrier(root, seq=0, timeout=30.0,
+                            process_index=idx, process_count=n)
+            with lock:
+                order.append(("enter", idx))
+            bar("phase_a")
+            with lock:
+                order.append(("a", idx))
+            bar("phase_b")
+            with lock:
+                order.append(("b", idx))
+        except BaseException as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # no "b" event may precede any "a" event: phase_b is a true barrier
+    a_done = [i for i, ev in enumerate(order) if ev[0] == "a"]
+    b_first = min(i for i, ev in enumerate(order) if ev[0] == "b")
+    assert b_first > max(a_done[: n - 1])
+
+    # seq-1 barrier GC removes seq-0 sentinels but keeps its own
+    bar1 = FsBarrier(root, seq=1, timeout=30.0,
+                     process_index=0, process_count=1)
+    open(os.path.join(root, bar1._prefix("x") + ".0"), "w").close()
+    bar1.gc_older()
+    left = os.listdir(root)
+    assert all(f.startswith("b00000001.") for f in left)
+
+
+def test_fs_barrier_timeout(tmp_path):
+    from fbk_fairseq_st_tpu.train.sharded_checkpoint import FsBarrier
+
+    bar = FsBarrier(str(tmp_path / "sync"), seq=0, timeout=0.3,
+                    process_index=0, process_count=2)
+    with pytest.raises(TimeoutError):
+        bar("lonely")
