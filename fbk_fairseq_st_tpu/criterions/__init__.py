@@ -21,4 +21,5 @@ from . import (  # noqa: F401
     sentence_prediction,
     sentence_ranking,
     vocab_parallel_cross_entropy,
+    wsc,
 )

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     multilingual_conv_transformer,
     multilingual_transformer,
     multitask_conv_transformer,
+    model_parallel,
     nat,
     gru_transformer,
     transformer,

@@ -523,3 +523,27 @@ def context_big(args):
     args.context_decoder_attention_type = getattr(
         args, "context_decoder_attention_type", "sequential"
     )
+
+
+@register_model_architecture("conv_transformer_context", "conv_transformer_context_big2")
+def context_big2(args):
+    """Reference conv_transformer_context.py:495-498 -> conv_transformer
+    speechtransformer_big2 (512/2048/8)."""
+    _base_defaults(args, enc_dim=512, ffn_dim=2048, heads=8)
+    args.context_encoder_layers = getattr(args, "context_encoder_layers", 1)
+    args.context_position = getattr(args, "context_position", "both")
+    args.context_decoder_attention_type = getattr(
+        args, "context_decoder_attention_type", "sequential"
+    )
+
+
+@register_model_architecture("conv_transformer_context", "conv_transformer_context_giant")
+def context_giant(args):
+    """Reference conv_transformer_context.py:500-503 -> conv_transformer
+    speechtransformer_giant (1024/4096/16)."""
+    _base_defaults(args, enc_dim=1024, ffn_dim=4096, heads=16)
+    args.context_encoder_layers = getattr(args, "context_encoder_layers", 1)
+    args.context_position = getattr(args, "context_position", "both")
+    args.context_decoder_attention_type = getattr(
+        args, "context_decoder_attention_type", "sequential"
+    )

@@ -572,6 +572,22 @@ def lightconv_wmt_en_de_big(args):
     base_architecture(args)
 
 
+@register_model_architecture("lightconv", "lightconv_wmt_en_fr_big")
+def lightconv_wmt_en_fr_big(args):
+    """Reference lightconv.py:774-777 (en_de_big with dropout .1)."""
+    args.dropout = getattr(args, "dropout", 0.1)
+    lightconv_wmt_en_de_big(args)
+
+
+@register_model_architecture("lightconv", "lightconv_wmt_zh_en_big")
+def lightconv_wmt_zh_en_big(args):
+    """Reference lightconv.py:780-785 (en_de_big with all dropouts .2)."""
+    args.dropout = getattr(args, "dropout", 0.2)
+    args.attention_dropout = getattr(args, "attention_dropout", 0.2)
+    args.weight_dropout = getattr(args, "weight_dropout", 0.2)
+    lightconv_wmt_en_de_big(args)
+
+
 @register_model_architecture("lightconv", "dynamicconv")
 def dynamicconv(args):
     args.encoder_conv_type = getattr(args, "encoder_conv_type", "dynamic")

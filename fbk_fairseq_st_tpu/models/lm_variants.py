@@ -251,6 +251,17 @@ def lightconv_lm_architecture(args):
     )
 
 
+@register_model_architecture("lightconv_lm", "lightconv_lm_gbw")
+def lightconv_lm_gbw(args):
+    """Reference lightconv_lm.py:169-176."""
+    args.decoder_embed_dim = getattr(args, "decoder_embed_dim", 512)
+    args.dropout = getattr(args, "dropout", 0.1)
+    args.attention_dropout = getattr(args, "attention_dropout", 0.1)
+    args.decoder_ffn_embed_dim = getattr(args, "decoder_ffn_embed_dim", 4096)
+    args.decoder_attention_heads = getattr(args, "decoder_attention_heads", 16)
+    lightconv_lm_architecture(args)
+
+
 # ---------------------------------------------------------------------------
 # lstm_lm
 # ---------------------------------------------------------------------------

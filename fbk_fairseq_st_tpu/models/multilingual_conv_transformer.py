@@ -365,3 +365,15 @@ def multilingual_big(args):
     args.share_encoders = getattr(args, "share_encoders", False)
     args.share_decoders = getattr(args, "share_decoders", False)
     args.share_decoder_embeddings = getattr(args, "share_decoder_embeddings", False)
+
+
+@register_model_architecture(
+    "multilingual_conv_transformer", "multilingual_conv_transformer_big2"
+)
+def multilingual_big2(args):
+    """Reference multilingual_conv_transformer.py:304-306 -> conv_transformer
+    speechtransformer_big2 (512/2048/8)."""
+    _base_defaults(args, enc_dim=512, ffn_dim=2048, heads=8)
+    args.share_encoders = getattr(args, "share_encoders", False)
+    args.share_decoders = getattr(args, "share_decoders", False)
+    args.share_decoder_embeddings = getattr(args, "share_decoder_embeddings", False)

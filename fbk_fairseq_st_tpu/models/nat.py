@@ -354,6 +354,15 @@ def iter_nat_base_architecture(args):
     nat_base_architecture(args)
 
 
+@register_model_architecture(
+    "iterative_nonautoregressive_transformer",
+    "iterative_nonautoregressive_transformer_wmt_en_de",
+)
+def iter_nat_wmt_en_de(args):
+    """Reference iterative_nonautoregressive_transformer.py:200-205."""
+    iter_nat_base_architecture(args)
+
+
 # ---------------------------------------------------------------------------
 # Levenshtein transformer
 # ---------------------------------------------------------------------------
@@ -1133,6 +1142,41 @@ def levenshtein_base_architecture(args):
 )
 def levenshtein_wmt_en_de(args):
     levenshtein_base_architecture(args)
+
+
+@register_model_architecture(
+    "levenshtein_transformer", "levenshtein_transformer_vaswani_wmt_en_de_big"
+)
+def levenshtein_vaswani_wmt_en_de_big(args):
+    """Reference levenshtein_transformer.py:453-467 (1024/4096/16, drop .3)."""
+    args.encoder_embed_dim = getattr(args, "encoder_embed_dim", 1024)
+    args.encoder_ffn_embed_dim = getattr(args, "encoder_ffn_embed_dim", 4096)
+    args.encoder_attention_heads = getattr(args, "encoder_attention_heads", 16)
+    args.encoder_normalize_before = getattr(
+        args, "encoder_normalize_before", False
+    )
+    args.decoder_embed_dim = getattr(args, "decoder_embed_dim", 1024)
+    args.decoder_ffn_embed_dim = getattr(args, "decoder_ffn_embed_dim", 4096)
+    args.decoder_attention_heads = getattr(args, "decoder_attention_heads", 16)
+    args.dropout = getattr(args, "dropout", 0.3)
+    levenshtein_base_architecture(args)
+
+
+@register_model_architecture(
+    "levenshtein_transformer", "levenshtein_transformer_wmt_en_de_big"
+)
+def levenshtein_wmt_en_de_big_t2t(args):
+    """Reference levenshtein_transformer.py:470-479 (t2t: pre-norm + attn/act
+    dropout .1 on top of the vaswani big preset)."""
+    args.encoder_normalize_before = getattr(
+        args, "encoder_normalize_before", True
+    )
+    args.decoder_normalize_before = getattr(
+        args, "decoder_normalize_before", True
+    )
+    args.attention_dropout = getattr(args, "attention_dropout", 0.1)
+    args.activation_dropout = getattr(args, "activation_dropout", 0.1)
+    levenshtein_vaswani_wmt_en_de_big(args)
 
 
 @register_model_architecture("cmlm_transformer", "cmlm_transformer")

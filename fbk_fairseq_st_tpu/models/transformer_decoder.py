@@ -64,6 +64,9 @@ class TransformerDecoderConfig(NamedTuple):
     layerdrop: float = 0.0
     adaptive_input_cutoff: Optional[tuple] = None
     adaptive_input_factor: float = 4.0
+    # reference transformer_lm.py --no-decoder-final-norm (baevski presets):
+    # pre-norm stacks normally end in a final LayerNorm; this drops it
+    no_decoder_final_norm: bool = False
     # char-CNN word embeddings (reference CharacterTokenEmbedder); the
     # word->char table travels on the decoder object (arrays aren't hashable)
     char_embedder: Optional[tuple] = None  # ops.character_embedder config
@@ -135,7 +138,7 @@ class TransformerDecoder:
         }
         if self.pos is not None and cfg.learned_pos:
             p["embed_positions"] = self.pos.init(ks[-2])
-        if cfg.normalize_before:
+        if cfg.normalize_before and not cfg.no_decoder_final_norm:
             p["final_ln"] = init_layer_norm(cfg.embed_dim)
         if cfg.layernorm_embedding:
             p["layernorm_embedding"] = init_layer_norm(cfg.embed_dim)

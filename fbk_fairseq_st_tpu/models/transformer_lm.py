@@ -32,6 +32,11 @@ class TransformerLanguageModel(Model):
         parser.add_argument("--adaptive-input-cutoff", metavar="EXPR",
                             help="comma separated adaptive input cutoffs")
         parser.add_argument("--adaptive-input-factor", type=float, metavar="N")
+        parser.add_argument("--no-decoder-final-norm", action="store_true",
+                            help="don't add an extra layernorm after the "
+                            "last decoder block")
+        parser.add_argument("--tie-adaptive-weights", action="store_true")
+        parser.add_argument("--tie-adaptive-proj", action="store_true")
         # char-CNN word embeddings (reference transformer_lm.py:57-66)
         parser.add_argument("--character-embeddings", action="store_true",
                             default=False,
@@ -98,7 +103,18 @@ class TransformerLanguageModel(Model):
             adaptive_input_factor=getattr(
                 args, "adaptive_input_factor", 4.0
             ) or 4.0,
+            no_decoder_final_norm=getattr(
+                args, "no_decoder_final_norm", False
+            ),
         )
+        if getattr(args, "tie_adaptive_weights", False):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "--tie-adaptive-weights is accepted for CLI parity but "
+                "adaptive input/softmax weight tying is not implemented; "
+                "the embeddings are trained untied"
+            )
         char_table = None
         if getattr(args, "character_embeddings", False):
             import ast
@@ -201,6 +217,81 @@ def transformer_lm_gpt(args):
     args.decoder_ffn_embed_dim = getattr(args, "decoder_ffn_embed_dim", 3072)
     args.decoder_layers = getattr(args, "decoder_layers", 12)
     args.decoder_attention_heads = getattr(args, "decoder_attention_heads", 12)
+    args.dropout = getattr(args, "dropout", 0.1)
+    args.attention_dropout = getattr(args, "attention_dropout", 0.1)
+    args.activation_fn = getattr(args, "activation_fn", "gelu")
+    base_lm_architecture(args)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_gbw")
+@register_model_architecture("transformer_lm", "transformer_lm_baevski_gbw")
+def transformer_lm_baevski_gbw(args):
+    """Reference transformer_lm.py:248-256."""
+    args.decoder_embed_dim = getattr(args, "decoder_embed_dim", 512)
+    args.dropout = getattr(args, "dropout", 0.1)
+    args.attention_dropout = getattr(args, "attention_dropout", 0.1)
+    args.no_decoder_final_norm = getattr(args, "no_decoder_final_norm", True)
+    transformer_lm_big(args)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_wiki103")
+@register_model_architecture("transformer_lm", "transformer_lm_baevski_wiki103")
+def transformer_lm_baevski_wiki103(args):
+    """Reference transformer_lm.py:230-245 (adaptive input + softmax)."""
+    args.decoder_layers = getattr(args, "decoder_layers", 16)
+    args.decoder_attention_heads = getattr(args, "decoder_attention_heads", 8)
+    args.dropout = getattr(args, "dropout", 0.3)
+    args.adaptive_input = getattr(args, "adaptive_input", True)
+    args.tie_adaptive_weights = getattr(args, "tie_adaptive_weights", True)
+    args.adaptive_input_cutoff = getattr(
+        args, "adaptive_input_cutoff", "20000,60000"
+    )
+    args.adaptive_softmax_cutoff = getattr(
+        args, "adaptive_softmax_cutoff", "20000,60000"
+    )
+    args.adaptive_softmax_dropout = getattr(
+        args, "adaptive_softmax_dropout", 0.2
+    )
+    args.attention_dropout = getattr(args, "attention_dropout", 0.1)
+    args.activation_dropout = getattr(args, "activation_dropout", 0.1)
+    args.no_decoder_final_norm = getattr(args, "no_decoder_final_norm", True)
+    args.tie_adaptive_proj = getattr(args, "tie_adaptive_proj", True)
+    transformer_lm_big(args)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_gpt2_small")
+def transformer_lm_gpt2_small(args):
+    """Reference transformer_lm.py:270-279."""
+    args.decoder_embed_dim = getattr(args, "decoder_embed_dim", 1024)
+    args.decoder_ffn_embed_dim = getattr(args, "decoder_ffn_embed_dim", 4096)
+    args.decoder_layers = getattr(args, "decoder_layers", 24)
+    args.decoder_attention_heads = getattr(args, "decoder_attention_heads", 16)
+    args.dropout = getattr(args, "dropout", 0.1)
+    args.attention_dropout = getattr(args, "attention_dropout", 0.1)
+    args.activation_fn = getattr(args, "activation_fn", "gelu")
+    base_lm_architecture(args)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_gpt2_medium")
+def transformer_lm_gpt2_medium(args):
+    """Reference transformer_lm.py:282-291."""
+    args.decoder_embed_dim = getattr(args, "decoder_embed_dim", 1280)
+    args.decoder_ffn_embed_dim = getattr(args, "decoder_ffn_embed_dim", 5120)
+    args.decoder_layers = getattr(args, "decoder_layers", 36)
+    args.decoder_attention_heads = getattr(args, "decoder_attention_heads", 20)
+    args.dropout = getattr(args, "dropout", 0.1)
+    args.attention_dropout = getattr(args, "attention_dropout", 0.1)
+    args.activation_fn = getattr(args, "activation_fn", "gelu")
+    base_lm_architecture(args)
+
+
+@register_model_architecture("transformer_lm", "transformer_lm_gpt2_big")
+def transformer_lm_gpt2_big(args):
+    """Reference transformer_lm.py:294-303."""
+    args.decoder_embed_dim = getattr(args, "decoder_embed_dim", 1600)
+    args.decoder_ffn_embed_dim = getattr(args, "decoder_ffn_embed_dim", 6400)
+    args.decoder_layers = getattr(args, "decoder_layers", 48)
+    args.decoder_attention_heads = getattr(args, "decoder_attention_heads", 25)
     args.dropout = getattr(args, "dropout", 0.1)
     args.attention_dropout = getattr(args, "attention_dropout", 0.1)
     args.activation_fn = getattr(args, "activation_fn", "gelu")

@@ -51,6 +51,7 @@ from .transformer import (
     base_architecture,
     transformer_iwslt_de_en,
     transformer_vaswani_wmt_en_de_big,
+    transformer_vaswani_wmt_en_fr_big,
 )
 from .transformer_decoder import TransformerDecoder
 
@@ -286,6 +287,17 @@ def transformer_monotonic_iwslt_de_en(args):
 )
 def transformer_monotonic_vaswani_wmt_en_de_big(args):
     transformer_vaswani_wmt_en_de_big(args)
+
+
+@register_model_architecture(
+    "transformer_monotonic", "transformer_monotonic_vaswani_wmt_en_fr_big"
+)
+def transformer_monotonic_vaswani_wmt_en_fr_big(args):
+    """Reference transformer_monotonic_attention.py:349-353 — NOTE: the
+    reference body calls ITSELF (infinite recursion, an upstream bug); the
+    intent, by analogy with the en_de preset above, is the core
+    transformer_vaswani_wmt_en_fr_big defaults."""
+    transformer_vaswani_wmt_en_fr_big(args)
 
 
 @register_model_architecture(

@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     multilingual_speech_translation_kd,
     multilingual_translation,
     multitask_speech_translation,
+    roberta_wsc,
     semisupervised_translation,
     sentence_prediction,
     sentence_ranking,

@@ -216,3 +216,58 @@ def test_wav2vec_manifest(tmp_path):
     rows = dict(l.split("\t") for l in lines[1:])
     assert rows["sub/u0.wav"] == "1600"
     assert rows["sub/u1.wav"] == "3200"
+
+
+def test_build_sym_alignment(tmp_path):
+    """Native grow-diag-final-and symmetrization (the reference needs
+    mosesdecoder's symal binary; scripts/build_sym_alignment.py:84-96)."""
+    from fbk_fairseq_st_tpu.scripts.build_sym_alignment import (
+        parse_alignment,
+        symmetrize,
+    )
+
+    fwd = parse_alignment("0-0 1-1 2-2")
+    bwd = parse_alignment("0-0 1-1 3-2")
+    # intersection keeps agreed points only
+    assert symmetrize(fwd, bwd, 4, 3, "intersect") == {(0, 0), (1, 1)}
+    # union keeps everything
+    assert symmetrize(fwd, bwd, 4, 3, "union") == fwd | bwd
+    # grow-diag adopts diagonal neighbors covering a new word (OR rule):
+    # (2,2) neighbors (1,1); then (3,2) neighbors (2,2) with src 3 new
+    gdfa = symmetrize(fwd, bwd, 4, 3, "grow-diag-final-and")
+    assert gdfa == {(0, 0), (1, 1), (2, 2), (3, 2)}
+
+    # final vs final-and: (3,1) is NOT grow-reachable (distance 2 from
+    # (1,1)) and covers a new source but an already-covered target
+    fwd2 = parse_alignment("0-0 1-1 3-1")
+    bwd2 = parse_alignment("0-0 1-1")
+    # final-and needs BOTH sides uncovered -> rejected
+    assert (3, 1) not in symmetrize(fwd2, bwd2, 4, 2, "grow-diag-final-and")
+    # plain final needs only one -> accepted
+    assert (3, 1) in symmetrize(fwd2, bwd2, 4, 2, "grow-diag-final")
+    # no-final variant never reaches it at all
+    assert (3, 1) not in symmetrize(fwd2, bwd2, 4, 2, "grow-diag")
+
+    # CLI end-to-end with precomputed directional files
+    import subprocess
+    import sys
+
+    src = tmp_path / "s.txt"
+    tgt = tmp_path / "t.txt"
+    src.write_text("a b c d\n")
+    tgt.write_text("x y z\n")
+    (tmp_path / "fwd").write_text("0-0 1-1 2-2\n")
+    (tmp_path / "bwd").write_text("0-0 1-1 3-2\n")
+    out = tmp_path / "out"
+    subprocess.run(
+        [sys.executable, "-m",
+         "fbk_fairseq_st_tpu.scripts.build_sym_alignment",
+         "--source_file", str(src), "--target_file", str(tgt),
+         "--forward", str(tmp_path / "fwd"),
+         "--backward", str(tmp_path / "bwd"),
+         "--output_dir", str(out)],
+        check=True, cwd="/root/repo",
+    )
+    assert (out / "text.joined").read_text().strip() == "a b c d ||| x y z"
+    sym = (out / "aligned.sym_heuristic").read_text().strip()
+    assert "0-0" in sym and "1-1" in sym and "2-2" in sym
