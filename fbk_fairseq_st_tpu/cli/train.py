@@ -34,6 +34,44 @@ logging.basicConfig(
 logger = logging.getLogger("fbk_fairseq_st_tpu.cli.train")
 
 
+def distributed_init(args) -> None:
+    """Multi-host bring-up (counterpart of distributed_utils.py:79-143).
+
+    Must run before the first JAX backend use: afterwards jax.devices() is
+    the GLOBAL device list, jax.process_index()/process_count() identify
+    this launcher, and the trainer's mesh spans every host. Batch formation
+    stays host-global-iterator + process-local transfer (parallel/mesh.py
+    place_global_array), so no other component changes for multi-host."""
+    coord = getattr(args, "distributed_coordinator", None)
+    nproc = getattr(args, "distributed_num_processes", None)
+    if coord is None and nproc is None:
+        return
+    import jax
+
+    kwargs = {}
+    if coord is not None:
+        kwargs["coordinator_address"] = coord
+    if nproc is not None:
+        kwargs["num_processes"] = nproc
+    if getattr(args, "distributed_process_id", None) is not None:
+        kwargs["process_id"] = args.distributed_process_id
+    if getattr(args, "distributed_local_device_ids", None):
+        kwargs["local_device_ids"] = [
+            int(x) for x in args.distributed_local_device_ids.split(",")
+        ]
+    jax.distributed.initialize(**kwargs)
+    if jax.process_index() != 0:
+        # rank>0 logs silenced to warnings (reference
+        # distributed_utils.py:105-108)
+        logging.getLogger().setLevel(logging.WARNING)
+    logger.info(
+        "initialized multi-host training: process %d/%d, %d local + %d "
+        "global devices",
+        jax.process_index(), jax.process_count(),
+        len(jax.local_devices()), len(jax.devices()),
+    )
+
+
 def main(args):
     import_user_module(args)
     assert (
@@ -41,6 +79,7 @@ def main(args):
         or getattr(args, "max_sentences", None) is not None
     ), "Must specify batch size either with --max-tokens or --max-sentences"
 
+    distributed_init(args)
     np.random.seed(args.seed)
     checkpoint_utils.verify_checkpoint_directory(args.save_dir)
 

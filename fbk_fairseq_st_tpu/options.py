@@ -179,6 +179,23 @@ def add_distributed_training_args(parser):
     group.add_argument("--model-parallel-size", type=int, metavar="N", default=1,
                        help="size of the 'model' mesh axis (tensor parallelism)")
     group.add_argument("--ddp-backend", default="pjit", help="parity flag; always pjit")
+    # multi-host (multi-process) launch: one CLI process per host drives its
+    # local chips; jax.distributed.initialize stitches them into one mesh
+    # (the counterpart of the reference's env:///SLURM init,
+    # distributed_utils.py:30-77). Leave all three unset on one host.
+    group.add_argument("--distributed-coordinator", default=None,
+                       metavar="HOST:PORT",
+                       help="coordinator address for multi-host training "
+                       "(reference --distributed-init-method)")
+    group.add_argument("--distributed-num-processes", type=int, default=None,
+                       metavar="N", help="number of launcher processes "
+                       "(hosts); auto-detected on SLURM/TPU pods when only "
+                       "--distributed-coordinator is given")
+    group.add_argument("--distributed-process-id", type=int, default=None,
+                       metavar="I", help="this process's id in [0, N)")
+    group.add_argument("--distributed-local-device-ids", default=None,
+                       metavar="IDS", help="comma-separated local device ids "
+                       "this process should drive (default: all local)")
     return group
 
 

@@ -52,8 +52,55 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices of more than one process (a
+    multi-host launch via jax.distributed.initialize)."""
+    return jax.process_count() > 1 and any(
+        d.process_index != jax.process_index()
+        for d in mesh.devices.flat
+    )
+
+
+def local_row_range(sharding: NamedSharding, global_shape) -> Tuple[int, int]:
+    """[lo, hi) rows of the GLOBAL batch owned by this process's devices.
+
+    Multi-host batch formation contract: every process runs the IDENTICAL
+    epoch iterator (same seed, same bucketing over the whole dataset) and
+    collates the same host-global batch; each process then transfers only
+    its own contiguous row slice. Shapes therefore agree across processes
+    by construction — the failure mode where per-process bucketing picks
+    different padded shapes for the same step cannot occur.
+    """
+    idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
+    lo, hi = None, None
+    for idx in idx_map.values():
+        s = idx[0] if len(idx) > 0 else slice(None)
+        start = 0 if s.start is None else int(s.start)
+        stop = global_shape[0] if s.stop is None else int(s.stop)
+        lo = start if lo is None else min(lo, start)
+        hi = stop if hi is None else max(hi, stop)
+    return (0, global_shape[0]) if lo is None else (lo, hi)
+
+
+def place_global_array(mesh: Mesh, x, want: NamedSharding):
+    """Place a HOST-GLOBAL array onto the mesh with sharding *want*.
+
+    Single-process: plain device_put. Multi-process: slice this process's
+    rows out of the global host array and assemble the jax.Array with
+    ``make_array_from_process_local_data`` — the reference's per-rank
+    ``_prepare_sample`` + DDP scatter (distributed_utils.py) becomes
+    process-local row transfer + a GSPMD global array."""
+    if not is_multiprocess(mesh):
+        return jax.device_put(x, want)
+    x = np.asarray(x)
+    if x.ndim == 0 or want.spec == P():
+        return jax.make_array_from_process_local_data(want, x, x.shape)
+    lo, hi = local_row_range(want, x.shape)
+    return jax.make_array_from_process_local_data(want, x[lo:hi], x.shape)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch with the batch axis sharded over 'data'.
+    """Place a host batch with the batch axis sharded over 'data'.
 
     Arrays already committed with the target sharding pass through
     untouched — re-issuing device_put for staged buffers costs a device
@@ -66,7 +113,7 @@ def shard_batch(mesh: Mesh, batch):
         want = sharding if (hasattr(x, "ndim") and x.ndim >= 1) else repl
         if isinstance(x, jax.Array) and x.sharding == want:
             return x
-        return jax.device_put(x, want)
+        return place_global_array(mesh, x, want)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -33,7 +33,13 @@ import numpy as np
 import optax
 
 from ..ops.core import RngStream
-from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from ..parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    place_global_array,
+    replicated,
+    shard_batch,
+)
 from ..registry import LR_SCHEDULERS, OPTIMIZERS
 from . import metrics
 
@@ -46,8 +52,10 @@ class Trainer:
         self.task = task
         self.model = model
         self.criterion = criterion
+        world = getattr(args, "distributed_world_size", None)
         self.mesh = mesh if mesh is not None else make_mesh(
-            model=getattr(args, "model_parallel_size", 1) or 1
+            devices=jax.devices()[:world] if world else None,
+            model=getattr(args, "model_parallel_size", 1) or 1,
         )
 
         self.compute_dtype = (
@@ -364,7 +372,7 @@ class Trainer:
                     and np.issubdtype(np.asarray(x).dtype, np.floating)
                 ):
                     x = np.asarray(x).astype(cast_feature)
-                return jax.device_put(x, sharding)
+                return place_global_array(self.mesh, x, sharding)
             return x
 
         staged = dict(sample)

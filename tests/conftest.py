@@ -49,6 +49,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "quick: fast smoke subset covering every layer"
     )
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (multi-process spawns, "
+        "corpus-scale rehearsals)"
+    )
 
 
 def pytest_collection_modifyitems(config, items):
