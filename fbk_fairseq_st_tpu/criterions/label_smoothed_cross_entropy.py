@@ -32,6 +32,37 @@ def label_smoothed_nll_loss(lprobs, target, epsilon: float, ignore_index=None):
     return (1.0 - epsilon) * nll_sum + eps_i * smooth_sum, nll_sum
 
 
+def label_smoothed_nll_from_logits(logits, target, epsilon: float,
+                                   ignore_index=None):
+    """Same math as :func:`label_smoothed_nll_loss`, computed from raw
+    logits with per-row REDUCTIONS only:
+
+        nll_i    = lse_i - logit_i[target_i]
+        smooth_i = V * lse_i - sum_v logit_i[v]
+
+    The log_softmax formulation materializes an fp32 (B, T, V) tensor (plus
+    a layout copy XLA inserts behind it — 0.9 ms/step of the big bench
+    config, PERF.md); here the fp32 conversion fuses into the logsumexp /
+    sum reductions and only (B, T) rows ever hit HBM. Keeps the (B, T, V)
+    shape — reshaping to (N, V) is what forced the layout copy."""
+    v = logits.shape[-1]
+    lf = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lf, axis=-1)
+    tgt_logit = jnp.take_along_axis(lf, target[..., None], axis=-1)[..., 0]
+    sum_logits = jnp.sum(lf, axis=-1)
+    nll = lse - tgt_logit
+    smooth = v * lse - sum_logits
+    if ignore_index is not None:
+        keep = (target != ignore_index).astype(nll.dtype)
+        nll = nll * keep
+        smooth = smooth * keep
+    nll_sum = jnp.sum(nll)
+    return (
+        (1.0 - epsilon) * nll_sum + (epsilon / v) * jnp.sum(smooth),
+        nll_sum,
+    )
+
+
 @register_criterion("label_smoothed_cross_entropy")
 class LabelSmoothedCrossEntropyCriterion(Criterion):
     def __init__(self, task, args):
@@ -61,6 +92,18 @@ class LabelSmoothedCrossEntropyCriterion(Criterion):
         return loss, sample_size, logging_output, new_state
 
     def compute_loss(self, model, net_output, batch):
+        from ..models.base import Model
+
+        if type(model).get_normalized_probs is Model.get_normalized_probs:
+            # standard softmax-over-logits models: reduction-only fast path
+            logits = (
+                net_output[0] if isinstance(net_output, tuple) else net_output
+            )
+            return label_smoothed_nll_from_logits(
+                logits, batch["target"], self.eps,
+                ignore_index=self.padding_idx,
+            )
+        # models with custom probability heads (adaptive softmax etc.)
         lprobs = model.get_normalized_probs(net_output, log_probs=True)
         lprobs = lprobs.reshape(-1, lprobs.shape[-1])
         target = batch["target"].reshape(-1)

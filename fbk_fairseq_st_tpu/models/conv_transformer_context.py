@@ -19,7 +19,7 @@ from typing import Any, Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import causal_mask
+
 from ..ops.context_layer import (
     context_decoder_layer,
     context_encoder_layer,
@@ -251,7 +251,7 @@ class TransformerContextAwareDecoder(TransformerDecoder):
         rng = rng or RngStream(None)
         dtype = encoder_out.dtype if encoder_out is not None else jnp.float32
         x = self._embed(params, prev_output_tokens, dtype, rng, deterministic)
-        mask = causal_mask(x.shape[1])
+        mask = "causal"
         ctx_gates = []
         for lp in params["layers"]:
             x, gate, _ = context_decoder_layer(

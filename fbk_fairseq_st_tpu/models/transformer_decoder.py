@@ -21,7 +21,7 @@ from typing import Any, Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import causal_mask
+
 from ..ops.core import (
     RngStream,
     dropout,
@@ -249,7 +249,7 @@ class TransformerDecoder:
             params, prev_output_tokens, dtype, rng, deterministic,
             token_embeddings=token_embeddings,
         )
-        mask = causal_mask(x.shape[1]) if causal else None
+        mask = "causal" if causal else None
         # mask pad keys in self-attention (fairseq transformer.py
         # extract_features: self_attn_padding_mask when any pads)
         self_kpm = prev_output_tokens == self.cfg.padding_idx
@@ -374,7 +374,7 @@ class TriangleTransformerDecoder(TransformerDecoder):
         rng = rng or RngStream(None)
         dtype = encoder_out.dtype if encoder_out is not None else jnp.float32
         x = self._embed(params, prev_output_tokens, dtype, rng, deterministic)
-        mask = causal_mask(x.shape[1])
+        mask = "causal"
         self_kpm = prev_output_tokens == self.cfg.padding_idx
         for lp in params["layers"]:
             x, _, _ = triangle_decoder_layer(

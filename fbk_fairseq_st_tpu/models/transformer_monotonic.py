@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import causal_mask, mha
+from ..ops.attention import mha
 from ..ops.core import (
     RngStream,
     dropout,
@@ -77,7 +77,7 @@ class MonotonicTransformerEncoder(TransformerEncoder):
             x = layer_norm(params["layernorm_embedding"], x)
         x = dropout(x, cfg.dropout, rng, deterministic)
         padding_mask = src_tokens == cfg.padding_idx
-        mask = causal_mask(x.shape[1])
+        mask = "causal"
         for lp in params["layers"]:
             x = encoder_layer(
                 lp, cfg.layer_cfg, x,
@@ -188,7 +188,7 @@ class MonotonicTransformerDecoder(TransformerDecoder):
         rng = rng or RngStream(None)
         dtype = encoder_out.dtype if encoder_out is not None else jnp.float32
         x = self._embed(params, prev_output_tokens, dtype, rng, deterministic)
-        mask = causal_mask(x.shape[1])
+        mask = "causal"
         self_kpm = prev_output_tokens == self.cfg.padding_idx
         attn_list = []
         for lp in params["layers"]:

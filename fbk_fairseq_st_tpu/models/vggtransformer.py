@@ -26,7 +26,7 @@ from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import causal_mask
+
 from ..ops.core import (
     NEG_INF,
     RngStream,
@@ -348,7 +348,7 @@ class VGGTransformerDecoder:
         dtype = encoder_out.dtype if encoder_out is not None else jnp.float32
         x = embedding(params["embed_tokens"], prev_output_tokens, dtype)
         x = self._convs(params, x, rng, deterministic)
-        mask = causal_mask(x.shape[1])
+        mask = "causal"
         self_kpm = prev_output_tokens == self.padding_idx
         for i, tc in enumerate(self.transformer_config):
             if str(i) in params["proj"]:

@@ -38,15 +38,37 @@ class MHAConfig(NamedTuple):
     init_variance: float = 1.0
 
 
-# --use-pallas-attention: route eligible full-sequence attention through the
-# fused Pallas flash kernel (no (T,S) score matrix in HBM). Module-level so
-# every model picks it up without threading a flag through each config.
-_FLASH_ATTENTION = False
+# Route eligible full-sequence attention through the fused Pallas flash
+# kernel (no (T,S) score matrix in HBM; fused Pallas backward; causal block
+# skipping; in-kernel attention dropout). Module-level so every model picks
+# it up without threading a flag through each config.
+#
+# Default AUTO: enabled on real TPU backends, disabled elsewhere (the CPU
+# interpreter exists for tests but is orders of magnitude slower than XLA).
+# --use-pallas-attention / --no-pallas-attention (options.py) force it.
+_FLASH_ATTENTION: Optional[bool] = None
+
+# Shape gate for the AUTO mode, from v5e measurements (PERF.md): XLA's own
+# fused attention wins below ~512 keys (flash's per-grid-step overhead
+# dominates tiny tiles — FBK's conv-compressed encoder is T<=512/4 and
+# decoders are ~50 tokens), flash is at parity ~512-1024 and the ONLY
+# option at >=2048 where the materialized (T,S) batch OOMs HBM. Forcing
+# via set_flash_attention(True) / --use-pallas-attention bypasses the gate.
+FLASH_MIN_KEY_LEN = 512
 
 
-def set_flash_attention(enabled: bool) -> None:
+def set_flash_attention(enabled: Optional[bool]) -> None:
+    """True/False force; None restores backend-dependent auto."""
     global _FLASH_ATTENTION
-    _FLASH_ATTENTION = bool(enabled)
+    _FLASH_ATTENTION = enabled if enabled is None else bool(enabled)
+
+
+def _flash_eligible_shape(key_len: int) -> bool:
+    if _FLASH_ATTENTION is not None:
+        return _FLASH_ATTENTION
+    return (
+        jax.default_backend() == "tpu" and key_len >= FLASH_MIN_KEY_LEN
+    )
 
 
 def init_mha(key, cfg: MHAConfig):
@@ -161,13 +183,21 @@ def mha(
             )
             new_cache = {"k": k, "v": v}
 
+    # "causal" sentinel: callers declare intent instead of materializing a
+    # (T, T) future mask, so the flash path can skip above-diagonal blocks
+    causal = isinstance(attn_mask, str) and attn_mask == "causal"
+    dropout_active = (
+        not deterministic and cfg.dropout > 0.0 and rng is not None
+    )
     if (
-        _FLASH_ATTENTION
+        _flash_eligible_shape(int(k.shape[2]))
         and cache is None
-        and attn_mask is None
+        and (attn_mask is None or causal)
         and cfg.penalty is None
         and not need_weights
-        and (deterministic or cfg.dropout == 0.0 or rng is None)
+        # in-kernel dropout needs the hardware PRNG (the CPU interpreter
+        # stubs it) — off-TPU dropout calls take the XLA path
+        and (not dropout_active or jax.default_backend() == "tpu")
     ):
         from .pallas.attention_kernel import NEG_INF as FLASH_NEG_INF
         from .pallas.attention_kernel import flash_attention
@@ -181,15 +211,28 @@ def mha(
         else:
             bias = jnp.zeros((b, s), jnp.float32)
         bias = jnp.repeat(bias, h, axis=0)  # (B*H, S)
+        seed = None
+        rate = 0.0
+        if dropout_active:
+            rate = cfg.dropout
+            seed = jax.random.randint(
+                rng.next(), (), 0, 2**31 - 1, dtype=jnp.int32
+            )
         out = flash_attention(
             q.reshape(b * h, tq, hd),
             k.reshape(b * h, s, hd),
             v.reshape(b * h, s, hd),
             bias,
             1.0,  # q is pre-scaled above
+            causal=causal,
+            dropout_rate=rate,
+            dropout_seed=seed,
         ).reshape(b, h, tq, hd)
         out = linear(params["out"], _merge_heads(out))
         return out, None, new_cache
+
+    if causal:
+        attn_mask = causal_mask(q.shape[2])
 
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32

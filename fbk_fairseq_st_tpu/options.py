@@ -74,8 +74,13 @@ def get_parser(desc: str, default_task: str = "speech_recognition"):
                              "<save-dir>/profile (view in TensorBoard)")
     parser.add_argument("--use-pallas-attention", action="store_true",
                         default=False,
-                        help="route eligible full-sequence attention through "
-                             "the fused Pallas flash kernel")
+                        help="force the fused Pallas flash-attention path "
+                             "even off-TPU (default: auto — ON on TPU "
+                             "backends, OFF elsewhere)")
+    parser.add_argument("--no-pallas-attention", action="store_true",
+                        default=False,
+                        help="disable the Pallas flash-attention path "
+                             "(fall back to the XLA formulation everywhere)")
     parser.add_argument("--prng-impl", default="rbg",
                         choices=["rbg", "threefry2x32"],
                         help="PRNG for dropout masks: rbg rides the TPU "
@@ -423,7 +428,11 @@ def parse_args_and_arch(
     if getattr(args, "arch", None) in registry.ARCHITECTURES:
         registry.apply_architecture(args)
 
-    if getattr(args, "use_pallas_attention", False):
+    if getattr(args, "no_pallas_attention", False):
+        from .ops.attention import set_flash_attention
+
+        set_flash_attention(False)
+    elif getattr(args, "use_pallas_attention", False):
         from .ops.attention import set_flash_attention
 
         set_flash_attention(True)
