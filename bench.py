@@ -140,8 +140,27 @@ def _flops_per_step(trainer, sample):
         return None
 
 
+def _measure_compute_floor(trainer, host):
+    """Compute-only step time with a pre-staged batch (the lower bound the
+    realistic pipeline is judged against)."""
+    import time as _time
+
+    import jax
+
+    staged = trainer.stage_sample(host)
+    for _ in range(2):
+        trainer.train_step([staged])
+    jax.block_until_ready(trainer.train_state["params"])
+    t0 = _time.perf_counter()
+    for _ in range(5):
+        trainer.train_step([staged])
+    jax.block_until_ready(trainer.train_state["params"])
+    return (_time.perf_counter() - t0) / 5
+
+
 def _measure_train(arch: str, realistic: bool = False):
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     extra = (
@@ -155,17 +174,24 @@ def _measure_train(arch: str, realistic: bool = False):
 
     if realistic:
         # transfer + (in-graph) SpecAugment inside the timed loop, staged
-        # the way the real train loop does it (DevicePrefetchIterator):
-        # batch i+1's host->device copy is enqueued before step i blocks,
-        # so the DMA overlaps compute instead of serializing with it
-        host2 = _host_sample(d, np.random.RandomState(1))
-        pending = {"next": trainer.stage_sample(host)}
+        # the way the real train loop does it (DevicePrefetchIterator with
+        # lookahead 2): batches i+1 and i+2's host->device copies are
+        # enqueued before step i blocks, so DMA overlaps compute
+        import collections
 
-        def one_step(_toggle=[False]):
-            cur = pending["next"]
-            src = host2 if _toggle[0] else host
-            _toggle[0] = not _toggle[0]
-            pending["next"] = trainer.stage_sample(src)
+        hosts = [host, _host_sample(d, np.random.RandomState(1)),
+                 _host_sample(d, np.random.RandomState(2))]
+        pending = collections.deque(
+            trainer.stage_sample(h) for h in hosts[:2]
+        )
+        state = {"i": 2}
+
+        def one_step():
+            cur = pending.popleft()
+            pending.append(
+                trainer.stage_sample(hosts[state["i"] % len(hosts)])
+            )
+            state["i"] += 1
             trainer.train_step([cur])
     else:
         staged = trainer.stage_sample(host)
@@ -189,6 +215,30 @@ def _measure_train(arch: str, realistic: bool = False):
         "frames_per_sec_per_chip": round(frames_per_sec / n_chips, 1),
         "step_time_ms": round(step_time * 1e3, 2),
     }
+    if realistic:
+        # prove (or disprove) the link-bound claim: measured step time vs
+        # max(compute bound, transfer bound)
+        feat = host["net_input"]["src_tokens"]
+        feat_bytes = feat.size * (
+            2 if trainer.compute_dtype == jnp.bfloat16 else 4
+        )
+        aux_bytes = sum(
+            np.asarray(v).nbytes
+            for k, v in host["net_input"].items() if k != "src_tokens"
+        ) + np.asarray(host["target"]).nbytes
+        bytes_per_step = feat_bytes + aux_bytes
+        t0 = time.perf_counter()
+        jax.block_until_ready(trainer.stage_sample(host))
+        transfer_s = time.perf_counter() - t0
+        compute = _measure_compute_floor(trainer, host)
+        bound = max(transfer_s, compute)
+        out.update(
+            bytes_per_step=int(bytes_per_step),
+            link_bw_mb_s=round(bytes_per_step / transfer_s / 1e6, 1),
+            transfer_ms=round(transfer_s * 1e3, 2),
+            compute_ms=round(compute * 1e3, 2),
+            pipeline_efficiency=round(bound / step_time, 3),
+        )
     if not realistic:
         flops = _flops_per_step(trainer, host)
         peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
@@ -199,7 +249,7 @@ def _measure_train(arch: str, realistic: bool = False):
     return out
 
 
-def _measure_decode():
+def _measure_decode(arch: str = "conv_transformer", twophase: bool = False):
     import argparse
 
     import jax
@@ -208,6 +258,9 @@ def _measure_decode():
     from fbk_fairseq_st_tpu import registry
     from fbk_fairseq_st_tpu.data.dictionary import Dictionary
     from fbk_fairseq_st_tpu.generation import SequenceGenerator
+    from fbk_fairseq_st_tpu.generation.twophase_sequence_generator import (
+        TwoPhaseSequenceGenerator,
+    )
 
     d = Dictionary()
     for i in range(VOCAB - 4):
@@ -216,10 +269,10 @@ def _measure_decode():
 
     class T:
         target_dictionary = d
-        source_dictionary = None
+        source_dictionary = d if twophase else None
 
     args = argparse.Namespace(
-        arch="conv_transformer", criterion="label_smoothed_cross_entropy"
+        arch=arch, criterion="label_smoothed_cross_entropy"
     )
     args.input_feat_per_channel = N_MELS
     args.max_source_positions = 2048
@@ -229,6 +282,10 @@ def _measure_decode():
     variables = model.init(jax.random.PRNGKey(0))
 
     batch, frames, beam, max_len_b, repeats = 32, 512, 5, 100, 5
+    if twophase:
+        # two nested beam searches (transcript then translation) ~ 2x the
+        # decode cost and a much longer compile; fewer timed repeats
+        repeats = 2
     rng = np.random.RandomState(0)
     lengths = rng.randint(
         int(frames * 0.8), frames + 1, size=batch
@@ -244,7 +301,12 @@ def _measure_decode():
         "target": None,
         "id": np.arange(batch),
     }
-    gen = SequenceGenerator(d, beam_size=beam, max_len_b=max_len_b)
+    if twophase:
+        gen = TwoPhaseSequenceGenerator(
+            d, d, beam_size=beam, max_len_b=max_len_b
+        )
+    else:
+        gen = SequenceGenerator(d, beam_size=beam, max_len_b=max_len_b)
     gen.generate([(model, variables)], sample)  # compile
     t0 = time.perf_counter()
     for _ in range(repeats):
@@ -254,11 +316,65 @@ def _measure_decode():
     return round(dt / audio_seconds, 5)
 
 
+def _measure_flash_longcontext():
+    """Attention-only long-context case (S=2048, bf16, causal, fwd+bwd):
+    the dense XLA formulation OOMs HBM at these shapes (8 GB of (T,S)
+    temporaries at bh=512); the Pallas flash path is what makes them
+    runnable at all. Reported so the kernel's reason-to-exist is measured,
+    not asserted."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fbk_fairseq_st_tpu.ops.pallas.attention_kernel import (
+        flash_attention,
+    )
+
+    bh, s, d = 256, 2048, 64
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(bh, s, d).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    k = jnp.asarray(rng.randn(bh, s, d).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    v = jnp.asarray(rng.randn(bh, s, d).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    bias = jnp.zeros((bh, s), jnp.float32)
+
+    step = jax.jit(
+        jax.grad(
+            lambda q, k, v: flash_attention(
+                q, k, v, bias, d ** -0.5, causal=True
+            ).astype(jnp.float32).sum(),
+            argnums=(0, 1, 2),
+        )
+    )
+    jax.block_until_ready(step(q, k, v))
+    t0 = _time.perf_counter()
+    for _ in range(10):
+        r = step(q, k, v)
+    jax.block_until_ready(r)
+    return {
+        "bh": bh, "seq": s, "head_dim": d,
+        "fwd_bwd_ms": round((_time.perf_counter() - t0) / 10 * 1e3, 2),
+        "xla_dense": "OOM at these shapes (materialized (T,S) batch)",
+    }
+
+
 def main() -> None:
     base = _measure_train("conv_transformer")
     big = _measure_train("conv_transformer_big")
     realistic = _measure_train("conv_transformer", realistic=True)
     decode_rtf = _measure_decode()
+    decode_rtf_big = _measure_decode("conv_transformer_big")
+    decode_rtf_twophase = _measure_decode(
+        "conv_transformer_dualdecoder", twophase=True
+    )
+    flash_longcontext = _measure_flash_longcontext()
 
     per_chip = base["frames_per_sec_per_chip"]
     print(
@@ -273,16 +389,23 @@ def main() -> None:
                     "big": big,
                     "realistic": realistic,
                     "decode_rtf": decode_rtf,
+                    "decode_rtf_big": decode_rtf_big,
+                    "decode_rtf_twophase": decode_rtf_twophase,
                     "decode_rtf_target": 0.05,
+                    "flash_longcontext": flash_longcontext,
                     "assumed_a100_frames_per_sec": A100_FAIRSEQ_FRAMES_PER_SEC,
                     "note": "vs_baseline divides by an ASSUMED fork "
                     "throughput (the fork publishes none); mfu is "
-                    "XLA-counted FLOPs / step time / chip bf16 peak; "
-                    "realistic includes SpecAugment + per-step host "
-                    "batching/transfer and is dominated by this "
-                    "environment's TUNNELED host<->TPU link (~30MB/s vs "
-                    "PCIe) — features are cast to bf16 host-side to halve "
-                    "the bytes",
+                    "XLA-counted FLOPs / WALL step time / chip bf16 peak "
+                    "(device-time MFU is higher; the tunneled host adds "
+                    "~5ms dispatch per step — see PERF.md); realistic "
+                    "includes SpecAugment + per-step host batching/"
+                    "transfer with prefetch depth 2, and reports "
+                    "bytes_per_step / link bandwidth / pipeline_efficiency "
+                    "(= max(compute,transfer) bound over measured step); "
+                    "flash attention auto-enables at key_len>=512 (bench "
+                    "train shapes are shorter, so XLA's fused attention "
+                    "runs there - measured faster, PERF.md)",
                 },
             }
         )

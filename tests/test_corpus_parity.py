@@ -1,0 +1,334 @@
+"""Corpus-scale training-trajectory parity against the reference (torch).
+
+Extends the 1-step gradient/Adam parity proofs of
+test_reference_equivalence.py to a TRAJECTORY-level proof (VERDICT r02
+next-round #6): the same tiny conv_transformer, starting from identical
+(ported) weights, trained for ~200 updates over a synthetic fbank corpus —
+this framework through its real Trainer, the reference through its own
+criterion/optimizer classes — must produce (a) the same loss at every
+update within float tolerance and (b) token-identical beam-5 decodes of
+the final models. That is the strongest BLEU-parity evidence obtainable
+without MuST-C in this environment.
+
+Both sides run the deterministic forward (reference model.eval(),
+our criterion forced training=False): the conv frontend hard-codes
+dropout >= 0.1 in training mode on BOTH implementations
+(conv_transformer.py:212-214) and their RNG streams are incomparable, so a
+stochastic trajectory cannot match by construction. Gradients still flow
+identically; the trajectory exercises loss, backward, the sample_size
+normalization, clip_grad_norm, Adam, and the inverse_sqrt schedule.
+"""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from .test_reference_equivalence import (
+    REFERENCE,
+    TINY,
+    _load_reference,
+    build_my_model,
+    build_reference_model,
+    port_weights,
+)
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(REFERENCE), reason="reference checkout missing"
+    ),
+]
+
+N_UTT = 512
+BATCH = 32
+EPOCHS = 13  # 16 batches/epoch -> 208 updates
+FRAMES = 24
+TGT_LEN = 8
+LR = 1e-3
+WARMUP = 50
+CLIP = 10.0
+
+
+def _make_corpus(seed=0):
+    rng = np.random.RandomState(seed)
+    batches = []
+    for b in range(N_UTT // BATCH):
+        fbank = rng.randn(BATCH, FRAMES, TINY["input_feat_per_channel"])
+        lengths = rng.randint(FRAMES - 6, FRAMES + 1, size=BATCH)
+        lengths[0] = FRAMES
+        lengths = np.sort(lengths)[::-1].copy()
+        prev = rng.randint(4, 20, size=(BATCH, TGT_LEN)).astype(np.int64)
+        prev[:, 0] = 2  # eos-as-bos
+        target = np.roll(prev, -1, axis=1).astype(np.int64)
+        target[:, -1] = 2
+        # ragged targets: pad the tail of a few rows
+        for r in range(0, BATCH, 5):
+            target[r, -2:] = 1
+        batches.append(
+            {
+                "fbank": fbank.astype(np.float32),
+                "lengths": lengths.astype(np.int64),
+                "prev": prev,
+                "target": target,
+                "ntokens": int((target != 1).sum()),
+            }
+        )
+    return batches
+
+
+def _ref_training_run(batches):
+    """Train the reference model with its own criterion + torch.Adam under
+    the reference Trainer's update semantics (grads /= sample_size, clip,
+    step; lr set per update from the shared inverse_sqrt schedule)."""
+    import torch
+
+    _load_reference()
+    from fairseq.criterions.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion as RefLSCE,
+    )
+
+    ref_model, d_ref = build_reference_model(attn_2d=False)
+    ref_model.eval()
+
+    class RT:
+        target_dictionary = d_ref
+
+    crit = RefLSCE(RT(), sentence_avg=False, label_smoothing=0.1)
+    opt = torch.optim.Adam(
+        ref_model.parameters(), lr=LR, betas=(0.9, 0.98), eps=1e-8,
+        weight_decay=0.0,
+    )
+    losses = []
+    step = 0
+    for _ in range(EPOCHS):
+        for bt in batches:
+            lr_t = _shared_lr(step)
+            for g in opt.param_groups:
+                g["lr"] = lr_t
+            sample = {
+                "net_input": {
+                    "src_tokens": torch.tensor(bt["fbank"]),
+                    "src_lengths": torch.tensor(bt["lengths"]),
+                    "prev_output_tokens": torch.tensor(bt["prev"]),
+                },
+                "target": torch.tensor(bt["target"]),
+                "ntokens": bt["ntokens"],
+            }
+            loss, sample_size, _ = crit(ref_model, sample)
+            opt.zero_grad()
+            loss.backward()
+            with torch.no_grad():
+                for p in ref_model.parameters():
+                    if p.grad is not None:
+                        p.grad /= float(sample_size)
+            torch.nn.utils.clip_grad_norm_(ref_model.parameters(), CLIP)
+            opt.step()
+            losses.append(float(loss.detach()) / float(sample_size))
+            step += 1
+    return ref_model, d_ref, np.array(losses)
+
+
+_shared_sched = None
+
+
+def _shared_lr(num_updates: int) -> float:
+    """One inverse_sqrt schedule drives both sides (its own parity vs the
+    reference implementation is asserted separately below)."""
+    global _shared_sched
+    if _shared_sched is None:
+        from fbk_fairseq_st_tpu.registry import LR_SCHEDULERS
+
+        args = argparse.Namespace(
+            lr=[LR], warmup_updates=WARMUP, warmup_init_lr=-1,
+        )
+        _shared_sched = LR_SCHEDULERS["inverse_sqrt"].build_lr_scheduler(args)
+    return float(_shared_sched.step_update(num_updates))
+
+
+def _my_training_run(batches):
+    """Train through the REAL Trainer (fused pjit step), with the criterion
+    forced deterministic so the trajectory is comparable."""
+    import jax
+
+    from fbk_fairseq_st_tpu import options
+    from fbk_fairseq_st_tpu.criterions.label_smoothed_cross_entropy import (
+        LabelSmoothedCrossEntropyCriterion,
+    )
+    from fbk_fairseq_st_tpu.train.trainer import Trainer
+
+    my_model, variables, d_my = build_my_model(attn_2d=False)
+
+    class DeterministicLSCE(LabelSmoothedCrossEntropyCriterion):
+        def __call__(self, model, variables, batch, rng=None, training=False):
+            return super().__call__(
+                model, variables, batch, rng=rng, training=False
+            )
+
+    class MT:
+        target_dictionary = d_my
+        source_dictionary = None
+
+        @staticmethod
+        def augment_batch(batch, rng):
+            return batch
+
+    parser = options.get_training_parser()
+    args = options.parse_args_and_arch(
+        parser,
+        [
+            "/nonexistent", "--task", "speech_recognition", "-t", "de",
+            "--arch", "conv_transformer",
+            "--criterion", "label_smoothed_cross_entropy",
+            "--label-smoothing", "0.1",
+            "--optimizer", "adam", "--adam-betas", "(0.9, 0.98)",
+            "--adam-eps", "1e-8",
+            "--lr", str(LR), "--lr-scheduler", "inverse_sqrt",
+            "--warmup-updates", str(WARMUP),
+            "--clip-norm", str(CLIP),
+            "--max-tokens", "4000",
+            "--device-prefetch", "0",
+        ],
+    )
+    crit = DeterministicLSCE(
+        MT(), argparse.Namespace(label_smoothing=0.1, sentence_avg=False)
+    )
+    trainer = Trainer(args, MT(), my_model, crit)
+    # identical starting point: ported reference weights
+    import torch  # noqa: F401  (reference model already built by caller)
+
+    return trainer, d_my
+
+
+@pytest.mark.slow
+def test_inverse_sqrt_schedule_matches_reference():
+    """Our inverse_sqrt values == the reference InverseSquareRootSchedule
+    for the config used by the trajectory test."""
+    _load_reference()
+    from fairseq.optim.lr_scheduler.inverse_square_root_schedule import (
+        InverseSquareRootSchedule,
+    )
+
+    from fairseq.optim.fairseq_optimizer import FairseqOptimizer
+
+    class _Opt(FairseqOptimizer):
+        def __init__(self):
+            self._lr = 0.0
+
+        def set_lr(self, lr):
+            self._lr = lr
+
+        def get_lr(self):
+            return self._lr
+
+    ref_args = argparse.Namespace(
+        lr=[LR], warmup_updates=WARMUP, warmup_init_lr=-1
+    )
+    ref = InverseSquareRootSchedule(ref_args, _Opt())
+    for step in [0, 1, 10, WARMUP - 1, WARMUP, WARMUP + 1, 100, 208, 10000]:
+        np.testing.assert_allclose(
+            _shared_lr(step), ref.step_update(step), rtol=1e-12,
+            err_msg=str(step),
+        )
+
+
+@pytest.mark.slow
+def test_200_update_trajectory_and_final_decode_parity(tmp_path):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    batches = _make_corpus()
+
+    ref_model, d_ref, ref_losses = _ref_training_run(batches)
+
+    trainer, d_my = _my_training_run(batches)
+    # port the REFERENCE INITIAL weights: rebuild a fresh reference model
+    # with the same torch seed used inside build_reference_model
+    init_ref, _ = build_reference_model(attn_2d=False)
+    variables = {"params": trainer.params, "state": trainer.model_state}
+    variables = port_weights(init_ref, variables)
+    trainer.load_trainer_state(
+        {
+            "params": variables["params"],
+            "model_state": variables["state"],
+            "opt_state": None,
+            "lr_scheduler": None,
+            "num_updates": 0,
+        },
+        reset_optimizer=True,
+        reset_lr_scheduler=True,
+    )
+
+    my_losses = []
+    for _ in range(EPOCHS):
+        for bt in batches:
+            sample = {
+                "net_input": {
+                    "src_tokens": bt["fbank"],
+                    "src_lengths": bt["lengths"],
+                    "prev_output_tokens": bt["prev"],
+                },
+                "target": bt["target"],
+                "ntokens": bt["ntokens"],
+                "nsentences": BATCH,
+            }
+            out = trainer.train_step([sample])
+            my_losses.append(
+                float(out["loss"]) / max(float(out["sample_size"]), 1.0)
+            )
+    my_losses = np.array(my_losses)
+
+    assert len(my_losses) == len(ref_losses) == EPOCHS * len(batches)
+    # float-drift grows along the trajectory; early steps must be tight and
+    # every step must stay within a small relative band
+    np.testing.assert_allclose(my_losses[:10], ref_losses[:10], rtol=2e-4)
+    rel = np.abs(my_losses - ref_losses) / np.maximum(ref_losses, 1e-6)
+    assert rel.max() < 1e-2, (
+        f"loss curves diverged: max rel {rel.max():.3e} at step "
+        f"{int(rel.argmax())}"
+    )
+
+    # final-model beam-5 decodes must be token-identical through both stacks
+    from fairseq.sequence_generator import SequenceGenerator as RefGen
+
+    from fbk_fairseq_st_tpu.generation import SequenceGenerator
+
+    eval_rng = np.random.RandomState(99)
+    fbank = eval_rng.randn(
+        8, FRAMES, TINY["input_feat_per_channel"]
+    ).astype(np.float32)
+    lengths = np.array([24, 24, 23, 22, 21, 20, 19, 18], np.int64)
+
+    ref_gen = RefGen([ref_model], d_ref, beam_size=5, max_len_b=10)
+    with torch.no_grad():
+        ref_hypos = ref_gen.generate(
+            [ref_model],
+            {
+                "net_input": {
+                    "src_tokens": torch.tensor(fbank),
+                    "src_lengths": torch.tensor(lengths),
+                }
+            },
+        )
+
+    my_variables = {
+        "params": trainer.params, "state": trainer.model_state
+    }
+    my_gen = SequenceGenerator(d_my, beam_size=5, max_len_b=10)
+    my_hypos = my_gen.generate(
+        [(trainer.model, my_variables)],
+        {
+            "net_input": {"src_tokens": fbank, "src_lengths": lengths},
+            "id": np.arange(8),
+        },
+    )
+    n_identical = 0
+    for b in range(8):
+        ref_tokens = ref_hypos[b][0]["tokens"].numpy().tolist()
+        my_tokens = np.asarray(my_hypos[b][0]["tokens"]).tolist()
+        assert my_tokens == ref_tokens, (b, my_tokens, ref_tokens)
+        n_identical += 1
+    assert n_identical == 8
