@@ -19,6 +19,76 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+# Named pretrained models (reference hub_utils/hubconf: the fork's
+# published artifacts resolve by name). Zero-egress environment: entries
+# map names to LOCAL paths — users register downloads once and every
+# from_pretrained('name') after that loads the fork .pt directly (the
+# torch->native conversion happens transparently below).
+PRETRAINED_REGISTRY: Dict[str, Dict[str, Any]] = {}
+
+
+def register_pretrained(name: str, path: str, checkpoint_file: str = "model.pt",
+                        data_name_or_path: str = ".", **defaults) -> None:
+    PRETRAINED_REGISTRY[name] = dict(
+        path=path, checkpoint_file=checkpoint_file,
+        data_name_or_path=data_name_or_path, **defaults,
+    )
+
+
+def _is_torch_checkpoint(path: str) -> bool:
+    """Fork checkpoints are torch.save artifacts: zip archives (PK magic)
+    or legacy torch serialization; native checkpoints are plain pickles
+    (or sharded directories)."""
+    if os.path.isdir(path):
+        return False
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"PK":
+        return True
+    if magic[:1] == b"\x80":  # plain pickle protocol marker: could be
+        # either; the native format loads with pickle alone
+        import pickle
+
+        try:
+            with open(path, "rb") as f:
+                pickle.load(f)
+            return False
+        except Exception:
+            return True
+    return False
+
+
+def _ensure_native(model_path: str) -> str:
+    """Transparently convert a fork ``.pt`` to the native format, cached
+    next to the original (or in a temp dir when that isn't writable),
+    keyed by source mtime so re-downloads invalidate."""
+    if not _is_torch_checkpoint(model_path):
+        return model_path
+    import tempfile
+
+    from .utils.fairseq_interop import import_fairseq_checkpoint
+
+    mtime = int(os.path.getmtime(model_path))
+    base = os.path.basename(model_path)
+    for cache_dir in (os.path.dirname(model_path),
+                      os.path.join(tempfile.gettempdir(), "fbk_hub_cache")):
+        converted = os.path.join(
+            cache_dir, f".{base}.native.{mtime}.pt"
+        )
+        if os.path.exists(converted):
+            return converted
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            import_fairseq_checkpoint(model_path, converted)
+            logger.info(
+                "converted fork checkpoint %s -> %s", model_path, converted
+            )
+            return converted
+        except OSError:
+            continue
+    raise OSError(f"no writable cache location for converting {model_path}")
+
+
 def from_pretrained(
     model_name_or_path: str,
     checkpoint_file: str = "model.pt",
@@ -28,7 +98,17 @@ def from_pretrained(
     from .registry import TASKS
     from .train import checkpoint as checkpoint_utils
 
-    model_path = os.path.join(model_name_or_path, checkpoint_file)
+    if model_name_or_path in PRETRAINED_REGISTRY:
+        entry = dict(PRETRAINED_REGISTRY[model_name_or_path])
+        model_name_or_path = entry.pop("path")
+        checkpoint_file = entry.pop("checkpoint_file", checkpoint_file)
+        data_name_or_path = entry.pop("data_name_or_path", data_name_or_path)
+        for k, v in entry.items():
+            kwargs.setdefault(k, v)
+
+    model_path = _ensure_native(
+        os.path.join(model_name_or_path, checkpoint_file)
+    )
     state = checkpoint_utils.load_checkpoint_to_cpu(model_path)
     args = argparse.Namespace(**state["args"])
     if not os.path.isabs(data_name_or_path):

@@ -26,10 +26,18 @@ jax.config.update("jax_default_matmul_precision", "float32")
 
 
 # ---------------------------------------------------------------------------
-# quick smoke subset: `pytest -m quick` gives a ~2-3 minute broad signal on
-# this 1-CPU box (full suite is ~35 min). Modules chosen to touch every
-# layer: data IO, metrics, generation, CTC decode, and one real
-# preprocess->train->generate CLI pass.
+# Suite time budgets (hard targets, round 3):
+#   * `pytest -m quick`        <= 90 s   (~70 tests, broad smoke)
+#   * `pytest -m "not slow"`   <= 40 min (everything but multi-minute runs)
+#   * `pytest` (full)          <= 55 min (adds `slow`: 2-process multihost
+#     spawns ~4.5 min, DP trajectory ~6 min, corpus-parity rehearsal ~1 min)
+# Keep new tests inside these budgets: share trained fixtures across
+# modules (tests/test_binaries.py::trained_dir pattern) instead of
+# retraining, and mark anything over ~2 min `slow`.
+#
+# quick smoke subset: `pytest -m quick` gives a ~1 minute broad signal on
+# this 1-CPU box. Modules chosen to touch every layer: data IO, metrics,
+# generation, CTC decode, and one real preprocess->train->generate CLI pass.
 # ---------------------------------------------------------------------------
 
 import pytest  # noqa: E402

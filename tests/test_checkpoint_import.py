@@ -242,3 +242,52 @@ def test_export_round_trip_bitwise(fork_checkpoint, tmp_path):
     assert checked > 40
     # args survive the round trip
     assert vars(restored["args"])["arch"] == "conv_transformer"
+
+
+def test_hub_from_pretrained_loads_fork_checkpoint(fork_checkpoint):
+    """Hub plumbing (reference hub_utils.py:23-83): from_pretrained on a
+    raw fork .pt converts transparently (cached by mtime) and produces a
+    working generator interface; a registered name resolves too."""
+    import numpy as np
+
+    from fbk_fairseq_st_tpu import hub_utils
+
+    data_dir, fork_ckpt, ref_model, ref_dict = fork_checkpoint
+    model_dir = os.path.dirname(fork_ckpt)
+
+    hub = hub_utils.from_pretrained(
+        model_dir,
+        checkpoint_file=os.path.basename(fork_ckpt),
+        data_name_or_path=data_dir,
+    )
+    assert hub.tgt_dict is not None
+
+    # conversion is cached: a second load reuses the converted file
+    cached = [
+        f for f in os.listdir(model_dir) if ".native." in f
+    ]
+    assert len(cached) == 1
+
+    # named registration resolves to the same artifact
+    hub_utils.register_pretrained(
+        "fork_tiny_asr", model_dir,
+        checkpoint_file=os.path.basename(fork_ckpt),
+        data_name_or_path=data_dir,
+    )
+    hub2 = hub_utils.from_pretrained("fork_tiny_asr")
+    assert len(hub2.models) == 1
+
+    # the loaded model actually decodes (fbank input, beam 2)
+    rng = np.random.RandomState(0)
+    sample = {
+        "net_input": {
+            "src_tokens": rng.randn(2, 20, 8).astype(np.float32),
+            "src_lengths": np.array([20, 17], np.int64),
+        },
+        "id": np.arange(2),
+    }
+    from fbk_fairseq_st_tpu.generation import SequenceGenerator
+
+    gen = SequenceGenerator(hub.tgt_dict, beam_size=2, max_len_b=8)
+    hypos = gen.generate(hub.models, sample)
+    assert len(hypos) == 2 and len(hypos[0]) >= 1
