@@ -67,6 +67,11 @@ class TransformerDecoderConfig(NamedTuple):
     # reference transformer_lm.py --no-decoder-final-norm (baevski presets):
     # pre-norm stacks normally end in a final LayerNorm; this drops it
     no_decoder_final_norm: bool = False
+    # --tie-adaptive-weights / --tie-adaptive-proj (baevski_wiki103): share
+    # the adaptive softmax output weights (and projections) with the
+    # adaptive input embedding clusters
+    tie_adaptive_weights: bool = False
+    tie_adaptive_proj: bool = False
     # char-CNN word embeddings (reference CharacterTokenEmbedder); the
     # word->char table travels on the decoder object (arrays aren't hashable)
     char_embedder: Optional[tuple] = None  # ops.character_embedder config
@@ -143,12 +148,33 @@ class TransformerDecoder:
         if cfg.layernorm_embedding:
             p["layernorm_embedding"] = init_layer_norm(cfg.embed_dim)
         if cfg.adaptive_softmax_cutoff is not None:
-            from ..ops.adaptive_softmax import init_adaptive_softmax
-
-            p["adaptive_softmax"] = init_adaptive_softmax(
-                ks[-1], cfg.vocab_size, cfg.embed_dim,
-                cfg.adaptive_softmax_cutoff, cfg.adaptive_softmax_factor,
+            from ..ops.adaptive_softmax import (
+                init_adaptive_softmax,
+                init_tied_adaptive_softmax,
             )
+
+            if cfg.tie_adaptive_weights:
+                if cfg.adaptive_input_cutoff is None:
+                    raise ValueError(
+                        "--tie-adaptive-weights requires --adaptive-input"
+                    )
+                if tuple(cfg.adaptive_input_cutoff) != tuple(
+                    cfg.adaptive_softmax_cutoff
+                ):
+                    raise ValueError(
+                        "tied adaptive softmax needs matching input/softmax "
+                        "cutoffs (reference transformer_lm.py:141-148)"
+                    )
+                p["adaptive_softmax"] = init_tied_adaptive_softmax(
+                    ks[-1], cfg.vocab_size, cfg.embed_dim,
+                    cfg.adaptive_softmax_cutoff,
+                    cfg.adaptive_softmax_factor, cfg.tie_adaptive_proj,
+                )
+            else:
+                p["adaptive_softmax"] = init_adaptive_softmax(
+                    ks[-1], cfg.vocab_size, cfg.embed_dim,
+                    cfg.adaptive_softmax_cutoff, cfg.adaptive_softmax_factor,
+                )
         elif not cfg.share_input_output_embed:
             p["embed_out"] = normal_init(
                 ks[-1], (cfg.vocab_size, cfg.embed_dim), std=cfg.embed_dim ** -0.5
@@ -205,16 +231,25 @@ class TransformerDecoder:
             from ..ops.adaptive_softmax import (
                 _parse_cutoff,
                 adaptive_log_probs,
+                tied_adaptive_log_probs,
             )
 
+            cutoff = _parse_cutoff(
+                self.cfg.adaptive_softmax_cutoff, self.cfg.vocab_size
+            )
             # composed log-probs; log_softmax over them is the identity,
             # so downstream consumers can treat them as logits
+            if self.cfg.tie_adaptive_weights:
+                # Baevski & Auli full recipe: output weights ARE the
+                # adaptive input embeddings (shared leaves; gradients flow
+                # to both uses)
+                return tied_adaptive_log_probs(
+                    params["adaptive_softmax"],
+                    params["adaptive_input"],
+                    cutoff, x, self.cfg.tie_adaptive_proj,
+                ).astype(x.dtype)
             return adaptive_log_probs(
-                params["adaptive_softmax"],
-                _parse_cutoff(
-                    self.cfg.adaptive_softmax_cutoff, self.cfg.vocab_size
-                ),
-                x,
+                params["adaptive_softmax"], cutoff, x
             ).astype(x.dtype)
         if self.cfg.share_input_output_embed:
             w = params["embed_tokens"]["w"]

@@ -35,8 +35,12 @@ class TransformerLanguageModel(Model):
         parser.add_argument("--no-decoder-final-norm", action="store_true",
                             help="don't add an extra layernorm after the "
                             "last decoder block")
-        parser.add_argument("--tie-adaptive-weights", action="store_true")
-        parser.add_argument("--tie-adaptive-proj", action="store_true")
+        parser.add_argument("--tie-adaptive-weights", action="store_true",
+                            help="share adaptive softmax output weights "
+                            "with the adaptive input embedding clusters")
+        parser.add_argument("--tie-adaptive-proj", action="store_true",
+                            help="also share the tail projections "
+                            "(transposed input projections)")
         # char-CNN word embeddings (reference transformer_lm.py:57-66)
         parser.add_argument("--character-embeddings", action="store_true",
                             default=False,
@@ -106,15 +110,24 @@ class TransformerLanguageModel(Model):
             no_decoder_final_norm=getattr(
                 args, "no_decoder_final_norm", False
             ),
+            tie_adaptive_weights=getattr(
+                args, "tie_adaptive_weights", False
+            ),
+            tie_adaptive_proj=getattr(args, "tie_adaptive_proj", False),
         )
-        if getattr(args, "tie_adaptive_weights", False):
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "--tie-adaptive-weights is accepted for CLI parity but "
-                "adaptive input/softmax weight tying is not implemented; "
-                "the embeddings are trained untied"
-            )
+        if cfg.tie_adaptive_weights:
+            # reference transformer_lm.py:141-148 preconditions
+            if not getattr(args, "adaptive_input", False):
+                raise ValueError(
+                    "--tie-adaptive-weights requires --adaptive-input"
+                )
+            if getattr(args, "adaptive_input_factor", 4.0) != getattr(
+                args, "adaptive_softmax_factor", 4.0
+            ):
+                raise ValueError(
+                    "--tie-adaptive-weights requires matching "
+                    "--adaptive-input-factor / --adaptive-softmax-factor"
+                )
         char_table = None
         if getattr(args, "character_embeddings", False):
             import ast

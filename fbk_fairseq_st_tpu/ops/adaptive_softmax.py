@@ -116,3 +116,75 @@ def adaptive_embed(params, cutoff, ids, dtype=jnp.float32):
         out = jnp.where(mask, proj, 0.0 if out is None else out)
         prev = c
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tied adaptive input/softmax (Baevski & Auli 2018 full recipe)
+# ---------------------------------------------------------------------------
+
+def init_tied_adaptive_softmax(key, vocab_size: int, input_dim: int, cutoff,
+                               factor: float, tie_proj: bool):
+    """Free parameters of an adaptive softmax TIED to adaptive input
+    embeddings (reference adaptive_softmax.py TiedHeadModule/_make_tail):
+    the head's word logits are ``x @ emb0^T`` and each tail's output is
+    ``hidden @ emb_k^T`` — those weights live in the adaptive_input params
+    and are shared, so only the cluster-logit columns (and the tail
+    projections when ``tie_proj`` is False) are initialized here."""
+    cutoff = _parse_cutoff(cutoff, vocab_size)
+    n_tails = len(cutoff) - 1
+    ks = jax.random.split(key, n_tails + 1)
+    p: Dict[str, Any] = {
+        "class_proj": init_linear(ks[0], input_dim, n_tails, bias=False),
+    }
+    if not tie_proj:
+        p["projs"] = []
+        for i in range(n_tails):
+            dim = max(int(input_dim // (factor ** (i + 1))), 1)
+            p["projs"].append(
+                init_linear(ks[1 + i], input_dim, dim, bias=False)
+            )
+    return p
+
+
+def tied_adaptive_log_probs(params, input_params, cutoff, x,
+                            tie_proj: bool):
+    """x: (..., D) -> (..., V) log-probs with weights shared with the
+    adaptive input embedding (``input_params`` =
+    params['adaptive_input']). Reference semantics: head word logits
+    ``x @ emb0^T`` (band-0 embedding dim must equal D — true for the
+    published presets where initial_dim == embed_dim); tail k hidden is
+    ``x @ proj_{k+1}^T`` when tie_proj (the transpose of the input
+    projection) else a free projection, and tail logits
+    ``hidden @ emb_{k+1}^T``."""
+    cutoff = tuple(cutoff)
+    n_tails = len(cutoff) - 1
+    clusters = input_params["clusters"]
+
+    emb0 = clusters[0]["embed"]["w"]
+    if emb0.shape[1] != x.shape[-1]:
+        raise NotImplementedError(
+            "tied adaptive softmax requires band-0 embedding dim == "
+            f"decoder dim ({emb0.shape[1]} != {x.shape[-1]})"
+        )
+    word_logits = x @ emb0.T.astype(x.dtype)
+    class_logits = linear(params["class_proj"], x)
+    head = jnp.concatenate([word_logits, class_logits], axis=-1).astype(
+        jnp.float32
+    )
+    head_lp = jax.nn.log_softmax(head, axis=-1)
+    pieces: List[jnp.ndarray] = [head_lp[..., : cutoff[0]]]
+    for i in range(n_tails):
+        band = clusters[i + 1]
+        if tie_proj:
+            # input proj w: (band_dim, D); tied tail hidden = x @ w^T
+            hidden = x @ band["proj"]["w"].T.astype(x.dtype)
+        else:
+            hidden = linear(params["projs"][i], x)
+        tail_logits = (
+            hidden @ band["embed"]["w"].T.astype(x.dtype)
+        ).astype(jnp.float32)
+        tail_lp = jax.nn.log_softmax(tail_logits, axis=-1)
+        pieces.append(
+            tail_lp + head_lp[..., cutoff[0] + i: cutoff[0] + i + 1]
+        )
+    return jnp.concatenate(pieces, axis=-1)

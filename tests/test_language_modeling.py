@@ -464,3 +464,84 @@ def test_eval_lm_context_window(tmp_path):
     assert total_ctx == total_plain  # same tokens scored
     assert np.isfinite(nll_ctx)
     assert nll_ctx != nll_plain  # context actually conditioned the scores
+
+
+def test_tie_adaptive_weights_shares_parameters():
+    """Baevski & Auli tying: with --tie-adaptive-weights the adaptive
+    softmax reuses the adaptive input embedding leaves — fewer free
+    parameters, normalized outputs, and output-layer gradients flow into
+    the embedding tables."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d = Dictionary()
+    for i in range(60):
+        d.add_symbol(f"w{i}")
+
+    class T:
+        target_dictionary = d
+        source_dictionary = d
+
+    def build(tied, tie_proj=True):
+        args = argparse.Namespace(
+            arch="transformer_lm",
+            criterion="cross_entropy",
+            decoder_embed_dim=16, decoder_ffn_embed_dim=32,
+            decoder_layers=1, decoder_attention_heads=2,
+            adaptive_input=True, adaptive_input_cutoff="20,40",
+            adaptive_input_factor=2.0,
+            adaptive_softmax_cutoff="20,40", adaptive_softmax_factor=2.0,
+            tie_adaptive_weights=tied, tie_adaptive_proj=tie_proj,
+            tokens_per_sample=16, dropout=0.0, attention_dropout=0.0,
+        )
+        registry.apply_architecture(args)
+        model = registry.build_model(args, T())
+        variables = model.init(jax.random.PRNGKey(0))
+        return model, variables
+
+    model_t, var_t = build(True)
+    model_u, var_u = build(False)
+
+    n_params = lambda v: sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(v["params"])
+    )
+    assert n_params(var_t) < n_params(var_u)  # shared leaves dropped
+
+    tokens = jnp.asarray(
+        np.random.RandomState(0).randint(4, 60, size=(2, 8))
+    )
+    (lp, _), _ = model_t.forward(var_t, {"src_tokens": tokens})
+    # composed adaptive log-probs normalize over the full vocab
+    np.testing.assert_allclose(
+        np.asarray(jax.scipy.special.logsumexp(
+            lp.astype(jnp.float32), axis=-1
+        )),
+        0.0, atol=1e-4,
+    )
+
+    # grads reach the input embedding tables from the OUTPUT layer alone
+    def loss_from_output_only(params):
+        v = {"params": params, "state": var_t["state"]}
+        feats = jnp.ones((2, 8, 16), jnp.float32)
+        out = model_t.decoder.output_layer(v["params"]["decoder"], feats)
+        return out.astype(jnp.float32).sum()
+
+    g = jax.grad(loss_from_output_only)(var_t["params"])
+    emb_g = g["decoder"]["adaptive_input"]["clusters"][0]["embed"]["w"]
+    assert float(np.abs(np.asarray(emb_g)).max()) > 0
+
+    # untied-proj variant also builds and normalizes
+    model_np, var_np = build(True, tie_proj=False)
+    (lp2, _), _ = model_np.forward(var_np, {"src_tokens": tokens})
+    np.testing.assert_allclose(
+        np.asarray(jax.scipy.special.logsumexp(
+            lp2.astype(jnp.float32), axis=-1
+        )),
+        0.0, atol=1e-4,
+    )

@@ -2572,3 +2572,77 @@ def test_w2l_conv_glu_encoder_equivalence():
         np.asarray(enc.encoder_out), ref_out.transpose(1, 0, 2),
         rtol=3e-4, atol=3e-4,
     )
+
+
+def test_tied_adaptive_softmax_matches_reference():
+    """Baevski & Auli tying: our tied_adaptive_log_probs == the reference
+    AdaptiveSoftmax(adaptive_inputs=..., tie_proj=True).get_log_prob, with
+    weights ported from the same reference AdaptiveInput."""
+    import torch
+
+    _load_reference()
+    from fairseq.modules.adaptive_input import AdaptiveInput
+    from fairseq.modules.adaptive_softmax import AdaptiveSoftmax
+
+    import jax.numpy as jnp
+
+    from fbk_fairseq_st_tpu.ops.adaptive_softmax import (
+        _parse_cutoff,
+        adaptive_embed,
+        tied_adaptive_log_probs,
+    )
+
+    vocab, dim, factor = 60, 16, 2.0
+    cutoff = [20, 40]
+    torch.manual_seed(0)
+    ref_in = AdaptiveInput(vocab, 1, dim, factor, dim, list(cutoff))
+    ref_sm = AdaptiveSoftmax(
+        vocab, dim, list(cutoff), dropout=0.0, factor=factor,
+        adaptive_inputs=ref_in, tie_proj=True,
+    )
+    ref_in.eval(), ref_sm.eval()
+
+    # port: cluster embeddings + projections, head class columns
+    clusters = []
+    for band in range(len(cutoff) + 1):
+        emb_w, proj_w = ref_in.weights_for_band(band)
+        clusters.append(
+            {
+                "embed": {"w": jnp.asarray(emb_w.detach().numpy())},
+                # torch Linear weight (out, in) -> our (in, out)
+                "proj": {"w": jnp.asarray(proj_w.detach().numpy().T)},
+            }
+        )
+    input_params = {"clusters": clusters}
+    tied_params = {
+        "class_proj": {
+            "w": jnp.asarray(
+                ref_sm.head.class_proj.weight.detach().numpy().T
+            )
+        }
+    }
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 5, dim).astype(np.float32)
+    with torch.no_grad():
+        want = ref_sm.get_log_prob(torch.tensor(x), None).numpy()
+
+    got = np.asarray(
+        tied_adaptive_log_probs(
+            tied_params, input_params,
+            _parse_cutoff(cutoff, vocab), jnp.asarray(x), tie_proj=True,
+        )
+    ).reshape(-1, vocab)
+    np.testing.assert_allclose(got, want.reshape(-1, vocab),
+                               rtol=2e-5, atol=2e-5)
+
+    # the tied input embedding matches too
+    ids = rng.randint(0, vocab, size=(3, 7))
+    with torch.no_grad():
+        want_emb = ref_in(torch.tensor(ids)).numpy()
+    got_emb = np.asarray(
+        adaptive_embed(
+            input_params, _parse_cutoff(cutoff, vocab), jnp.asarray(ids)
+        )
+    )
+    np.testing.assert_allclose(got_emb, want_emb, rtol=2e-5, atol=2e-5)
