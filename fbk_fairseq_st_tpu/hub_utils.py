@@ -42,20 +42,14 @@ def _is_torch_checkpoint(path: str) -> bool:
     if os.path.isdir(path):
         return False
     with open(path, "rb") as f:
-        magic = f.read(2)
-    if magic == b"PK":
+        head = f.read(4)
+    if head[:2] == b"PK":  # torch >= 1.6 zipfile serialization
         return True
-    if magic[:1] == b"\x80":  # plain pickle protocol marker: could be
-        # either; the native format loads with pickle alone
-        import pickle
-
-        try:
-            with open(path, "rb") as f:
-                pickle.load(f)
-            return False
-        except Exception:
-            return True
-    return False
+    # legacy (pre-zip) torch.save: a pickle stream that OPENS with the
+    # torch magic number as a LONG1 opcode (0x8a). Native checkpoints are
+    # plain pickles whose first opcode after PROTO is a FRAME/dict — never
+    # LONG1 — so four bytes decide without deserializing gigabytes.
+    return head[:1] == b"\x80" and head[2:3] == b"\x8a"
 
 
 def _ensure_native(model_path: str) -> str:

@@ -215,9 +215,11 @@ def mha(
         rate = 0.0
         if dropout_active:
             rate = cfg.dropout
-            seed = jax.random.randint(
-                rng.next(), (), 0, 2**31 - 1, dtype=jnp.int32
-            )
+            # derive the in-kernel seed from the raw key bits — a
+            # jax.random draw here would put a counter-PRNG op on the hot
+            # path of every attention layer just to seed the fast TPU PRNG
+            data = jax.random.key_data(rng.next()).reshape(-1)
+            seed = (data[:1] ^ data[-1:]).astype(jnp.int32)
         out = flash_attention(
             q.reshape(b * h, tq, hd),
             k.reshape(b * h, s, hd),

@@ -73,13 +73,29 @@ def local_row_range(sharding: NamedSharding, global_shape) -> Tuple[int, int]:
     """
     idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
     lo, hi = None, None
+    spans = set()
     for idx in idx_map.values():
         s = idx[0] if len(idx) > 0 else slice(None)
         start = 0 if s.start is None else int(s.start)
         stop = global_shape[0] if s.stop is None else int(s.stop)
+        spans.add((start, stop))
         lo = start if lo is None else min(lo, start)
         hi = stop if hi is None else max(hi, stop)
-    return (0, global_shape[0]) if lo is None else (lo, hi)
+    if lo is None:
+        return 0, global_shape[0]
+    # make_array_from_process_local_data assumes the local chunk is ONE
+    # contiguous row range; reject exotic device orders loudly instead of
+    # feeding rows to the wrong devices
+    covered = sorted(spans)
+    pos = lo
+    for start, stop in covered:
+        if start > pos:
+            raise ValueError(
+                f"process-local rows are not contiguous: hole at {pos}.."
+                f"{start} (device order vs 'data'-axis layout mismatch)"
+            )
+        pos = max(pos, stop)
+    return lo, hi
 
 
 def place_global_array(mesh: Mesh, x, want: NamedSharding):
