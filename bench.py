@@ -316,6 +316,81 @@ def _measure_decode(arch: str = "conv_transformer", twophase: bool = False):
     return round(dt / audio_seconds, 5)
 
 
+def _measure_ctc_flagship():
+    """The fork's SIGNATURE training config (EACL 2021): conv_transformer_big
+    + ctc_multi_loss with CTC compression — joint CTC+CE over transcript and
+    translation. Measured separately from the plain-CE configs so the
+    framework's headline covers the workload the fork exists for."""
+    import jax
+    import numpy as np
+
+    from fbk_fairseq_st_tpu import options
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+    from fbk_fairseq_st_tpu.registry import TASKS
+    from fbk_fairseq_st_tpu.train.trainer import Trainer
+
+    d = Dictionary()
+    for i in range(VOCAB - 4):
+        d.add_symbol(f"tok{i}")
+    d.finalize(padding_factor=8)
+    sd = Dictionary()
+    for i in range(700):
+        sd.add_symbol(f"s{i}")
+    sd.add_symbol("<ctc_blank>")
+    sd.finalize(padding_factor=8)
+
+    argv = [
+        "/nonexistent", "--task", "speech_translation_with_transcription",
+        "-s", "en", "-t", "de", "--arch", "conv_transformer_big",
+        "--criterion", "ctc_multi_loss",
+        "--underlying-criterion", "label_smoothed_cross_entropy",
+        "--label-smoothing", "0.1", "--ctc-encoder-layer", "4",
+        "--ctc-weight", "0.5", "--ctc-compress-out",
+        "--optimizer", "adam", "--adam-betas", "(0.9, 0.98)",
+        "--lr", "0.002", "--lr-scheduler", "inverse_sqrt",
+        "--warmup-updates", "4000", "--clip-norm", "10.0",
+        "--max-tokens", "66000", "--log-sync-interval", "20", "--bf16",
+        "--max-source-positions", "2048", "--max-target-positions", "512",
+        "--input-feat-per-channel", str(N_MELS),
+    ]
+    parser = options.get_training_parser()
+    args = options.parse_args_and_arch(parser, argv)
+    task = TASKS[args.task].__new__(TASKS[args.task])
+    TASKS[args.task].__init__(task, args, d)
+    task.src_dict = sd
+    model = task.build_model(args)
+    criterion = task.build_criterion(args)
+    trainer = Trainer(args, task, model, criterion)
+
+    rng = np.random.RandomState(0)
+    host = _host_sample(d, rng)
+    tr_len = 64
+    tr = rng.randint(4, 700, size=(BATCH, tr_len)).astype(np.int32)
+    host["transcript_target"] = tr
+    host["transcript_target_lengths"] = np.full((BATCH,), tr_len, np.int32)
+    host["net_input"]["transcript_prev_output_tokens"] = np.concatenate(
+        [np.full((BATCH, 1), sd.eos(), np.int32), tr[:, :-1]], axis=1
+    )
+    frames_per_batch = int(host["net_input"]["src_lengths"].sum())
+    staged = trainer.stage_sample(host)
+    for _ in range(WARMUP):
+        trainer.train_step([staged])
+    jax.block_until_ready(trainer.train_state["params"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        trainer.train_step([staged])
+    jax.block_until_ready(trainer.train_state["params"])
+    dt = (time.perf_counter() - t0) / STEPS
+    out = {
+        "frames_per_sec_per_chip": round(
+            frames_per_batch / dt / jax.device_count(), 1
+        ),
+        "step_time_ms": round(dt * 1e3, 2),
+    }
+    del trainer
+    return out
+
+
 def _measure_flash_longcontext():
     """Attention-only long-context case (S=2048, bf16, causal, fwd+bwd):
     the dense XLA formulation OOMs HBM at these shapes (8 GB of (T,S)
@@ -369,6 +444,7 @@ def main() -> None:
     base = _measure_train("conv_transformer")
     big = _measure_train("conv_transformer_big")
     realistic = _measure_train("conv_transformer", realistic=True)
+    ctc_flagship = _measure_ctc_flagship()
     decode_rtf = _measure_decode()
     decode_rtf_big = _measure_decode("conv_transformer_big")
     decode_rtf_twophase = _measure_decode(
@@ -388,6 +464,7 @@ def main() -> None:
                     "base": base,
                     "big": big,
                     "realistic": realistic,
+                    "ctc_flagship": ctc_flagship,
                     "decode_rtf": decode_rtf,
                     "decode_rtf_big": decode_rtf_big,
                     "decode_rtf_twophase": decode_rtf_twophase,
