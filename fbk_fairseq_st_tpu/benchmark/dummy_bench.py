@@ -7,7 +7,6 @@ throughput can be measured with zero data pipeline and zero attention cost.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..data.dictionary import Dictionary

@@ -33,7 +33,7 @@ import re
 import numpy as np
 
 from ..data.dictionary import Dictionary
-from ..data.datasets import Dataset, collate_tokens
+from ..data.datasets import Dataset
 from ..registry import register_task
 from .base import Task
 
