@@ -43,8 +43,9 @@ def add_asr_eval_argument(parser):
     parser.add_argument("--lexicon", help="wav2letter-format lexicon "
                         "(word<TAB>unit unit ...) constraining beam decodes")
     parser.add_argument("--kenlm-model", default=None,
-                        help="KenLM model scored at word boundaries "
-                        "(optional kenlm dependency)")
+                        help="word-level n-gram model scored at word "
+                        "boundaries: ARPA text (.arpa[.gz]) loads natively; "
+                        "KenLM binary files need the optional kenlm binding")
     parser.add_argument("--lm-weight", type=float, default=2.0)
     parser.add_argument("--word-score", type=float, default=-1.0)
     parser.add_argument("--word-boundary-unit", default="|",
@@ -69,7 +70,11 @@ def _sclite_line(sentence: str, utt_id) -> str:
 def process_predictions(args, hypos, tgt_dict, sample_id, res_files):
     for hypo in hypos[: min(len(hypos), args.nbest)]:
         hyp_pieces = tgt_dict.string(hypo["tokens"])
-        hyp_words = post_process(hyp_pieces, "sentencepiece")
+        if hypo.get("words"):
+            # lexicon decoder: word sequence comes from the lexicon itself
+            hyp_words = " ".join(hypo["words"])
+        else:
+            hyp_words = post_process(hyp_pieces, "sentencepiece")
         res_files["hypo.units"].write(_sclite_line(hyp_pieces, sample_id))
         res_files["hypo.word"].write(_sclite_line(hyp_words, sample_id))
 
@@ -176,10 +181,10 @@ def main(args):
 
         beam_decoder = None
         if mode == "beam":
+            from ..generation.arpa_lm import load_word_lm
             from ..generation.ctc_decoder import (
                 ASGBeamDecoder,
                 CTCPrefixBeamDecoder,
-                KenLMWordLM,
                 LexiconTrie,
             )
 
@@ -188,7 +193,7 @@ def main(args):
             if args.lexicon:
                 trie = LexiconTrie.from_lexicon_file(args.lexicon, tgt_dict)
                 boundary = tgt_dict.index(args.word_boundary_unit)
-            lm = KenLMWordLM(args.kenlm_model) if args.kenlm_model else None
+            lm = load_word_lm(args.kenlm_model) if args.kenlm_model else None
             if asg_transitions is not None:
                 beam_decoder = ASGBeamDecoder(
                     np.asarray(jax.device_get(asg_transitions)),

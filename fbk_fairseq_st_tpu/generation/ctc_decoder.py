@@ -312,9 +312,15 @@ class CTCPrefixBeamDecoder:
             score = b.score()
             if self.lm is not None:
                 score += self.lm_weight * self.lm.finish(b.lm_state)
-            finals.append((score, b))
+            # word-boundary finalization (flashlight LexiconDecoder
+            # semantics): a beam stuck mid-trie carries an incomplete word
+            complete = self.trie is None or b.node is root
+            finals.append((score, complete, b))
         finals.sort(key=lambda x: x[0], reverse=True)
-        for score, b in finals[:n_best]:
+        finished = [f for f in finals if f[1]]
+        if finished:
+            finals = finished
+        for score, _, b in finals[:n_best]:
             out.append(
                 {
                     "tokens": np.asarray(b.prefix, np.int64),

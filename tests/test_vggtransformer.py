@@ -245,3 +245,30 @@ def test_infer_ctc_beam_decoding(tmp_path):
     for line in open(os.path.join(results, hypo_file)):
         sent = line.rsplit("(", 1)[0].split()
         assert all(tok in allowed for tok in sent), (sent, allowed)
+
+    # w2l-decoder kenlm with a native ARPA model: exercises the full
+    # lexicon+LM fusion path through the CLI without the kenlm binding
+    arpa = str(tmp_path / "words.arpa")
+    with open(arpa, "w") as f:
+        f.write(
+            "\\data\\\nngram 1=4\n\n\\1-grams:\n"
+            "-99\t<s>\n-0.5\t</s>\n-0.3\tw1\n-0.6\tw2\n\n\\end\\\n"
+        )
+    results = str(tmp_path / "results_arpa")
+    infer_cli.cli_main(
+        base_argv
+        + [
+            "--results-path", results,
+            "--w2l-decoder", "kenlm",
+            "--kenlm-model", arpa,
+            "--lexicon", lexicon,
+            "--ctc-beam-size", "8",
+            "--word-boundary-unit", syms[3],
+            "--lm-weight", "1.0",
+        ]
+    )
+    wrd_files = [f for f in os.listdir(results) if f.startswith("hypo.word-")]
+    assert wrd_files, os.listdir(results)
+    for line in open(os.path.join(results, wrd_files[0])):
+        words = line.rsplit("(", 1)[0].split()
+        assert all(w in {"w1", "w2"} for w in words), words
