@@ -183,6 +183,13 @@ def add_distributed_training_args(parser):
     group.add_argument("--distributed-rank", default=0, type=int)
     group.add_argument("--model-parallel-size", type=int, metavar="N", default=1,
                        help="size of the 'model' mesh axis (tensor parallelism)")
+    group.add_argument("--fsdp", default=False, action="store_true",
+                       help="ZeRO-3 fully-sharded data parallelism: shard "
+                       "params + optimizer state over the 'data' mesh axis "
+                       "(composes with --model-parallel-size)")
+    group.add_argument("--fsdp-min-shard-size", type=int, default=None,
+                       metavar="N", help="replicate params smaller than N "
+                       "elements instead of sharding them (default 4096)")
     group.add_argument("--ddp-backend", default="pjit", help="parity flag; always pjit")
     # multi-host (multi-process) launch: one CLI process per host drives its
     # local chips; jax.distributed.initialize stitches them into one mesh

@@ -163,11 +163,49 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def param_sharding(mesh: Mesh, params, use_tp: bool = False):
+# Below this many elements a parameter is cheaper to replicate than to
+# all-gather every step (biases, LayerNorm scales, BatchNorm stats).
+FSDP_MIN_SIZE = 4096
+
+
+def _fsdp_spec(spec_dims, shape, data_size: int) -> Optional[P]:
+    """Extend a PartitionSpec with 'data' on the largest free divisible dim.
+
+    ZeRO-3 placement: weights live sharded; GSPMD all-gathers them at use
+    and reduce-scatters their gradients, so per-device parameter +
+    optimizer memory shrinks by the 'data'-axis size (Rajbhandari et al.
+    2020, arXiv:1910.02054 — expressed here purely as sharding annotations,
+    the TPU/GSPMD formulation, vs the reference fork which has no
+    equivalent; its FSDP landed in later fairseq)."""
+    dims = list(spec_dims) + [None] * (len(shape) - len(spec_dims))
+    free = [
+        (shape[i], i)
+        for i, d in enumerate(dims)
+        if d is None and shape[i] % data_size == 0
+    ]
+    if not free:
+        return None
+    dims[max(free)[1]] = "data"
+    return P(*dims)
+
+
+def param_sharding(
+    mesh: Mesh,
+    params,
+    use_tp: bool = False,
+    use_fsdp: bool = False,
+    fsdp_min_size: Optional[int] = None,
+):
     """A NamedSharding tree for a param pytree: replicated by default, TP
-    rules applied on the 'model' axis when use_tp."""
+    rules applied on the 'model' axis when use_tp, and remaining large
+    dims sharded over 'data' when use_fsdp (ZeRO-3; composes with TP into
+    a 2-D weight layout)."""
+    data_size = mesh.shape.get("data", 1)
+    if fsdp_min_size is None:
+        fsdp_min_size = FSDP_MIN_SIZE
 
     def spec_for(path, leaf):
+        spec_dims: Tuple = ()
         if use_tp and mesh.shape.get("model", 1) > 1:
             s = _path_str(path)
             for pattern, spec in TP_RULES:
@@ -179,7 +217,12 @@ def param_sharding(mesh: Mesh, params, use_tp: bool = False):
                         if d == "model" and leaf.shape[axis_idx] % mesh.shape["model"] != 0:
                             ok = False
                     if ok:
-                        return NamedSharding(mesh, spec)
-        return NamedSharding(mesh, P())
+                        spec_dims = tuple(dims)
+                    break
+        if use_fsdp and data_size > 1 and leaf.size >= fsdp_min_size:
+            fs = _fsdp_spec(spec_dims, leaf.shape, data_size)
+            if fs is not None:
+                return NamedSharding(mesh, fs)
+        return NamedSharding(mesh, P(*spec_dims))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

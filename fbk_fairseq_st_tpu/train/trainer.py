@@ -90,10 +90,15 @@ class Trainer:
         # collectives (grad all-reduce over 'data', activation collectives
         # over 'model')
         use_tp = self.mesh.shape.get("model", 1) > 1
+        # ZeRO-3: shard params (and through _opt_state_sharding the
+        # optimizer moments) over the 'data' axis; GSPMD inserts the
+        # per-use all-gathers and grad reduce-scatters
+        use_fsdp = bool(getattr(args, "fsdp", False))
         from ..parallel.mesh import param_sharding
 
         self._param_shard = param_sharding(
-            self.mesh, variables["params"], use_tp=use_tp
+            self.mesh, variables["params"], use_tp=use_tp, use_fsdp=use_fsdp,
+            fsdp_min_size=getattr(args, "fsdp_min_shard_size", None),
         )
         self._opt_shard = self._opt_state_sharding(
             opt_state, variables["params"], self._param_shard
