@@ -65,6 +65,9 @@ def _main(args, output_file):
     models, _model_args = checkpoint_utils.load_model_ensemble(
         args.path.split(":"), arg_overrides=overrides, task=task
     )
+    from ..quantization.weight_only import maybe_quantize_ensemble
+
+    models = maybe_quantize_ensemble(models, args, logger)
 
     src_dict = getattr(task, "source_dictionary", None)
     tgt_dict = task.target_dictionary

@@ -125,6 +125,9 @@ def main(args):
         arg_overrides=ast.literal_eval(args.model_overrides),
         task=task,
     )
+    from ..quantization.weight_only import maybe_quantize_ensemble
+
+    models = maybe_quantize_ensemble(models, args, logger)
     tgt_dict = task.target_dictionary
 
     # w2l-style decoders map onto the native CTC decoders: Viterbi over

@@ -73,6 +73,9 @@ def main(args):
         arg_overrides=ast.literal_eval(args.model_overrides),
         task=task,
     )
+    from ..quantization.weight_only import maybe_quantize_ensemble
+
+    models = maybe_quantize_ensemble(models, args, logger)
     generator = task.build_generator(models, args)
     tgt_dict = task.target_dictionary
 

@@ -109,7 +109,7 @@ def character_embed(params, cfg: CharEmbedderConfig, word_to_char, tokens,
         outs.append(jax.nn.relu(jnp.max(x, axis=1)))
     x = jnp.concatenate(outs, axis=-1)  # (BT, sum out_c)
     for hw in params["highway"]:
-        proj = x @ hw["w"].astype(x.dtype) + hw["b"].astype(x.dtype)
+        proj = linear(hw, x)
         proj_x, gate = jnp.split(proj, 2, axis=-1)
         proj_x = jax.nn.relu(proj_x)
         gate = jax.nn.sigmoid(gate)

@@ -73,8 +73,24 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True):
     return p
 
 
+def weight_of(p, dtype):
+    """Materialize a linear weight, dequantizing weight-only int8 storage.
+
+    Weight-only quantized layers (quantization/weight_only.py) carry
+    ``w_q`` (int8) + ``w_scale`` (fp32 per-output-channel) instead of
+    ``w``. The dequant sits at the use site so XLA fuses int8->bf16
+    convert + scale into the matmul operand read instead of
+    materializing a full-precision copy; the optimization_barrier keeps
+    the compiler from hoisting/CSE-ing the dequant in generator loops,
+    which measured 30% slower at small batch without it (PERF.md §6)."""
+    if "w_q" in p:
+        wq, scale = jax.lax.optimization_barrier((p["w_q"], p["w_scale"]))
+        return wq.astype(dtype) * scale.astype(dtype)
+    return p["w"].astype(dtype)
+
+
 def linear(p, x):
-    y = x @ p["w"].astype(x.dtype)
+    y = x @ weight_of(p, x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

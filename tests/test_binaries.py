@@ -144,6 +144,30 @@ def test_generate_beam(trained_dir, capsys):
     assert scorer.stat.predlen > 0
 
 
+def test_generate_quantized_weights(trained_dir, capsys):
+    """--quantize-weights int8 through the generate CLI: the weight-only
+    serving path must decode the test set end to end."""
+    data_dir, save_dir = trained_dir
+    scorer = generate_cli.cli_main(
+        [
+            data_dir,
+            "--task", "speech_recognition",
+            "--target-lang", "de",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--beam", "2",
+            "--max-tokens", "400",
+            "--gen-subset", "test",
+            "--max-len-b", "10",
+            "--skip-invalid-size-inputs-valid-test",
+            "--quantize-weights", "int8",
+            "--log-format", "none",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert any(line.startswith("H-") for line in out.splitlines())
+    assert scorer.stat.predlen > 0
+
+
 def test_generate_scoring_reference(trained_dir):
     data_dir, save_dir = trained_dir
     scorer = generate_cli.cli_main(
