@@ -102,6 +102,21 @@ def get_parser(desc: str, default_task: str = "speech_recognition"):
                         help="use mixed precision (bfloat16 on TPU)")
     parser.add_argument("--bf16", action="store_true",
                         help="use bfloat16 compute (params stay fp32)")
+    # fp16 loss-scaler parity flags (reference options.py:30-45): accepted
+    # so fork commands run unmodified, ignored because bf16 keeps fp32's
+    # exponent range and needs no scaler
+    parser.add_argument("--memory-efficient-fp16", action="store_true",
+                        help="parity flag; same as --fp16 here")
+    parser.add_argument("--fp16-init-scale", type=float, default=None,
+                        help="parity flag; no loss scaler under bf16")
+    parser.add_argument("--fp16-scale-window", type=int, default=None,
+                        help="parity flag; no loss scaler under bf16")
+    parser.add_argument("--fp16-scale-tolerance", type=float, default=None,
+                        help="parity flag; no loss scaler under bf16")
+    parser.add_argument("--min-loss-scale", type=float, default=None,
+                        help="parity flag; no loss scaler under bf16")
+    parser.add_argument("--threshold-loss-scale", type=float, default=None,
+                        help="parity flag; no loss scaler under bf16")
     parser.add_argument("--user-dir", default=None,
                         help="path to a python module containing custom "
                         "extensions (tasks and/or architectures)")
@@ -293,6 +308,12 @@ def add_generation_args(parser):
     group.add_argument("--quiet", action="store_true",
                        help="only print final scores")
     group.add_argument("--model-overrides", default="{}", type=str, metavar="DICT")
+    group.add_argument("--quantize-weights", choices=["none", "int8"],
+                       default="none",
+                       help="weight-only quantization of linear layers for "
+                       "serving: int8 storage + per-channel scales, "
+                       "dequantized at the matmul (4x smaller weight "
+                       "memory, latency-neutral; PERF.md)")
     group.add_argument("--results-path", metavar="RESDIR", type=str, default=None)
     group.add_argument("--beam", default=5, type=int, metavar="N",
                        help="beam size")

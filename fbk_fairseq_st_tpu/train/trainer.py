@@ -59,7 +59,10 @@ class Trainer:
         )
 
         self.compute_dtype = (
-            jnp.bfloat16 if getattr(args, "bf16", False) or getattr(args, "fp16", False)
+            jnp.bfloat16
+            if getattr(args, "bf16", False)
+            or getattr(args, "fp16", False)
+            or getattr(args, "memory_efficient_fp16", False)
             else jnp.float32
         )
 

@@ -72,3 +72,21 @@ def test_nan_detector_finds_bad_leaves():
     with NanDetector() as nd:
         nd.check(tree, "params")
     assert nd.findings
+
+
+@pytest.mark.quick
+def test_fp16_parity_flags_accepted():
+    """Fork training commands carrying the fp16 loss-scaler flags must parse
+    unmodified (reference options.py:30-45); --memory-efficient-fp16 maps to
+    bf16 compute like --fp16."""
+    from fbk_fairseq_st_tpu import options
+
+    parser = options.get_training_parser()
+    args = options.parse_args_and_arch(parser, [
+        "/data", "--task", "translation", "--arch", "transformer",
+        "--optimizer", "adam", "--lr", "0.0005",
+        "--memory-efficient-fp16", "--fp16-init-scale", "128",
+        "--fp16-scale-window", "256", "--fp16-scale-tolerance", "0.0",
+        "--min-loss-scale", "0.0001", "--threshold-loss-scale", "1.0",
+    ])
+    assert args.memory_efficient_fp16
