@@ -203,7 +203,13 @@ def train(args, trainer, task, epoch_itr, max_update):
             itr, trainer.stage_sample,
             lookahead=getattr(args, "device_prefetch", 2),
         )
-    itr = GroupedIterator(itr, update_freq)
+    # K>1 fuses K updates into one device dispatch (trainer.train_step_multi,
+    # a lax.scan over K batches); requires update_freq 1 and no BMUF (both
+    # need host work between updates). Validation/saving cadence then
+    # quantizes to block boundaries (the '//' crossing checks below).
+    spe = max(int(getattr(args, "steps_per_execution", 1) or 1), 1)
+    use_spe = spe > 1 and update_freq == 1 and trainer.bmuf is None
+    itr = GroupedIterator(itr, spe if use_spe else update_freq)
     progress = progress_bar(
         itr,
         log_format=args.log_format,
@@ -217,12 +223,17 @@ def train(args, trainer, task, epoch_itr, max_update):
     valid_losses = [None]
     with metrics.aggregate("train") as agg:
         for samples in progress:
+            prev_updates = trainer.get_num_updates()
             with metrics.aggregate("train_inner"):
-                log_output = trainer.train_step(samples)
+                log_output = (
+                    trainer.train_step_multi(samples)
+                    if use_spe
+                    else trainer.train_step(samples)
+                )
                 if log_output is None:
                     continue
             num_updates = trainer.get_num_updates()
-            if num_updates % args.log_interval == 0:
+            if num_updates // args.log_interval > prev_updates // args.log_interval:
                 stats = get_training_stats(
                     metrics.get_smoothed_values("train_inner")
                 )
@@ -230,7 +241,8 @@ def train(args, trainer, task, epoch_itr, max_update):
                 metrics.reset_meters("train_inner")
 
             valid_losses = validate_and_save(
-                args, trainer, task, epoch_itr, valid_subsets, end_of_epoch=False
+                args, trainer, task, epoch_itr, valid_subsets,
+                end_of_epoch=False, prev_updates=prev_updates,
             )
             if trainer.get_num_updates() >= max_update:
                 break
@@ -245,19 +257,29 @@ def train(args, trainer, task, epoch_itr, max_update):
     return valid_losses
 
 
-def validate_and_save(args, trainer, task, epoch_itr, valid_subsets, end_of_epoch):
-    """Reference fairseq_cli/train.py:214-253."""
+def validate_and_save(args, trainer, task, epoch_itr, valid_subsets, end_of_epoch,
+                      prev_updates=None):
+    """Reference fairseq_cli/train.py:214-253. ``prev_updates`` (the count
+    before the last train call) makes the every-N-updates check a boundary
+    CROSSING, so a steps-per-execution block that jumps the counter past a
+    multiple of save_interval_updates still triggers the save."""
     num_updates = trainer.get_num_updates()
+    si = args.save_interval_updates
+    crossed_save = (
+        si > 0
+        and num_updates > 0
+        and (
+            num_updates % si == 0
+            if prev_updates is None
+            else num_updates // si > prev_updates // si
+        )
+    )
     do_save = (
         (
             end_of_epoch
             and epoch_itr.epoch % args.save_interval == 0
         )
-        or (
-            args.save_interval_updates > 0
-            and num_updates > 0
-            and num_updates % args.save_interval_updates == 0
-        )
+        or crossed_save
     )
     do_validate = (
         (

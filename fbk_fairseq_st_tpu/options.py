@@ -93,6 +93,14 @@ def get_parser(desc: str, default_task: str = "speech_recognition"):
                         help="sync logging outputs to host every N updates "
                              "(>1 overlaps host dispatch with device compute; "
                              "NaN detection then also runs every N updates)")
+    parser.add_argument("--steps-per-execution", type=int, default=1,
+                        metavar="K",
+                        help="fuse K optimizer updates into ONE compiled "
+                             "dispatch (lax.scan over K batches): amortizes "
+                             "per-step host dispatch latency on slow-host / "
+                             "tunneled setups. Requires update-freq 1; "
+                             "groups whose batches differ in shape fall "
+                             "back to per-step dispatch transparently")
     parser.add_argument("--tensorboard-logdir", metavar="DIR", default="",
                         help="path to save logs for tensorboard")
     parser.add_argument("--seed", default=1, type=int, metavar="N",

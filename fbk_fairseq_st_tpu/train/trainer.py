@@ -126,6 +126,13 @@ class Trainer:
         self.log_sync_interval = max(
             int(getattr(args, "log_sync_interval", 1) or 1), 1
         )
+        # K>1 fuses K optimizer updates into one compiled dispatch
+        # (lax.scan over K stacked batches) — amortizes the per-step host
+        # dispatch latency (measured ~5 ms/step on a tunneled host, the
+        # entire wall-vs-device MFU gap in PERF.md §1)
+        self.steps_per_execution = max(
+            int(getattr(args, "steps_per_execution", 1) or 1), 1
+        )
         self._pending_logs: list = []
         self.bmuf = None
         if getattr(args, "use_bmuf", False):
@@ -157,6 +164,7 @@ class Trainer:
             self._fused_step_impl, donate_argnums=(0,),
         )
         self._grad_step = jax.jit(self._grad_step_impl)
+        self._multi_step = jax.jit(self._multi_step_impl, donate_argnums=(0,))
         self._apply_step = jax.jit(self._apply_step_impl, donate_argnums=(0, 1))
         self._jit_valid = jax.jit(self._valid_impl)
 
@@ -284,6 +292,29 @@ class Trainer:
 
     def _apply_step_impl(self, train_state, grads, sample_size, lr, new_model_state):
         return self._apply_grads(train_state, grads, sample_size, lr, new_model_state)
+
+    def _multi_step_impl(self, train_state, batches, lrs, rng_keys):
+        """K fused optimizer updates in one executable: scan over the K
+        stacked batches, each iteration = the full _fused_step math (same
+        grads/clip/update pipeline, per-update lr and rng). One host
+        dispatch instead of K (Keras steps_per_execution, redesigned as a
+        lax.scan so XLA pipelines the updates back-to-back on device)."""
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+        def body(state, xs):
+            batch, lr, key = xs
+            grads, _loss, sample_size, logging_output, new_ms = (
+                self._compute_grads(state, batch, key)
+            )
+            new_state, gnorm = self._apply_grads(
+                state, grads, sample_size, lr, new_ms
+            )
+            return new_state, (gnorm, logging_output)
+
+        new_state, (gnorms, logs) = jax.lax.scan(
+            body, train_state, (stacked, lrs, rng_keys)
+        )
+        return new_state, gnorms, logs
 
     def _valid_impl(self, train_state, batch, rng_key):
         rng = RngStream(rng_key)
@@ -472,6 +503,88 @@ class Trainer:
         metrics.log_stop_time("train_wall")
         return out
 
+    @staticmethod
+    def _sample_meta(sample) -> Dict[str, int]:
+        meta = {"ntokens": 0, "nsentences": 0}
+        if "net_input" not in sample:
+            for sub in sample.values():
+                if isinstance(sub, dict):
+                    meta["ntokens"] += sub.get("ntokens", 0)
+                    meta["nsentences"] += sub.get("nsentences", 0)
+        else:
+            meta["ntokens"] += sample.get("ntokens", 0)
+            meta["nsentences"] += sample.get("nsentences", 0)
+        return meta
+
+    @staticmethod
+    def _batch_signature(batch):
+        leaves, treedef = jax.tree_util.tree_flatten(batch)
+        return treedef, [
+            (leaf.shape, str(leaf.dtype)) if hasattr(leaf, "shape") else leaf
+            for leaf in leaves
+        ]
+
+    def _train_steps_sequential(self, samples) -> Optional[Dict[str, float]]:
+        out = None
+        for sample in samples:
+            r = self.train_step([sample])
+            if r is not None:
+                out = r
+        return out
+
+    def train_step_multi(self, samples: List[dict]) -> Optional[Dict[str, float]]:
+        """K = steps_per_execution optimizer updates in ONE device dispatch
+        (each sample is one update's full batch; update_freq must be 1).
+        Falls back to per-step dispatch when the group is ragged: shorter
+        than K (epoch tail), batches whose shapes differ (bucketed audio
+        lengths), or an empty/invalid sample — identical math either way."""
+        K = self.steps_per_execution
+        if len(samples) != K or self.bmuf is not None:
+            return self._train_steps_sequential(samples)
+        metrics.log_start_time("train_wall", priority=800, round=0)
+        base = self._num_updates
+        prepare = getattr(self.task, "prepare_sample", None)
+        crit_prepare = getattr(self.criterion, "prepare_sample", None)
+        batches, metas = [], []
+        for i, sample in enumerate(samples):
+            if prepare is not None:
+                sample = prepare(sample, base + i)
+            if crit_prepare is not None:
+                sample = crit_prepare(sample, base + i)
+            b = self._device_batch(sample)
+            if b is None:
+                metrics.log_stop_time("train_wall")
+                return self._train_steps_sequential(samples)
+            metas.append(self._sample_meta(sample))
+            batches.append(shard_batch(self.mesh, b))
+        sig0 = self._batch_signature(batches[0])
+        if any(self._batch_signature(b) != sig0 for b in batches[1:]):
+            metrics.log_stop_time("train_wall")
+            return self._train_steps_sequential(samples)
+
+        lrs = jnp.asarray(
+            [self.lr_scheduler.step_update(base + i) for i in range(K)],
+            dtype=jnp.float32,
+        )
+        keys = jnp.stack(
+            [jax.random.fold_in(self._root_key, base + 1 + i) for i in range(K)]
+        )
+        new_state, gnorms, logs = self._multi_step(
+            self.train_state, tuple(batches), lrs, keys
+        )
+        self.train_state = new_state
+        self.set_num_updates(base + K)
+
+        # one pending entry for the whole block; flush expands it host-side
+        self._pending_logs.append((logs, gnorms, metas, batches))
+        sync = self.log_sync_interval
+        if (base + K) // sync == base // sync:
+            metrics.log_stop_time("train_wall")
+            return {}
+        out = self.flush_logs()
+        metrics.log_stop_time("train_wall")
+        return out
+
     def flush_logs(self):
         """Sync any deferred logging outputs to the host (no-op when
         log_sync_interval == 1 and nothing is pending)."""
@@ -483,12 +596,20 @@ class Trainer:
         fetched = jax.device_get(
             [(lo, gn) for lo, gn, _, _ in self._pending_logs]
         )
-        pending = [
-            (flo, fgn, meta, last_batch)
-            for (flo, fgn), (_, _, meta, last_batch) in zip(
-                fetched, self._pending_logs
-            )
-        ]
+        pending = []
+        for (flo, fgn), (_, _, meta, last_batch) in zip(
+            fetched, self._pending_logs
+        ):
+            if isinstance(meta, list):
+                # steps_per_execution block: logging values and gnorm carry
+                # a leading per-update axis — expand host-side
+                for i, m in enumerate(meta):
+                    pending.append((
+                        {k: v[i] for k, v in flo.items()},
+                        fgn[i], m, last_batch[i],
+                    ))
+            else:
+                pending.append((flo, fgn, meta, last_batch))
         for logging_output, gnorm, meta, last_batch in pending:
             logging_output = {
                 k: float(np.asarray(v)) for k, v in logging_output.items()
