@@ -129,8 +129,11 @@ def _flops_per_step(trainer, sample):
         lr = 0.001
         import jax.numpy as jnp
 
+        import numpy as _np
+
         lowered = trainer._fused_step.lower(
-            trainer.train_state, batch, jnp.float32(lr), trainer._step_rng()
+            trainer.train_state, batch, _np.float32(lr), trainer._root_key,
+            _np.int32(0),
         )
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):

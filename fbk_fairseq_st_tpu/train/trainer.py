@@ -274,7 +274,12 @@ class Trainer:
             gnorm,
         )
 
-    def _fused_step_impl(self, train_state, batch, lr, rng_key):
+    def _fused_step_impl(self, train_state, batch, lr, root_key, upd):
+        # seed-per-update key derived IN-graph: a host-side fold_in would be
+        # one extra tiny device op per step — each costs a full round-trip
+        # on a tunneled host, and they (not dispatch itself) were measured
+        # to be the entire wall-vs-device step-time gap (PERF.md §8)
+        rng_key = jax.random.fold_in(root_key, upd + 1)
         grads, loss, sample_size, logging_output, new_model_state = (
             self._compute_grads(train_state, batch, rng_key)
         )
@@ -283,7 +288,11 @@ class Trainer:
         )
         return new_state, gnorm, logging_output
 
-    def _grad_step_impl(self, train_state, batch, rng_key, grad_acc, ss_acc):
+    def _grad_step_impl(self, train_state, batch, root_key, upd, micro_i,
+                        grad_acc, ss_acc):
+        rng_key = jax.random.fold_in(
+            jax.random.fold_in(root_key, upd + 1), micro_i
+        )
         grads, loss, sample_size, logging_output, new_model_state = (
             self._compute_grads(train_state, batch, rng_key)
         )
@@ -293,16 +302,18 @@ class Trainer:
     def _apply_step_impl(self, train_state, grads, sample_size, lr, new_model_state):
         return self._apply_grads(train_state, grads, sample_size, lr, new_model_state)
 
-    def _multi_step_impl(self, train_state, batches, lrs, rng_keys):
+    def _multi_step_impl(self, train_state, batches, lrs, root_key, upds):
         """K fused optimizer updates in one executable: scan over the K
         stacked batches, each iteration = the full _fused_step math (same
-        grads/clip/update pipeline, per-update lr and rng). One host
-        dispatch instead of K (Keras steps_per_execution, redesigned as a
-        lax.scan so XLA pipelines the updates back-to-back on device)."""
+        grads/clip/update pipeline, per-update lr and in-graph seed-per-
+        update rng). One host dispatch instead of K (Keras
+        steps_per_execution, redesigned as a lax.scan so XLA pipelines the
+        updates back-to-back on device)."""
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
 
         def body(state, xs):
-            batch, lr, key = xs
+            batch, lr, upd = xs
+            key = jax.random.fold_in(root_key, upd)
             grads, _loss, sample_size, logging_output, new_ms = (
                 self._compute_grads(state, batch, key)
             )
@@ -312,7 +323,7 @@ class Trainer:
             return new_state, (gnorm, logging_output)
 
         new_state, (gnorms, logs) = jax.lax.scan(
-            body, train_state, (stacked, lrs, rng_keys)
+            body, train_state, (stacked, lrs, upds)
         )
         return new_state, gnorms, logs
 
@@ -435,8 +446,9 @@ class Trainer:
     def train_step(self, samples: List[dict]) -> Optional[Dict[str, float]]:
         """One optimizer update over update_freq microbatches."""
         metrics.log_start_time("train_wall", priority=800, round=0)
-        lr = jnp.float32(self.lr_scheduler.step_update(self._num_updates))
-        rng_key = self._step_rng()
+        # host numpy scalars: they ship WITH the dispatch; a jnp.float32 /
+        # eager fold_in here would each be an extra device round-trip
+        lr = np.float32(self.lr_scheduler.step_update(self._num_updates))
 
         batches = []
         logging_meta = {"ntokens": 0, "nsentences": 0}
@@ -465,19 +477,21 @@ class Trainer:
 
         if len(batches) == 1:
             self.train_state, gnorm, logging_output = self._fused_step(
-                self.train_state, batches[0], lr, rng_key
+                self.train_state, batches[0], lr, self._root_key,
+                np.int32(self._num_updates),
             )
         else:
             grad_acc = jax.tree_util.tree_map(
                 jnp.zeros_like, self.train_state["params"]
             )
-            ss_acc = jnp.float32(0.0)
+            ss_acc = np.float32(0.0)
             logging_output = None
             new_model_state = self.train_state["model_state"]
             agg_logging: Dict[str, Any] = {}
             for i, b in enumerate(batches):
                 grad_acc, ss_acc, logging_output, new_model_state = self._grad_step(
-                    self.train_state, b, jax.random.fold_in(rng_key, i), grad_acc, ss_acc
+                    self.train_state, b, self._root_key,
+                    np.int32(self._num_updates), np.int32(i), grad_acc, ss_acc
                 )
                 for k, v in logging_output.items():
                     agg_logging[k] = agg_logging.get(k, 0) + v
@@ -562,15 +576,13 @@ class Trainer:
             metrics.log_stop_time("train_wall")
             return self._train_steps_sequential(samples)
 
-        lrs = jnp.asarray(
+        lrs = np.asarray(
             [self.lr_scheduler.step_update(base + i) for i in range(K)],
-            dtype=jnp.float32,
+            dtype=np.float32,
         )
-        keys = jnp.stack(
-            [jax.random.fold_in(self._root_key, base + 1 + i) for i in range(K)]
-        )
+        upds = np.arange(base + 1, base + 1 + K, dtype=np.int32)
         new_state, gnorms, logs = self._multi_step(
-            self.train_state, tuple(batches), lrs, keys
+            self.train_state, tuple(batches), lrs, self._root_key, upds
         )
         self.train_state = new_state
         self.set_num_updates(base + K)
@@ -656,6 +668,9 @@ class Trainer:
         loss, sample_size, logging_output = self._jit_valid(
             self.train_state, b, self._root_key
         )
+        # one transfer for all scalars (leaf-by-leaf float() costs a device
+        # round-trip each — ruinous on a tunneled host)
+        logging_output = jax.device_get(logging_output)
         logging_output = {k: float(np.asarray(v)) for k, v in logging_output.items()}
         if hasattr(self.criterion, "reduce_metrics"):
             self.criterion.reduce_metrics([logging_output], metrics)
