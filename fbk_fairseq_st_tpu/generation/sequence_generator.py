@@ -32,6 +32,7 @@ import numpy as np
 
 from ..models.base import reorder_encoder_out
 from ..ops.core import NEG_INF
+from .postprocess import collect_hypotheses
 from .search import BeamSearch, SearchOutput
 
 
@@ -525,28 +526,7 @@ class SequenceGenerator:
     # ------------------------------------------------------------------
 
     def _collect(self, fin, bsz: int, max_len: int) -> List[List[dict]]:
-        results = []
-        for b in range(bsz):
-            count = int(fin["fin_count"][b])
-            hypos = []
-            for k in range(min(count, self.beam_size)):
-                length = int(fin["fin_len"][b, k])
-                toks = fin["fin_tokens"][b, k, 1:length]  # drop initial eos
-                cum = fin["fin_cum"][b, k, : length - 1]
-                pos_scores = np.diff(np.concatenate([[0.0], cum]))
-                hypo = {
-                    "tokens": np.asarray(toks),
-                    "score": float(fin["fin_score"][b, k]),
-                    "positional_scores": pos_scores.astype(np.float32),
-                    "alignment": None,
-                    "attention": None,
-                }
-                if "fin_origin" in fin:
-                    hypo["origin"] = int(fin["fin_origin"][b, k])
-                hypos.append(hypo)
-            hypos.sort(key=lambda h: -h["score"])
-            results.append(hypos)
-        return results
+        return collect_hypotheses(fin, bsz, self.beam_size)
 
 
 def _ban_repeated_ngrams(tokens, lprobs, step, n: int):
