@@ -46,6 +46,11 @@ def add_export_args(parser):
     group.add_argument("--export-feat-dim", type=int, default=None,
                        help="audio feature dim override (default: the "
                             "checkpoint's input_feat_per_channel)")
+    group.add_argument("--export-bos-token", default=None, metavar="SYM|ID",
+                       help="decoder start token baked into the program "
+                            "(a target-dict symbol or an integer id); "
+                            "REQUIRED for tasks whose inference_step "
+                            "injects one (multilingual lang tokens)")
     return group
 
 
@@ -70,6 +75,31 @@ def main(args):
     )
     models = maybe_quantize_ensemble(models, args, logger)
     generator = task.build_generator(models, args)
+
+    # tasks that customize inference_step inject a bos/prefix the exported
+    # program can't know about (multilingual lang tokens, MoE expert
+    # selection) — silently exporting bos=eos would serve the wrong
+    # language; demand the explicit flag instead
+    from ..tasks.base import Task as BaseTask
+
+    bos_token = None
+    if args.export_bos_token is not None:
+        tgt = task.target_dictionary
+        try:
+            bos_token = int(args.export_bos_token)
+        except ValueError:
+            bos_token = tgt.index(args.export_bos_token)
+            if bos_token == tgt.unk():
+                raise ValueError(
+                    f"--export-bos-token {args.export_bos_token!r} is not "
+                    "in the target dictionary"
+                )
+    elif type(task).inference_step is not BaseTask.inference_step:
+        raise ValueError(
+            f"task {args.task!r} customizes inference_step (bos/prefix "
+            "injection); pass --export-bos-token with the decoder start "
+            "symbol (e.g. the target language token) to export it"
+        )
 
     src_dict = getattr(task, "source_dictionary", None)
     if src_dict is None:
@@ -96,6 +126,7 @@ def main(args):
         src_dict=src_dict,
         src_spec=src_spec,
         platforms=tuple(args.export_platforms.split(",")),
+        bos_token=bos_token,
         remove_bpe=args.remove_bpe,
         provenance={
             "arch": getattr(model_args, "arch", None),

@@ -49,22 +49,18 @@ def translate_payload(model: ServingModel, payload: dict) -> dict:
         raise ValueError("payload needs a non-empty 'instances' list")
     nbest = int(payload.get("nbest", 1))
     arrays = [_instance_to_array(model, inst) for inst in instances]
-    # decode in bucket-sized chunks so oversize requests still succeed
-    max_batch = max(r["batch"] for r in model.meta["programs"])
-    preds = []
-    for i in range(0, len(arrays), max_batch):
-        hypos = model.translate(arrays[i:i + max_batch], nbest=nbest)
-        for sent in hypos:
-            preds.append(
-                [
-                    {
-                        "text": h["text"],
-                        "score": h["score"],
-                        "tokens": np.asarray(h["tokens"]).tolist(),
-                    }
-                    for h in sent
-                ]
-            )
+    # adaptive chunking: width shrinks with each chunk's longest input
+    preds = [
+        [
+            {
+                "text": h["text"],
+                "score": h["score"],
+                "tokens": np.asarray(h["tokens"]).tolist(),
+            }
+            for h in sent
+        ]
+        for sent in model.translate_many(arrays, nbest=nbest)
+    ]
     return {"predictions": preds}
 
 

@@ -247,9 +247,26 @@ def export_artifact(
             {"file": f"weights/model{i}.npz", "structure": structure}
         )
 
-    tgt_dict.save(os.path.join(out_dir, "dict.tgt.txt"))
+    def dict_row(d, name):
+        """Dictionary.save writes only symbols[nspecial:]; the special rows
+        (incl. subclass extras like MaskedLMDictionary's '<mask>') must be
+        recorded in meta or every id >= 4 would shift on reload — silently
+        desynchronizing ids from the embedding matrix baked into the
+        program. 'size' lets the loader hard-fail instead."""
+        d.save(os.path.join(out_dir, f"dict.{name}.txt"))
+        return {
+            "file": f"dict.{name}.txt",
+            "bos": d.symbols[d.bos_index] if hasattr(d, "bos_index") else "<s>",
+            "pad": d.symbols[d.pad_index],
+            "eos": d.symbols[d.eos_index],
+            "unk": d.symbols[d.unk_index],
+            "extra_specials": list(d.symbols[4:d.nspecial]),
+            "size": len(d),
+        }
+
+    dict_rows = {"tgt": dict_row(tgt_dict, "tgt")}
     if src_dict is not None:
-        src_dict.save(os.path.join(out_dir, "dict.src.txt"))
+        dict_rows["src"] = dict_row(src_dict, "src")
 
     meta = {
         "format": FORMAT_NAME,
@@ -257,6 +274,7 @@ def export_artifact(
         "platforms": list(platforms),
         "num_models": len(models),
         "weights": weight_rows,
+        "dicts": dict_rows,
         "beam_size": generator.beam_size,
         "pad": generator.pad,
         "eos": generator.eos,

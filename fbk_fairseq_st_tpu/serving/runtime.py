@@ -57,6 +57,8 @@ class ServingModel:
 
     @classmethod
     def load(cls, path: str) -> "ServingModel":
+        import jax
+
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         if meta.get("format") != FORMAT_NAME:
@@ -71,18 +73,51 @@ class ServingModel:
             variables_list.append(
                 unflatten_variables(flat, row.get("structure"))
             )
-        tgt_dict = Dictionary.load(os.path.join(path, "dict.tgt.txt"))
-        src_path = os.path.join(path, "dict.src.txt")
-        src_dict = Dictionary.load(src_path) if os.path.exists(src_path) else None
+        # place weights on device ONCE: passing host numpy to every call
+        # would re-transfer the full parameter set per request
+        variables_list = jax.device_put(variables_list)
+        tgt_dict = cls._load_dict(path, meta, "tgt")
+        if tgt_dict is None:
+            raise ValueError(
+                f"{path}: meta.json lacks dictionary metadata — re-export "
+                "the artifact with this version"
+            )
+        src_dict = cls._load_dict(path, meta, "src")
         return cls(path, meta, variables_list, tgt_dict, src_dict)
+
+    @staticmethod
+    def _load_dict(path: str, meta: dict, name: str) -> Optional[Dictionary]:
+        """Rebuild a dictionary with its special rows intact. The text
+        format stores only non-special symbols, so the specials (incl.
+        subclass extras like '<mask>') come from meta — otherwise every
+        id would shift vs the embedding matrix baked into the program."""
+        row = (meta.get("dicts") or {}).get(name)
+        if row is None:
+            return None
+        d = Dictionary(
+            pad=row["pad"], eos=row["eos"], unk=row["unk"], bos=row["bos"],
+            extra_special_symbols=row.get("extra_specials") or None,
+        )
+        d.add_from_file(os.path.join(path, row["file"]))
+        if len(d) != row["size"]:
+            raise ValueError(
+                f"{name} dictionary reloaded to {len(d)} entries, exported "
+                f"with {row['size']} — the artifact is corrupt or the "
+                "dictionary class used custom serialization"
+            )
+        return d
 
     def _program(self, name: str):
         if name not in self._programs:
+            import jax
             from jax import export as jax_export
 
             row = next(r for r in self._buckets if r["name"] == name)
             with open(os.path.join(self.root, row["file"]), "rb") as f:
-                self._programs[name] = jax_export.deserialize(f.read())
+                exported = jax_export.deserialize(f.read())
+            # jit the call ONCE per program: a bare Exported.call builds a
+            # fresh traced computation every invocation
+            self._programs[name] = jax.jit(exported.call)
         return self._programs[name]
 
     # ------------------------------------------------------------------
@@ -111,6 +146,10 @@ class ServingModel:
         lengths = np.ones((B,), np.int32)
         for i, x in enumerate(inputs):
             x = np.asarray(x, self._src_dtype)
+            if x.shape[0] == 0:
+                # a zero length would make the encoder mask all-True —
+                # softmax over all -inf, NaN served as a valid-looking hypo
+                raise ValueError(f"input {i} is empty")
             if x.shape[1:] != self._src_suffix:
                 raise ValueError(
                     f"input {i}: trailing shape {x.shape[1:]} != exported "
@@ -142,7 +181,7 @@ class ServingModel:
         row = self._pick_bucket(len(inputs), max(x.shape[0] for x in inputs))
         src, lengths = self._pad_batch(inputs, row)
         fin = jax.device_get(
-            self._program(row["name"]).call(self.variables_list, src, lengths)
+            self._program(row["name"])(self.variables_list, src, lengths)
         )
         hypos = collect_hypotheses(fin, len(inputs), self.beam_size)
         out = []
@@ -168,14 +207,49 @@ class ServingModel:
             np.int32,
         )
 
+    def translate_many(self, inputs: Sequence[np.ndarray], nbest: int = 1,
+                       detokenize: bool = True) -> List[List[dict]]:
+        """translate() for arbitrarily many inputs: greedily packs maximal
+        chunks that some bucket fits (chunk width adapts to the chunk's
+        longest input, so a wide-but-short bucket never blocks a
+        narrow-but-long one)."""
+        inputs = [np.asarray(x) for x in inputs]
+        out: List[List[dict]] = []
+        i = 0
+        widest = max(r["batch"] for r in self._buckets)
+        while i < len(inputs):
+            take = min(widest, len(inputs) - i)
+            while take > 1:
+                longest = max(x.shape[0] for x in inputs[i:i + take])
+                if any(
+                    r["batch"] >= take and r["src_len"] >= longest
+                    for r in self._buckets
+                ):
+                    break
+                take -= 1
+            # take == 1 falls through to translate(), which raises the
+            # no-fitting-bucket error if even a single input is too long
+            out.extend(self.translate(inputs[i:i + take], nbest, detokenize))
+            i += take
+        return out
+
     def warmup(self) -> None:
-        """Execute every bucket once (compile/load) so first requests are
-        served at steady-state latency."""
+        """Execute every program once so first requests are served at
+        steady-state latency. Calls each program directly — bucket
+        dispatch would always route the probe to the smallest fitting
+        bucket and could leave others cold."""
+        import jax
+
         for row in self._buckets:
-            if self.src_kind == "audio":
-                x = np.zeros((row["src_len"],) + self._src_suffix,
-                             self._src_dtype)
-            else:
-                x = np.full((row["src_len"],), self.meta["eos"],
-                            self._src_dtype)
-            self.translate([x], nbest=1, detokenize=False)
+            src = np.zeros(
+                (row["batch"], row["src_len"]) + self._src_suffix,
+                self._src_dtype,
+            )
+            if self.src_kind != "audio":
+                src.fill(self.meta["eos"])
+            lengths = np.full((row["batch"],), row["src_len"], np.int32)
+            jax.block_until_ready(
+                self._program(row["name"])(
+                    self.variables_list, src, lengths
+                )
+            )

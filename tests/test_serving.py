@@ -181,6 +181,109 @@ def test_no_fitting_bucket_raises(mt_artifact):
     with pytest.raises(ValueError, match="no exported bucket"):
         long = np.full((20,), d.eos(), np.int32)
         sm.translate([long])  # longest bucket is 12
+    with pytest.raises(ValueError, match="empty"):
+        sm.translate([np.zeros((0,), np.int32)])
+
+
+@pytest.mark.quick
+def test_translate_many_chunks_and_warmup(mt_artifact):
+    d, model, variables, generator, out, _ = mt_artifact
+    sm = ServingModel.load(out)
+    # 5 inputs > widest bucket (4): chunked 4 + 1, same results as one-by-one
+    inputs = mt_inputs(d, 5)
+    many = sm.translate_many(inputs, nbest=1)
+    assert len(many) == 5
+    for got, x in zip(many, inputs):
+        want = sm.translate([x], nbest=1)[0]
+        np.testing.assert_array_equal(got[0]["tokens"], want[0]["tokens"])
+    # warmup executes (and caches) EVERY program, not just the smallest
+    # fitting one
+    sm2 = ServingModel.load(out)
+    sm2.warmup()
+    assert set(sm2._programs) == {r["name"] for r in sm2.meta["programs"]}
+
+
+def test_translate_many_adapts_chunk_width(tmp_path):
+    """Buckets (4, 8) and (2, 12): four length-10 inputs can never use the
+    4-wide bucket — chunking must narrow to 2 instead of failing."""
+    d, model, variables = build_tiny_mt()
+    generator = SequenceGenerator(d, beam_size=2, max_len_b=8)
+    out = str(tmp_path / "mixed")
+    export_artifact(
+        [(model, variables)], generator, [(4, 8), (2, 12)], out,
+        tgt_dict=d, src_dict=d, platforms=("cpu",),
+    )
+    sm = ServingModel.load(out)
+    rng = np.random.RandomState(0)
+    inputs = []
+    for _ in range(4):
+        x = rng.randint(d.nspecial, len(d), size=10).astype(np.int32)
+        x[-1] = d.eos()
+        inputs.append(x)
+    res = sm.translate_many(inputs, nbest=1)
+    assert len(res) == 4 and all(r for r in res)
+
+
+def test_dictionary_extra_specials_roundtrip(tmp_path):
+    """Dictionaries with extra special symbols (MaskedLMDictionary-style
+    '<mask>' at id 4) must reload with identical ids: the text format
+    drops special rows, so meta carries them."""
+    from fbk_fairseq_st_tpu.data.dictionary import Dictionary
+
+    d = Dictionary(extra_special_symbols=["<mask>"])
+    for i in range(12):
+        d.add_symbol(f"tok{i}")
+    d.finalize(padding_factor=1)
+    assert d.nspecial == 5 and d.index("<mask>") == 4
+
+    class T:
+        source_dictionary = d
+        target_dictionary = d
+
+    args = model_args("transformer", **TINY)
+    registry.apply_architecture(args)
+    model = registry.build_model(args, T())
+    variables = model.init(jax.random.PRNGKey(3))
+    generator = SequenceGenerator(d, beam_size=2, max_len_b=6)
+    out = str(tmp_path / "mask")
+    export_artifact(
+        [(model, variables)], generator, [(2, 8)], out,
+        tgt_dict=d, src_dict=d, platforms=("cpu",),
+    )
+    sm = ServingModel.load(out)
+    assert len(sm.tgt_dict) == len(d)
+    assert sm.tgt_dict.indices == d.indices  # every id identical
+    assert sm.tgt_dict.index("<mask>") == 4
+
+
+def test_export_bos_token_matches_live(mt_artifact, tmp_path):
+    """bos_token baked at export time must reproduce the live generator
+    called with the same bos (the multilingual lang-token contract)."""
+    d, model, variables, generator, _, _ = mt_artifact
+    bos = d.nspecial + 1
+    out = str(tmp_path / "bos")
+    export_artifact(
+        [(model, variables)], generator, [(2, 8)], out,
+        tgt_dict=d, src_dict=d, platforms=("cpu",), bos_token=bos,
+    )
+    sm = ServingModel.load(out)
+    inputs = mt_inputs(d, 2)
+    got = sm.translate(inputs, nbest=1)
+    pad = generator.pad
+    src = np.full((2, 8), pad, np.int32)
+    lengths = np.zeros((2,), np.int32)
+    for i, x in enumerate(inputs):
+        src[i, : len(x)] = x
+        lengths[i] = len(x)
+    want = generator.generate(
+        [(model, variables)],
+        {"net_input": {"src_tokens": src, "src_lengths": lengths}},
+        bos_token=bos,
+    )
+    for g_sent, w_sent in zip(got, want):
+        np.testing.assert_array_equal(
+            g_sent[0]["tokens"], w_sent[0]["tokens"]
+        )
 
 
 def test_audio_artifact_roundtrip(tmp_path):
