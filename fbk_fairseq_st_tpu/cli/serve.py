@@ -108,6 +108,9 @@ def main(args):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from ..options import enable_compilation_cache
+
+    enable_compilation_cache(args.jax_cache_dir)
     model = ServingModel.load(args.artifact)
     if not args.no_warmup:
         logger.info("warming up %d bucket(s)", len(model.meta["programs"]))
@@ -133,6 +136,9 @@ def cli_main(input_args=None):
                         help="skip executing each bucket once at startup")
     parser.add_argument("--cpu", action="store_true",
                         help="serve on CPU instead of TPU")
+    parser.add_argument("--jax-cache-dir", default=None,
+                        help="enable XLA's persistent compilation cache "
+                             "at this directory")
     main(parser.parse_args(input_args))
 
 

@@ -106,6 +106,11 @@ def get_parser(desc: str, default_task: str = "speech_recognition"):
     parser.add_argument("--seed", default=1, type=int, metavar="N",
                         help="pseudo random number generator seed")
     parser.add_argument("--cpu", action="store_true", help="use CPU instead of TPU")
+    parser.add_argument("--jax-cache-dir", metavar="DIR", default=None,
+                        help="enable XLA's persistent compilation cache at "
+                             "DIR: repeat runs (and restarts after "
+                             "preemption) skip recompiles of unchanged "
+                             "programs")
     parser.add_argument("--fp16", action="store_true",
                         help="use mixed precision (bfloat16 on TPU)")
     parser.add_argument("--bf16", action="store_true",
@@ -483,6 +488,30 @@ def parse_args_and_arch(
         except RuntimeError:
             pass
 
+    enable_compilation_cache(getattr(args, "jax_cache_dir", None))
+
     if parse_known:
         return args, extra
     return args
+
+
+def enable_compilation_cache(cache_dir) -> None:
+    """Point XLA's persistent compilation cache at ``cache_dir`` (expanded;
+    created on demand). Saves have no semantic effect — the cache is keyed
+    by the HLO/platform fingerprint — but repeat CLI invocations and
+    post-preemption restarts skip the multi-minute compiles of the big
+    train steps and beam-decode programs. 'none'/'' disables."""
+    if not cache_dir or str(cache_dir).lower() == "none":
+        return
+    import os
+
+    try:
+        import jax
+
+        path = os.path.expanduser(str(cache_dir))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (RuntimeError, OSError):
+        # read-only home or an already-finalized jax config: run uncached
+        pass

@@ -178,3 +178,29 @@ def test_resegment_alignment_outlier_skipped():
     aligns = {0: 20, 1: 1, 2: 2, 3: 3}
     span = _snap_target_cut(aligns, 0, 4, 30)
     assert span == (1, 21) or span[0] == 1  # outlier skipped at the low end
+
+
+def test_jax_compilation_cache_wiring(tmp_path):
+    """--jax-cache-dir points XLA's persistent compilation cache at the
+    directory: after a (forced-threshold-0) compile, cache entries exist.
+    Subprocess so the global jax config change doesn't leak into the
+    suite."""
+    import subprocess
+    import sys
+
+    cache = tmp_path / "xla-cache"
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from fbk_fairseq_st_tpu.options import enable_compilation_cache\n"
+        f"enable_compilation_cache({str(cache)!r})\n"
+        "jax.config.update("
+        "'jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+        "import jax.numpy as jnp\n"
+        "print(jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64))))\n"
+    )
+    subprocess.run(
+        [sys.executable, "-c", code], check=True, cwd="/root/repo",
+        capture_output=True, timeout=300,
+    )
+    assert cache.is_dir() and any(cache.iterdir())
