@@ -4,7 +4,12 @@
 (fairseq/data/data_utils_fast.pyx:27-68: grow the batch while
 (len+1)*max_len <= max_tokens, respect max_sentences, split at the largest
 multiple of bsz_mult) so batch composition — and therefore training curves —
-match the fork.
+match the fork. Like the reference (which compiles this loop with Cython
+because packing millions of indices in interpreted code is a startup
+bottleneck), the hot path is native: when ``num_tokens_fn`` is a
+per-position length array, the C++ kernel in ``native/batching.cpp`` packs
+it and the Python loop remains as the toolchain-free fallback (both are
+cross-checked in tests/test_native.py).
 
 ``shape_bucket`` is the TPU layer on top: given a batch's raw (src_len,
 tgt_len, bsz), pick padded targets from a geometric grid so the number of
@@ -13,8 +18,9 @@ distinct compiled shapes is O(log(max_len)^2) instead of O(#batches).
 
 from __future__ import annotations
 
+import ctypes
 import math
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -29,9 +35,51 @@ def _is_batch_full(batch_len: int, num_tokens: int, max_tokens: int, max_sentenc
     return False
 
 
+def _batch_by_size_native(
+    indices: np.ndarray,
+    num_tokens_vec: np.ndarray,
+    max_tokens: int,
+    max_sentences: int,
+    bsz_mult: int,
+) -> Optional[List[List[int]]]:
+    from ..native.build import load_library
+
+    lib = load_library("batching")
+    if lib is None:
+        return None
+    fn = lib.batch_by_size_fast
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
+    toks = np.ascontiguousarray(num_tokens_vec, dtype=np.int64)
+    ends = np.empty(max(len(toks), 1), dtype=np.int64)
+    n = fn(
+        toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(toks),
+        max_tokens,
+        max_sentences,
+        bsz_mult,
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n < 0:
+        pos = -int(n) - 1
+        raise AssertionError(
+            f"sentence at index {int(indices[pos])} of size "
+            f"{int(toks[pos])} exceeds max_tokens limit of {max_tokens}!"
+        )
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    out, start = [], 0
+    for end in ends[:n].tolist():
+        out.append(idx[start:end].tolist())
+        start = end
+    return out
+
+
 def batch_by_size(
     indices: Sequence[int],
-    num_tokens_fn: Callable[[int], int],
+    num_tokens_fn: Union[Callable[[int], int], np.ndarray],
     max_tokens: Optional[int] = None,
     max_sentences: Optional[int] = None,
     required_batch_size_multiple: int = 1,
@@ -40,14 +88,30 @@ def batch_by_size(
     max_sentences = max_sentences if max_sentences is not None else -1
     bsz_mult = required_batch_size_multiple
 
+    pos_toks = None
+    if not callable(num_tokens_fn):
+        # per-POSITION length vector (aligned with `indices`) -> native path
+        pos_toks = np.asarray(num_tokens_fn)
+        assert pos_toks.shape == (len(indices),), (
+            "vectorized num_tokens must align with indices"
+        )
+        native = _batch_by_size_native(
+            np.asarray(indices), pos_toks, max_tokens, max_sentences,
+            bsz_mult,
+        )
+        if native is not None:
+            return native
+
     sample_len = 0
     sample_lens: List[int] = []
     batch: List[int] = []
     batches: List[List[int]] = []
 
-    for idx in indices:
+    for pos, idx in enumerate(indices):
         idx = int(idx)
-        num_tokens = num_tokens_fn(idx)
+        num_tokens = (
+            int(pos_toks[pos]) if pos_toks is not None else num_tokens_fn(idx)
+        )
         sample_lens.append(num_tokens)
         sample_len = max(sample_len, num_tokens)
         assert max_tokens <= 0 or sample_len <= max_tokens, (

@@ -40,6 +40,17 @@ class Dataset:
     def num_tokens(self, index: int) -> int:
         raise NotImplementedError
 
+    def num_tokens_vec(self, indices) -> np.ndarray:
+        """Token counts for many indices at once, feeding the native
+        batch packer (role of the reference's num_tokens_vec added for
+        data_utils_fast.pyx). Subclasses with a sizes array override
+        with O(1)-per-item fancy indexing."""
+        return np.fromiter(
+            (self.num_tokens(int(i)) for i in indices),
+            dtype=np.int64,
+            count=len(indices),
+        )
+
     def size(self, index: int):
         raise NotImplementedError
 

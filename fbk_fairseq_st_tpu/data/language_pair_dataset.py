@@ -171,6 +171,12 @@ class LanguagePairDataset(Dataset):
             self.tgt_sizes[index] if self.tgt_sizes is not None else 0,
         )
 
+    def num_tokens_vec(self, indices):
+        toks = np.asarray(self.src_sizes)[indices]
+        if self.tgt_sizes is not None:
+            toks = np.maximum(toks, np.asarray(self.tgt_sizes)[indices])
+        return toks.astype(np.int64)
+
     def size(self, index):
         return (
             self.src_sizes[index],

@@ -77,9 +77,13 @@ class Task:
                 raise_exception=not ignore_invalid_inputs,
             )
 
+        # vectorized sizes feed the native (C++) packer; datasets without
+        # num_tokens_vec fall back to the per-index Python loop
+        num_tokens = getattr(dataset, "num_tokens_vec", None)
         batch_sampler = batch_by_size(
             indices,
-            dataset.num_tokens,
+            num_tokens(indices) if num_tokens is not None
+            else dataset.num_tokens,
             max_tokens=max_tokens,
             max_sentences=max_sentences,
             required_batch_size_multiple=required_batch_size_multiple,

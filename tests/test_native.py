@@ -117,3 +117,82 @@ def test_native_edit_distance_matches_ops():
             ai += 1
     assert ai == len(a1) and bi == len(b1)
     assert cost == ref_lev(a1, b1)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_native_batch_by_size_matches_python(seed):
+    """The C++ packer and the Python twin must produce IDENTICAL batch
+    compositions for any (max_tokens, max_sentences, bsz_mult) draw —
+    batch boundaries feed training curves, so this is a correctness
+    surface, not a perf nicety."""
+    from fbk_fairseq_st_tpu.data.batching import batch_by_size
+    from fbk_fairseq_st_tpu.native import load_library
+
+    if load_library("batching") is None:
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.RandomState(seed)
+    for _ in range(25):
+        n = int(rng.randint(0, 400))
+        lens = rng.randint(1, 60, size=n).astype(np.int64)
+        indices = rng.permutation(n + 10)[:n].astype(np.int64)
+        max_tokens = int(rng.choice([-1, 64, 100, 300, 1000]))
+        if max_tokens > 0:
+            lens = np.minimum(lens, max_tokens)
+        max_sentences = int(rng.choice([-1, 1, 3, 8]))
+        bsz_mult = int(rng.choice([1, 2, 8]))
+        via_vec = batch_by_size(
+            indices, lens, max_tokens, max_sentences, bsz_mult
+        )
+        by_idx = {int(i): int(t) for i, t in zip(indices, lens)}
+        via_fn = batch_by_size(
+            indices, lambda i: by_idx[i], max_tokens, max_sentences, bsz_mult
+        )
+        assert via_vec == via_fn, (
+            seed, n, max_tokens, max_sentences, bsz_mult
+        )
+
+
+def test_native_batch_by_size_oversize_raises_like_python():
+    from fbk_fairseq_st_tpu.data.batching import batch_by_size
+    from fbk_fairseq_st_tpu.native import load_library
+
+    if load_library("batching") is None:
+        pytest.skip("no C++ toolchain")
+
+    lens = np.array([5, 9, 200, 3], np.int64)
+    indices = np.array([10, 11, 12, 13], np.int64)
+    with pytest.raises(AssertionError, match="index 12 of size 200"):
+        batch_by_size(indices, lens, max_tokens=100)
+    with pytest.raises(AssertionError, match="exceeds max_tokens"):
+        batch_by_size(
+            indices, lambda i: int(lens[i - 10]), max_tokens=100
+        )
+
+
+def test_dataset_num_tokens_vec_matches_scalar():
+    """Default num_tokens_vec (base Dataset) and the LanguagePairDataset
+    override must agree with per-index num_tokens."""
+    from fbk_fairseq_st_tpu.data.language_pair_dataset import (
+        LanguagePairDataset,
+    )
+
+    class _Toy:
+        def __init__(self, sizes):
+            self.sizes = np.asarray(sizes)
+
+        def __len__(self):
+            return len(self.sizes)
+
+        def __getitem__(self, i):
+            return np.arange(self.sizes[i])
+
+    src = _Toy([4, 7, 2, 9, 5])
+    tgt = _Toy([6, 3, 8, 1, 5])
+    ds = LanguagePairDataset.__new__(LanguagePairDataset)
+    ds.src_sizes = src.sizes
+    ds.tgt_sizes = tgt.sizes
+    idx = np.array([3, 0, 4, 1], np.int64)
+    got = ds.num_tokens_vec(idx)
+    want = [ds.num_tokens(int(i)) for i in idx]
+    np.testing.assert_array_equal(got, want)
