@@ -14,6 +14,44 @@ import numpy as np
 from .datasets import Dataset, collate_tokens
 
 
+def _complete_blocks(sizes: np.ndarray, block_size: int) -> np.ndarray:
+    """Greedy whole-sentence packing into <=block_size blocks — the loop
+    the reference compiles with Cython (token_block_utils_fast.pyx); here
+    the C++ twin in native/batching.cpp with this Python fallback."""
+    from ..native.build import load_library
+
+    lib = load_library("batching")
+    if lib is not None and len(sizes):
+        import ctypes
+
+        fn = lib.token_block_complete
+        fn.restype = ctypes.c_int64
+        p = ctypes.POINTER(ctypes.c_int64)
+        fn.argtypes = [p, ctypes.c_int64, ctypes.c_int64, p, p]
+        s = np.ascontiguousarray(sizes, dtype=np.int64)
+        starts = np.empty(len(s), np.int64)
+        ends = np.empty(len(s), np.int64)
+        n = fn(s.ctypes.data_as(p), len(s), block_size,
+               starts.ctypes.data_as(p), ends.ctypes.data_as(p))
+        return np.stack([starts[:n], ends[:n]], axis=1)
+
+    out = []
+    tok_idx = 0
+    sz_idx = 0
+    curr_size = 0
+    while sz_idx < len(sizes):
+        if curr_size + sizes[sz_idx] <= block_size or curr_size == 0:
+            curr_size += int(sizes[sz_idx])
+            sz_idx += 1
+        else:
+            out.append((tok_idx, tok_idx + curr_size))
+            tok_idx += curr_size
+            curr_size = 0
+    if curr_size > 0:
+        out.append((tok_idx, tok_idx + curr_size))
+    return np.array(out, dtype=np.int64)
+
+
 class TokenBlockDataset(Dataset):
     """Chunk a stream of items into blocks.
 
@@ -34,34 +72,21 @@ class TokenBlockDataset(Dataset):
 
         if break_mode is None:
             break_mode = "none"
-        slice_indices = []
         if break_mode == "none":
             total = int(sizes.sum())
             length = max(block_size, 1)
-            for start in range(0, total, length):
-                slice_indices.append((start, min(start + length, total)))
+            starts = np.arange(0, total, length, dtype=np.int64)
+            ends = np.minimum(starts + length, total)
+            slice_indices = np.stack([starts, ends], axis=1)
         elif break_mode == "complete":
-            tok_idx = 0
-            sz_idx = 0
-            curr_size = 0
-            while sz_idx < len(sizes):
-                if curr_size + sizes[sz_idx] <= block_size or curr_size == 0:
-                    curr_size += int(sizes[sz_idx])
-                    sz_idx += 1
-                else:
-                    slice_indices.append((tok_idx, tok_idx + curr_size))
-                    tok_idx += curr_size
-                    curr_size = 0
-            if curr_size > 0:
-                slice_indices.append((tok_idx, tok_idx + curr_size))
+            slice_indices = _complete_blocks(sizes, int(block_size))
         elif break_mode == "eos":
-            cum = np.concatenate([[0], np.cumsum(sizes)])
-            for i in range(len(sizes)):
-                slice_indices.append((int(cum[i]), int(cum[i + 1])))
+            cum = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+            slice_indices = np.stack([cum[:-1], cum[1:]], axis=1)
         else:
             raise ValueError(f"invalid break_mode: {break_mode}")
 
-        self.slice_indices = np.array(slice_indices, dtype=np.int64)
+        self.slice_indices = slice_indices.reshape(-1, 2)
         self._sizes = self.slice_indices[:, 1] - self.slice_indices[:, 0]
         # item -> (first dataset idx, offset) map for lazy reads
         self._ds_sizes = sizes

@@ -55,4 +55,35 @@ int64_t batch_by_size_fast(const int64_t* num_tokens, int64_t n,
   return n_batches;
 }
 
+// Token-block chunking, break_mode='complete' (role of the reference's
+// Cython _get_slice_indices_fast, token_block_utils_fast.pyx): greedily
+// pack whole sentences into blocks of at most block_size tokens (a lone
+// oversize sentence still forms its own block). Writes (start, end) token
+// offsets; returns the block count. Capacity required: n pairs.
+int64_t token_block_complete(const int64_t* sizes, int64_t n,
+                             int64_t block_size, int64_t* starts,
+                             int64_t* ends) {
+  int64_t n_blocks = 0;
+  int64_t tok_idx = 0;
+  int64_t curr = 0;
+  for (int64_t i = 0; i < n;) {
+    if (curr == 0 || curr + sizes[i] <= block_size) {
+      curr += sizes[i];
+      ++i;
+    } else {
+      starts[n_blocks] = tok_idx;
+      ends[n_blocks] = tok_idx + curr;
+      ++n_blocks;
+      tok_idx += curr;
+      curr = 0;
+    }
+  }
+  if (curr > 0) {
+    starts[n_blocks] = tok_idx;
+    ends[n_blocks] = tok_idx + curr;
+    ++n_blocks;
+  }
+  return n_blocks;
+}
+
 }  // extern "C"

@@ -196,3 +196,27 @@ def test_dataset_num_tokens_vec_matches_scalar():
     got = ds.num_tokens_vec(idx)
     want = [ds.num_tokens(int(i)) for i in idx]
     np.testing.assert_array_equal(got, want)
+
+
+def test_native_token_block_complete_matches_python(monkeypatch):
+    from fbk_fairseq_st_tpu.data import monolingual
+    from fbk_fairseq_st_tpu.native import load_library
+
+    if load_library("batching") is None:
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        n = int(rng.randint(0, 300))
+        sizes = rng.randint(1, 40, size=n).astype(np.int64)
+        block = int(rng.choice([16, 64, 1, 37]))
+        native = monolingual._complete_blocks(sizes, block)
+        with monkeypatch.context() as m:
+            m.setattr(
+                "fbk_fairseq_st_tpu.native.build.load_library",
+                lambda name: None,
+            )
+            python = monolingual._complete_blocks(sizes, block)
+        np.testing.assert_array_equal(
+            native.reshape(-1, 2), python.reshape(-1, 2)
+        )
