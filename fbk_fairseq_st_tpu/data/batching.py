@@ -134,6 +134,29 @@ def batch_by_size(
     return batches
 
 
+def filter_by_size_vec(
+    indices: np.ndarray,
+    src_sizes: np.ndarray,
+    tgt_sizes: Optional[np.ndarray],
+    max_positions,
+):
+    """Vectorized twin of ``filter_by_size`` for datasets whose sizes live
+    in arrays (the reference added the same fast path as
+    filter_paired_dataset_indices_by_size). Returns (kept, ignored)."""
+    if isinstance(max_positions, (int, float)):
+        max_src = max_tgt = max_positions
+    else:
+        max_src = max_positions[0]
+        max_tgt = max_positions[1] if len(max_positions) > 1 else None
+    indices = np.asarray(indices, dtype=np.int64)
+    keep = np.ones(len(indices), dtype=bool)
+    if max_src is not None:
+        keep &= np.asarray(src_sizes)[indices] <= max_src
+    if tgt_sizes is not None and max_tgt is not None:
+        keep &= np.asarray(tgt_sizes)[indices] <= max_tgt
+    return indices[keep], indices[~keep].tolist()
+
+
 def filter_by_size(
     indices: np.ndarray,
     size_fn: Callable[[int], object],

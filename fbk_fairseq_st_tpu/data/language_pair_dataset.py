@@ -177,6 +177,13 @@ class LanguagePairDataset(Dataset):
             toks = np.maximum(toks, np.asarray(self.tgt_sizes)[indices])
         return toks.astype(np.int64)
 
+    def filter_indices_by_size(self, indices, max_positions):
+        from .batching import filter_by_size_vec
+
+        return filter_by_size_vec(
+            indices, self.src_sizes, self.tgt_sizes, max_positions
+        )
+
     def size(self, index):
         return (
             self.src_sizes[index],

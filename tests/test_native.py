@@ -220,3 +220,29 @@ def test_native_token_block_complete_matches_python(monkeypatch):
         np.testing.assert_array_equal(
             native.reshape(-1, 2), python.reshape(-1, 2)
         )
+
+
+def test_filter_by_size_vec_matches_loop():
+    from fbk_fairseq_st_tpu.data.batching import (
+        filter_by_size,
+        filter_by_size_vec,
+    )
+
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        n = int(rng.randint(1, 200))
+        src = rng.randint(1, 50, size=n).astype(np.int64)
+        tgt = rng.randint(1, 50, size=n).astype(np.int64)
+        indices = rng.permutation(n).astype(np.int64)
+        for max_positions in (30, (30, 40), (None, 25), (30,)):
+            kept_v, ign_v = filter_by_size_vec(indices, src, tgt,
+                                               max_positions)
+            kept_l, ign_l = filter_by_size(
+                indices, lambda i: (int(src[i]), int(tgt[i])),
+                max_positions)
+            np.testing.assert_array_equal(kept_v, kept_l)
+            assert sorted(ign_v) == sorted(ign_l)
+        # no-target datasets
+        kept_v, _ = filter_by_size_vec(indices, src, None, 30)
+        kept_l, _ = filter_by_size(indices, lambda i: int(src[i]), 30)
+        np.testing.assert_array_equal(kept_v, kept_l)
