@@ -30,6 +30,17 @@ def main() -> None:
     import jax
     import numpy as np
 
+    from fbk_fairseq_st_tpu.options import enable_compilation_cache
+
+    # persistent XLA cache (timing is post-warmup; see bench.py note)
+    enable_compilation_cache(
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".xla_cache"),
+        )
+    )
+
     from fbk_fairseq_st_tpu import registry
     from fbk_fairseq_st_tpu.data.dictionary import Dictionary
     from fbk_fairseq_st_tpu.generation import SequenceGenerator

@@ -7,8 +7,14 @@ a compile.
 
     python -m fbk_fairseq_st_tpu.cli.serve exported/ --port 8000
 
+With --batch-window-ms, instances from CONCURRENT requests are coalesced
+into shared bucket dispatches by serving/batcher.py (TF-Serving-style
+dynamic batching; identical outputs, measured per-request cost drops
+toward cost/batch_size under load).
+
 API:
     GET  /health           -> {"status": "ok"}
+    GET  /stats            -> dynamic-batching dispatch counters
     GET  /meta             -> the artifact's meta.json
     POST /translate        body: {"instances": [INSTANCE...], "nbest": 1}
         INSTANCE (audio artifacts):  {"features": [[...frame floats...]...]}
@@ -43,13 +49,20 @@ def _instance_to_array(model: ServingModel, inst: dict) -> np.ndarray:
     raise ValueError("text artifact: instance needs 'tokens' or 'text'")
 
 
-def translate_payload(model: ServingModel, payload: dict) -> dict:
+def translate_payload(model: ServingModel, payload: dict,
+                      batcher=None) -> dict:
     instances = payload.get("instances")
     if not isinstance(instances, list) or not instances:
         raise ValueError("payload needs a non-empty 'instances' list")
     nbest = int(payload.get("nbest", 1))
     arrays = [_instance_to_array(model, inst) for inst in instances]
-    # adaptive chunking: width shrinks with each chunk's longest input
+    if batcher is not None:
+        # cross-request dynamic batching: instances from concurrent
+        # requests share one bucket dispatch (serving/batcher.py)
+        results = batcher.submit_many(arrays, nbest=nbest)
+    else:
+        # adaptive chunking: width shrinks with each chunk's longest input
+        results = model.translate_many(arrays, nbest=nbest)
     preds = [
         [
             {
@@ -59,12 +72,12 @@ def translate_payload(model: ServingModel, payload: dict) -> dict:
             }
             for h in sent
         ]
-        for sent in model.translate_many(arrays, nbest=nbest)
+        for sent in results
     ]
     return {"predictions": preds}
 
 
-def make_handler(model: ServingModel):
+def make_handler(model: ServingModel, batcher=None):
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, obj: dict):
             body = json.dumps(obj).encode()
@@ -77,6 +90,14 @@ def make_handler(model: ServingModel):
         def do_GET(self):
             if self.path == "/health":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._reply(200, {
+                    "batching": batcher is not None,
+                    "batches_dispatched": getattr(
+                        batcher, "batches_dispatched", None),
+                    "items_dispatched": getattr(
+                        batcher, "items_dispatched", None),
+                })
             elif self.path == "/meta":
                 self._reply(200, model.meta)
             else:
@@ -89,7 +110,9 @@ def make_handler(model: ServingModel):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                self._reply(200, translate_payload(model, payload))
+                self._reply(
+                    200, translate_payload(model, payload, batcher)
+                )
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # surface server faults to the client
@@ -115,8 +138,17 @@ def main(args):
     if not args.no_warmup:
         logger.info("warming up %d bucket(s)", len(model.meta["programs"]))
         model.warmup()
+    batcher = None
+    if args.batch_window_ms is not None:
+        from ..serving.batcher import DynamicBatcher
+
+        batcher = DynamicBatcher(model, window_ms=args.batch_window_ms)
+        logger.info(
+            "dynamic batching on: window=%.1fms, max items/dispatch=%d",
+            args.batch_window_ms, batcher.max_items,
+        )
     server = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(model)
+        (args.host, args.port), make_handler(model, batcher)
     )
     logger.info("serving %s on %s:%d", args.artifact, args.host, args.port)
     try:
@@ -125,6 +157,8 @@ def main(args):
         pass
     finally:
         server.server_close()
+        if batcher is not None:
+            batcher.close()
 
 
 def cli_main(input_args=None):
@@ -134,6 +168,12 @@ def cli_main(input_args=None):
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip executing each bucket once at startup")
+    parser.add_argument("--batch-window-ms", type=float, default=None,
+                        metavar="MS",
+                        help="enable cross-request dynamic batching: wait "
+                             "up to MS for concurrent instances to share "
+                             "one bucket dispatch (0 = coalesce only what "
+                             "queued while the previous dispatch ran)")
     parser.add_argument("--cpu", action="store_true",
                         help="serve on CPU instead of TPU")
     parser.add_argument("--jax-cache-dir", default=None,

@@ -439,3 +439,91 @@ def test_export_cli_end_to_end(tmp_path):
     assert sm.src_dict is not None
     res = sm.translate([sm.encode_source("hello world")], nbest=1)
     assert res[0] and isinstance(res[0][0]["text"], str)
+
+
+def test_dynamic_batcher_identical_results_and_coalescing(mt_artifact):
+    """Concurrent submissions through the DynamicBatcher return the SAME
+    hypotheses as direct translate_many calls, and genuinely share
+    dispatches (fewer batches than submitters)."""
+    import threading
+
+    from fbk_fairseq_st_tpu.serving.batcher import DynamicBatcher
+
+    d, model, variables, generator, out, _ = mt_artifact
+    sm = ServingModel.load(out)
+    inputs = mt_inputs(d, 8)
+    want = [sent for sent in sm.translate_many(inputs, nbest=2)]
+
+    batcher = DynamicBatcher(sm, window_ms=200.0)
+    try:
+        results = [None] * len(inputs)
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = batcher.submit_many([inputs[i]], nbest=2)[0]
+            except BaseException as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,))
+            for i in range(len(inputs))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        for got_sent, want_sent in zip(results, want):
+            assert len(got_sent) == 2
+            for g, w in zip(got_sent, want_sent[:2]):
+                np.testing.assert_array_equal(g["tokens"], w["tokens"])
+                assert abs(g["score"] - w["score"]) < 1e-6
+        # 8 one-instance requests must NOT cost 8 dispatch rounds
+        assert batcher.items_dispatched == len(inputs)
+        assert batcher.batches_dispatched < len(inputs)
+    finally:
+        batcher.close()
+
+
+def test_dynamic_batcher_propagates_errors_and_respects_nbest(mt_artifact):
+    from fbk_fairseq_st_tpu.serving.batcher import DynamicBatcher
+
+    d, model, variables, generator, out, _ = mt_artifact
+    sm = ServingModel.load(out)
+    batcher = DynamicBatcher(sm, window_ms=0.0)
+    try:
+        inputs = mt_inputs(d, 3)
+        got = batcher.submit_many(inputs, nbest=1)
+        assert [len(s) for s in got] == [1, 1, 1]
+        # an oversize input (no fitting bucket) faults ONLY its own batch
+        too_long = np.full((40,), d.eos(), np.int32)
+        with pytest.raises(ValueError):
+            batcher.submit_many([too_long], nbest=1)
+        # the batcher survives the fault and keeps serving
+        again = batcher.submit_many(inputs, nbest=1)
+        for a, b in zip(got, again):
+            np.testing.assert_array_equal(a[0]["tokens"], b[0]["tokens"])
+    finally:
+        batcher.close()
+
+
+def test_serve_payload_uses_batcher(mt_artifact):
+    """The serve CLI's payload path routes through the batcher when one
+    is configured (same predictions as the direct path)."""
+    from fbk_fairseq_st_tpu.cli.serve import translate_payload
+    from fbk_fairseq_st_tpu.serving.batcher import DynamicBatcher
+
+    d, model, variables, generator, out, _ = mt_artifact
+    sm = ServingModel.load(out)
+    inputs = mt_inputs(d, 3)
+    payload = {"instances": [{"tokens": x.tolist()} for x in inputs],
+               "nbest": 2}
+    direct = translate_payload(sm, payload)
+    batcher = DynamicBatcher(sm, window_ms=0.0)
+    try:
+        batched = translate_payload(sm, payload, batcher)
+    finally:
+        batcher.close()
+    assert direct == batched
+    assert batcher.items_dispatched == 3
