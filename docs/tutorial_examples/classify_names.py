@@ -5,7 +5,7 @@ points in ~150 lines: a Task that reads `<split>.tsv` files of
 ``name<TAB>language`` rows into a char-level dataset, a pooled
 char-embedding classifier Model, and a classification Criterion.
 
-Run with ``--user-dir docs/examples``:
+Run with ``--user-dir docs/tutorial_examples``:
 
     python -m fbk_fairseq_st_tpu.cli.train DATA --cpu \\
         --task tutorial_names_classification \\

@@ -3,7 +3,7 @@
 The smallest complete model this framework can train AND beam-decode:
 a unidirectional GRU encoder whose final hidden state is concatenated to
 every decoder input (no attention), a GRU decoder, and a vocabulary
-projection. Run it with ``--user-dir docs/examples --arch tutorial_simple_gru``.
+projection. Run it with ``--user-dir docs/tutorial_examples --arch tutorial_simple_gru``.
 
 This file is executed by tests/test_docs_examples.py, so the tutorial
 stays honest.

@@ -1,4 +1,4 @@
-"""The tutorial code under docs/examples/ must actually run.
+"""The tutorial code under docs/tutorial_examples/ must actually run.
 
 docs/tutorial_simple_gru.md and docs/tutorial_classifying_names.md embed
 this code; these tests drive it the way the tutorials tell users to
@@ -15,15 +15,51 @@ import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-USER_DIR = os.path.join(REPO, "docs", "examples")
+USER_DIR = os.path.join(REPO, "docs", "tutorial_examples")
 
 
 @pytest.fixture(scope="module")
 def user_module():
+    """Import docs/tutorial_examples the way the CLI does."""
+    from fbk_fairseq_st_tpu.registry import MODELS
     from fbk_fairseq_st_tpu.utils.user_dir import import_user_module
 
     import_user_module(argparse.Namespace(user_dir=USER_DIR))
-    return sys.modules["examples"]
+    assert "tutorial_simple_gru" in MODELS, (
+        "user-dir import failed to register the tutorial components"
+    )
+    return None
+
+
+def test_user_dir_name_collision_imports_under_alias(tmp_path):
+    """A --user-dir whose basename shadows an already-imported module
+    (e.g. a dir named 'examples' while the reference's `examples` package
+    is loaded) must still register its components. The reference's
+    import_user_module silently no-ops on the name hit; here the
+    collision imports under a private alias."""
+    import sys
+
+    from fbk_fairseq_st_tpu.registry import MODELS
+    from fbk_fairseq_st_tpu.utils.user_dir import import_user_module
+
+    pkg = tmp_path / "argparse"  # collides with the stdlib module
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text(
+        "from fbk_fairseq_st_tpu.models.base import Model\n"
+        "from fbk_fairseq_st_tpu.registry import register_model\n"
+        "@register_model('collision_probe_model')\n"
+        "class CollisionProbe(Model):\n"
+        "    pass\n"
+    )
+    assert "argparse" in sys.modules  # the collision is real
+    import_user_module(argparse.Namespace(user_dir=str(pkg)))
+    assert "collision_probe_model" in MODELS
+    import argparse as argparse_check  # stdlib module untouched
+
+    assert hasattr(argparse_check, "ArgumentParser")
+    # idempotent: a second import (the CLI calls it again) must not
+    # re-register and blow up on the duplicate name
+    import_user_module(argparse.Namespace(user_dir=str(pkg)))
 
 
 def _toy_dictionary(n=20):
