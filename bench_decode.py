@@ -32,14 +32,8 @@ def main() -> None:
 
     from fbk_fairseq_st_tpu.options import enable_compilation_cache
 
-    # persistent XLA cache (timing is post-warmup; see bench.py note)
-    enable_compilation_cache(
-        os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".xla_cache"),
-        )
-    )
+    # persistent XLA cache, opt-in via env (see bench.py note)
+    enable_compilation_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR"))
 
     from fbk_fairseq_st_tpu import registry
     from fbk_fairseq_st_tpu.data.dictionary import Dictionary

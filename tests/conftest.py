@@ -24,33 +24,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
-# Persistent XLA compilation cache for the whole suite. The cache is keyed
-# by the HLO fingerprint, so it has no semantic effect — but many tests
-# compile IDENTICAL programs (resume tests re-run the same train step,
-# equivalence tests train pairs of same-config models, multi-process spawn
-# tests compile one program per process), and a cache hit is ~7x cheaper
-# than the compile (measured: a 107s 8-device train CLI run replays in
-# 15s). Set as an env var (not just jax.config) so the multihost spawn
-# subprocesses inherit it. Repeat suite runs on a developer box get the
-# full benefit; a fresh CI box still saves the in-run duplicates.
-_cache_dir = os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".xla_cache"),
-)
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE on the persistent XLA compilation cache: deliberately NOT enabled
+# for the suite. It was tried (cache hits replay a 107s 8-device train
+# CLI in 15s; the DP-trajectory test dropped 506s -> 231s) but on this
+# jax/XLA version (0.9.0) SOME deserialized CPU executables hard-abort
+# the process when executed — reproduced deterministically with the
+# lstm_lm train step (bare abort() inside the XLA:CPU runtime during the
+# first result fetch; a minimal lax.scan program replays fine, so the
+# trigger is program-specific and unpredictable). A test suite must not
+# be able to SIGABRT, so compile times are paid honestly. The CLIs keep
+# --jax-cache-dir as an explicit opt-in (useful on TPU, where executable
+# serialization is the supported path).
 
 
 # ---------------------------------------------------------------------------
 # Suite time budgets (hard targets; measured round 3 on this 1-CPU box:
-# full = 78 min with a COLD compilation cache / 420 tests; warm-cache
-# repeat runs are several times faster — see the cache note above):
+# full = 78 min / 420+ tests):
 #   * `pytest -m quick`        <= 100 s  (~95 tests, broad smoke)
-#   * `pytest -m "not slow"`   <= 60 min cold (everything but multi-minute runs)
-#   * `pytest` (full)          <= 80 min cold (adds `slow`: 2-process
-#     multihost spawns ~4 min, DP trajectory ~4 min, corpus parity ~1.5 min)
+#   * `pytest -m "not slow"`   <= 60 min (everything but multi-minute runs)
+#   * `pytest` (full)          <= 80 min (adds `slow`: 2-process multihost
+#     spawns ~7 min, DP trajectory ~8 min, corpus parity ~1.5 min)
 # Keep new tests inside these budgets: share trained fixtures across
 # modules (tests/test_binaries.py::trained_dir pattern) instead of
 # retraining, and mark anything over ~2 min `slow`.
