@@ -134,11 +134,20 @@ def batch_by_size(
     return batches
 
 
+def _raise_invalid_size(idx, size, max_positions):
+    raise Exception(
+        f"Size of sample #{idx} is invalid (={size}) "
+        f"since max_positions={max_positions}, skip this example with "
+        f"--skip-invalid-size-inputs-valid-test"
+    )
+
+
 def filter_by_size_vec(
     indices: np.ndarray,
     src_sizes: np.ndarray,
     tgt_sizes: Optional[np.ndarray],
     max_positions,
+    raise_exception: bool = False,
 ):
     """Vectorized twin of ``filter_by_size`` for datasets whose sizes live
     in arrays (the reference added the same fast path as
@@ -149,12 +158,22 @@ def filter_by_size_vec(
         max_src = max_positions[0]
         max_tgt = max_positions[1] if len(max_positions) > 1 else None
     indices = np.asarray(indices, dtype=np.int64)
+    src_sizes = np.asarray(src_sizes)
     keep = np.ones(len(indices), dtype=bool)
     if max_src is not None:
-        keep &= np.asarray(src_sizes)[indices] <= max_src
+        keep &= src_sizes[indices] <= max_src
     if tgt_sizes is not None and max_tgt is not None:
         keep &= np.asarray(tgt_sizes)[indices] <= max_tgt
-    return indices[keep], indices[~keep].tolist()
+    ignored = indices[~keep].tolist()
+    if ignored and raise_exception:
+        first = ignored[0]
+        size = (
+            int(src_sizes[first])
+            if tgt_sizes is None
+            else (int(src_sizes[first]), int(np.asarray(tgt_sizes)[first]))
+        )
+        _raise_invalid_size(first, size, max_positions)
+    return indices[keep], ignored
 
 
 def filter_by_size(
@@ -185,11 +204,7 @@ def filter_by_size(
     for idx in indices:
         (keep if check(int(idx)) else ignored).append(int(idx))
     if ignored and raise_exception:
-        raise Exception(
-            f"Size of sample #{ignored[0]} is invalid (={size_fn(ignored[0])}) "
-            f"since max_positions={max_positions}, skip this example with "
-            f"--skip-invalid-size-inputs-valid-test"
-        )
+        _raise_invalid_size(ignored[0], size_fn(ignored[0]), max_positions)
     return np.array(keep, dtype=np.int64), ignored
 
 

@@ -177,11 +177,13 @@ class LanguagePairDataset(Dataset):
             toks = np.maximum(toks, np.asarray(self.tgt_sizes)[indices])
         return toks.astype(np.int64)
 
-    def filter_indices_by_size(self, indices, max_positions):
+    def filter_indices_by_size(self, indices, max_positions,
+                               raise_exception=False):
         from .batching import filter_by_size_vec
 
         return filter_by_size_vec(
-            indices, self.src_sizes, self.tgt_sizes, max_positions
+            indices, self.src_sizes, self.tgt_sizes, max_positions,
+            raise_exception=raise_exception,
         )
 
     def size(self, index):

@@ -102,24 +102,38 @@ class DynamicBatcher:
             batch, self._queue = self._queue, []
             return batch
 
+    def _dispatch(self, batch: List[_Entry]) -> None:
+        try:
+            results = self.model.translate_many(
+                [e.array for e in batch],
+                nbest=max(e.nbest for e in batch),
+            )
+        except BaseException as exc:
+            self.batches_dispatched += 1  # the failed attempt
+            if len(batch) > 1:
+                # FAULT ISOLATION: one bad co-batched instance (no fitting
+                # bucket, nbest > exported beam, ...) must not fail other
+                # tenants' valid requests — retry each instance alone so
+                # only the offender errors (batched == unbatched outcomes)
+                for e in batch:
+                    self._dispatch([e])
+                return
+            self.items_dispatched += 1
+            batch[0].error = exc
+            return
+        self.batches_dispatched += 1
+        self.items_dispatched += len(batch)
+        for e, hyps in zip(batch, results):
+            e.result = hyps[: e.nbest]
+
     def _loop(self) -> None:
         while True:
             batch = self._take_batch()
             if not batch:
                 return
             try:
-                results = self.model.translate_many(
-                    [e.array for e in batch],
-                    nbest=max(e.nbest for e in batch),
-                )
-                for e, hyps in zip(batch, results):
-                    e.result = hyps[: e.nbest]
-            except BaseException as exc:  # deliver faults to every waiter
-                for e in batch:
-                    e.error = exc
+                self._dispatch(batch)
             finally:
-                self.batches_dispatched += 1
-                self.items_dispatched += len(batch)
                 for e in batch:
                     e.event.set()
 

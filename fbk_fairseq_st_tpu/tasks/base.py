@@ -72,14 +72,10 @@ class Task:
         if max_positions is not None:
             vec_filter = getattr(dataset, "filter_indices_by_size", None)
             if vec_filter is not None:  # sizes-array datasets: no per-index calls
-                indices, ignored = vec_filter(indices, max_positions)
-                if ignored and not ignore_invalid_inputs:
-                    raise Exception(
-                        f"Size of sample #{ignored[0]} is invalid "
-                        f"(={size_fn(int(ignored[0]))}) since "
-                        f"max_positions={max_positions}, skip this example "
-                        f"with --skip-invalid-size-inputs-valid-test"
-                    )
+                indices, _ = vec_filter(
+                    indices, max_positions,
+                    raise_exception=not ignore_invalid_inputs,
+                )
             else:
                 indices, _ = filter_by_size(
                     indices,

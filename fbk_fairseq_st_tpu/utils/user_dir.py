@@ -15,7 +15,10 @@ def import_user_module(args) -> None:
     module_path = getattr(args, "user_dir", None)
     if module_path is None:
         return
-    module_path = os.path.abspath(module_path)
+    # realpath, not abspath: the same directory reached via a symlink or a
+    # different spelling must count as already-imported, or __init__.py
+    # would re-execute and blow up on duplicate registration
+    module_path = os.path.realpath(module_path)
     if not os.path.exists(module_path):
         raise FileNotFoundError(module_path)
     module_parent, module_name = os.path.split(module_path)
@@ -28,7 +31,9 @@ def import_user_module(args) -> None:
         # 'examples'); here the collision imports under a private alias
         # instead, so registration always happens exactly once.
         existing_path = getattr(existing, "__user_dir_path__", None) or (
-            os.path.dirname(os.path.abspath(getattr(existing, "__file__", "")))
+            os.path.dirname(
+                os.path.realpath(getattr(existing, "__file__", ""))
+            )
             if getattr(existing, "__file__", None)
             else None
         )
@@ -52,7 +57,14 @@ def import_user_module(args) -> None:
         module = importlib.util.module_from_spec(spec)
         module.__user_dir_path__ = module_path
         sys.modules[alias] = module
-        spec.loader.exec_module(module)
+        try:
+            spec.loader.exec_module(module)
+        except BaseException:
+            # like the import machinery: a failed import must not stay
+            # cached, or every retry would silently no-op with nothing
+            # registered
+            sys.modules.pop(alias, None)
+            raise
         return
 
     sys.path.insert(0, module_parent)

@@ -527,3 +527,47 @@ def test_serve_payload_uses_batcher(mt_artifact):
         batcher.close()
     assert direct == batched
     assert batcher.items_dispatched == 3
+
+
+def test_dynamic_batcher_isolates_faults_across_cobatched_requests(
+    mt_artifact,
+):
+    """A malformed request coalesced with a valid one must fail ALONE:
+    the valid co-batched request gets its normal result (batched ==
+    unbatched outcomes, the batcher's core guarantee)."""
+    import threading
+
+    from fbk_fairseq_st_tpu.serving.batcher import DynamicBatcher
+
+    d, model, variables, generator, out, _ = mt_artifact
+    sm = ServingModel.load(out)
+    good = mt_inputs(d, 1)[0]
+    want = sm.translate_many([good], nbest=1)[0]
+    too_long = np.full((40,), d.eos(), np.int32)  # no bucket fits
+
+    batcher = DynamicBatcher(sm, window_ms=300.0)
+    try:
+        outcome = {}
+
+        def submit(key, arr):
+            try:
+                outcome[key] = ("ok", batcher.submit_many([arr], nbest=1)[0])
+            except Exception as e:
+                outcome[key] = ("err", e)
+
+        threads = [
+            threading.Thread(target=submit, args=("good", good)),
+            threading.Thread(target=submit, args=("bad", too_long)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert outcome["bad"][0] == "err"
+        assert isinstance(outcome["bad"][1], ValueError)
+        assert outcome["good"][0] == "ok", outcome["good"]
+        np.testing.assert_array_equal(
+            outcome["good"][1][0]["tokens"], want[0]["tokens"]
+        )
+    finally:
+        batcher.close()
