@@ -32,6 +32,10 @@ def main() -> None:
     parser.add_argument("--vocab", type=int, default=8000)
     parser.add_argument("--feat-dim", type=int, default=40)
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--concurrency", type=int, default=0, metavar="N",
+                        help="also measure N concurrent single-utterance "
+                             "clients, sequential vs dynamic batching "
+                             "(--batch-window-ms equivalent)")
     parser.add_argument("--out", default=None,
                         help="artifact dir (default: fresh temp dir)")
     parser.add_argument("--cpu", action="store_true")
@@ -125,6 +129,67 @@ def main() -> None:
         gen.generate([(model, variables)], sample)
     live_s = (time.perf_counter() - t0) / args.repeats
 
+    concurrency = None
+    if args.concurrency:
+        # N concurrent single-utterance clients: every request dispatched
+        # alone (the serve CLI without --batch-window-ms) vs coalesced by
+        # the DynamicBatcher. Total wall time for all N requests.
+        import threading
+
+        from fbk_fairseq_st_tpu.serving.batcher import DynamicBatcher
+
+        n = args.concurrency
+        singles = feats[:1] * n if len(feats) == 1 else (feats * n)[:n]
+
+        def run_clients(fn):
+            errs = []
+
+            def client(i):
+                try:
+                    fn(singles[i])
+                except Exception as e:  # pragma: no cover
+                    errs.append(e)
+
+            threads = [
+                threading.Thread(target=client, args=(i,)) for i in range(n)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            assert not errs, errs[0]
+            return wall
+
+        # unbatched: concurrent threads each call translate() directly
+        run_clients(lambda x: sm.translate([x], nbest=1, detokenize=False))
+        seq_wall = min(
+            run_clients(
+                lambda x: sm.translate([x], nbest=1, detokenize=False)
+            )
+            for _ in range(3)
+        )
+        batcher = DynamicBatcher(sm, window_ms=10.0)
+        try:
+            run_clients(
+                lambda x: batcher.submit_many([x], nbest=1)
+            )
+            bat_wall = min(
+                run_clients(lambda x: batcher.submit_many([x], nbest=1))
+                for _ in range(3)
+            )
+            dispatches = batcher.batches_dispatched
+        finally:
+            batcher.close()
+        concurrency = {
+            "clients": n,
+            "unbatched_wall_s": round(seq_wall, 4),
+            "batched_wall_s": round(bat_wall, 4),
+            "speedup": round(seq_wall / bat_wall, 2),
+            "dispatches_batched": dispatches,
+        }
+
     print(json.dumps({
         "arch": args.arch,
         "platform": platform,
@@ -138,6 +203,7 @@ def main() -> None:
         "serving_rtf": round(serving_s / audio_seconds, 5),
         "live_rtf": round(live_s / audio_seconds, 5),
         "serving_vs_live": round(serving_s / live_s, 3),
+        "concurrency": concurrency,
         "artifact_dir": out_dir,
     }))
 
