@@ -33,6 +33,43 @@ logging.basicConfig(
 )
 logger = logging.getLogger("fbk_fairseq_st_tpu.cli.train")
 
+# preemption flag: set by the SIGTERM/SIGINT handler, checked at update
+# boundaries (--save-on-interrupt). A dict so `train` sees main's writes.
+_INTERRUPT = {"sig": None}
+
+
+def _install_interrupt_handlers():
+    """SIGTERM/SIGINT -> finish the in-flight update, checkpoint, exit 0.
+
+    Preemptible TPU pods get SIGTERM with a grace window; the reference
+    simply dies and loses everything since the last epoch/interval save.
+    Returns the previous handlers for restoration (no-op off the main
+    thread, where CPython forbids signal.signal)."""
+    import signal
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        return {}
+
+    def _handler(sig, frame):
+        _INTERRUPT["sig"] = sig
+        logger.info(
+            "received signal %s: will checkpoint and exit at the next "
+            "update boundary", sig,
+        )
+
+    return {
+        s: signal.signal(s, _handler)
+        for s in (signal.SIGTERM, signal.SIGINT)
+    }
+
+
+def _restore_interrupt_handlers(previous) -> None:
+    import signal
+
+    for sig, handler in previous.items():
+        signal.signal(sig, handler)
+
 
 def distributed_init(args) -> None:
     """Multi-host bring-up (counterpart of distributed_utils.py:79-143).
@@ -137,23 +174,38 @@ def main(args):
         jax.profiler.start_trace(profile_dir)
         logger.info("jax.profiler trace -> {}".format(profile_dir))
 
-    while (
-        lr > args.min_lr
-        and epoch_itr.epoch < max_epoch
-        and trainer.get_num_updates() < max_update
-    ):
-        if hasattr(task, "set_epoch_updates"):
-            task.set_epoch_updates(trainer.get_num_updates())
-        valid_losses = train(args, trainer, task, epoch_itr, max_update)
-        if should_stop_early(args, valid_losses[0]):
-            logger.info(
-                f"early stop since valid performance hasn't improved for "
-                f"last {args.patience} runs"
-            )
-            break
-        lr = trainer.lr_step(epoch_itr.epoch, valid_losses[0])
-        if trainer.get_num_updates() >= max_update:
-            break
+    _INTERRUPT["sig"] = None
+    prev_handlers = (
+        _install_interrupt_handlers()
+        if getattr(args, "save_on_interrupt", True)
+        else {}
+    )
+    try:
+        while (
+            lr > args.min_lr
+            and epoch_itr.epoch < max_epoch
+            and trainer.get_num_updates() < max_update
+        ):
+            if hasattr(task, "set_epoch_updates"):
+                task.set_epoch_updates(trainer.get_num_updates())
+            valid_losses = train(args, trainer, task, epoch_itr, max_update)
+            if _INTERRUPT["sig"] is not None:
+                logger.info(
+                    "exiting cleanly on signal %s (checkpoint saved)",
+                    _INTERRUPT["sig"],
+                )
+                break
+            if should_stop_early(args, valid_losses[0]):
+                logger.info(
+                    f"early stop since valid performance hasn't improved for "
+                    f"last {args.patience} runs"
+                )
+                break
+            lr = trainer.lr_step(epoch_itr.epoch, valid_losses[0])
+            if trainer.get_num_updates() >= max_update:
+                break
+    finally:
+        _restore_interrupt_handlers(prev_handlers)
 
     if profile_dir is not None:
         import jax
@@ -244,6 +296,16 @@ def train(args, trainer, task, epoch_itr, max_update):
                 args, trainer, task, epoch_itr, valid_subsets,
                 end_of_epoch=False, prev_updates=prev_updates,
             )
+            if _INTERRUPT["sig"] is not None:
+                # preemption: checkpoint NOW (no validation — the grace
+                # window is short) and skip the end-of-epoch work; the
+                # mid-epoch iterator position rides in the checkpoint, so
+                # resume continues exactly here
+                trainer.flush_logs()
+                checkpoint_utils.save_checkpoint(
+                    args, trainer, epoch_itr, None
+                )
+                return valid_losses
             if trainer.get_num_updates() >= max_update:
                 break
         trainer.flush_logs()  # deferred log_sync_interval>1 outputs

@@ -286,6 +286,14 @@ def add_checkpoint_args(parser):
     group.add_argument("--no-save", action="store_true")
     group.add_argument("--no-epoch-checkpoints", action="store_true")
     group.add_argument("--no-last-checkpoints", action="store_true")
+    group.add_argument("--save-on-interrupt", dest="save_on_interrupt",
+                       action="store_true", default=True,
+                       help="on SIGTERM/SIGINT, finish the in-flight "
+                            "update, write checkpoint_last, and exit "
+                            "cleanly — preemption-safe training on "
+                            "spot/preemptible TPU pods (default on)")
+    group.add_argument("--no-save-on-interrupt", dest="save_on_interrupt",
+                       action="store_false")
     group.add_argument("--no-save-optimizer-state", action="store_true")
     group.add_argument("--best-checkpoint-metric", type=str, default="loss")
     group.add_argument("--maximize-best-checkpoint-metric", action="store_true")
