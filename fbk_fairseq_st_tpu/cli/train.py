@@ -44,7 +44,16 @@ def _install_interrupt_handlers():
     Preemptible TPU pods get SIGTERM with a grace window; the reference
     simply dies and loses everything since the last epoch/interval save.
     Returns the previous handlers for restoration (no-op off the main
-    thread, where CPython forbids signal.signal)."""
+    thread, where CPython forbids signal.signal).
+
+    Multi-host caveat: each host checks its flag at its own update
+    boundary. Pod preemption delivers SIGTERM to all hosts near-
+    simultaneously, so they normally agree on the stopping update; in the
+    rare race where one host slips one update ahead, the pickle format
+    still yields a consistent checkpoint (process 0 writes its own view),
+    while `--checkpoint-format sharded` would stall in its commit barrier
+    until the grace kill — i.e. behave as if no save happened, never
+    corrupt."""
     import signal
     import threading
 
