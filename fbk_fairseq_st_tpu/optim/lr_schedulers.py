@@ -154,7 +154,10 @@ class CosineSchedule(LRScheduler):
         self.t_mult = args.t_mult
         self.period = args.lr_period_updates
         if self.period <= 0:
-            assert args.max_update >= 0, (
+            # the reference's check is `max_update >= 0`, which lets the
+            # default 0 through into a division by zero at step time;
+            # the intent is clearly a positive period
+            assert args.max_update > 0, (
                 "Either --max-update or --lr-period-updates must be set"
             )
             self.period = args.max_update - args.warmup_updates

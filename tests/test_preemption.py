@@ -90,9 +90,7 @@ def test_sigterm_saves_midepoch_checkpoint_and_resumes(tmp_path, monkeypatch):
     final = checkpoint_utils.load_checkpoint_to_cpu(
         os.path.join(save_dir, "checkpoint2.pt")
     )
-    opt_updates = final.get("optimizer_history", [{}])[-1].get("num_updates")
-    if opt_updates is not None:
-        assert opt_updates == 16
+    assert final["num_updates"] == 16
 
 
 def test_sigint_handler_restored_after_training(tmp_path):
