@@ -191,12 +191,18 @@ class DiverseSiblingsSearch:
         # top 2K siblings per beam, penalized by rank * diversity_rate
         sib_scores, sib_indices = jax.lax.top_k(lprobs, kk)  # (B, K, 2K)
         penalty = (jnp.arange(kk, dtype=jnp.float32) + 1) * self.diversity_rate
-        sib_scores = sib_scores - penalty[None, None, :]
-        cum = sib_scores + scores[:, :, None]
-        cum = jnp.where(step == 0, _first_beam_only(sib_scores), cum)
+        cum = sib_scores - penalty[None, None, :] + scores[:, :, None]
         flat_scores = cum.reshape(b, k * kk)
         flat_tokens = sib_indices.reshape(b, k * kk)
         top_scores, top_pos = jax.lax.top_k(flat_scores, kk)
         tokens = jnp.take_along_axis(flat_tokens, top_pos, axis=1)
         beams = top_pos // kk
-        return SearchOutput(top_scores, tokens, beams)
+        sib = SearchOutput(top_scores, tokens, beams)
+        # step 0 is a PLAIN beam step in the reference (search.py:315-316):
+        # all beams identical, no rank penalty on the recorded scores
+        plain = self.beam.step(step, lprobs, scores, rng)
+        return SearchOutput(
+            jnp.where(step == 0, plain.scores, sib.scores),
+            jnp.where(step == 0, plain.indices, sib.indices),
+            jnp.where(step == 0, plain.beams, sib.beams),
+        )

@@ -174,3 +174,148 @@ def test_maxlen(setup):
     assert_hypo(hypos[0][0], [w1, eos], [0.9, 1.0])
     assert_hypo(hypos[0][1], [w2, w2, eos], [0.1, 0.1, 0.6])
     assert_hypo(hypos[1][0], [w1, w2, eos], [0.7, 0.4, 0.6])
+
+
+# ---------------------------------------------------------------------------
+# search-strategy fidelity (reference tests/test_sequence_generator.py
+# diverse-beam/sampling sections; expectations hand-derived from the
+# scripted tables below)
+# ---------------------------------------------------------------------------
+
+def _three_token_setup(step0, step1=None):
+    """1 sentence, vocab {w1,w2,w3}: step0/step1 rows are [eos, unk, w1,
+    w2, w3] probability lists per bbsz row; remaining steps emit eos=1."""
+    d = dummy_dictionary(vocab_size=3)
+    rows = [np.array(step0, np.float32)]
+    if step1 is not None:
+        rows.append(np.array(step1, np.float32))
+    model = make_scripted_model(d, rows)
+    sample = {
+        "net_input": {
+            "src_tokens": np.array([[4, 5, d.eos()]], np.int64),
+            "src_lengths": np.array([2], np.int64),
+        }
+    }
+    return d, model, sample
+
+
+def test_diverse_beam_search_differs_from_vanilla_exactly():
+    """Step 0, probs w1=.5 w2=.3 w3=.2: vanilla beam-2 keeps {w1, w2};
+    diverse (2 groups, strength 2) penalizes group 1 for group 0's
+    candidates {w1, w2}, so it keeps {w1, w3}."""
+    from fbk_fairseq_st_tpu.generation.search import DiverseBeamSearch
+
+    step0 = [[0.0, 0.0, 0.5, 0.3, 0.2]] * 2
+    d, model, sample = _three_token_setup(step0)
+    w1, w2, w3, eos = 4, 5, 6, d.eos()
+
+    vanilla = SequenceGenerator(d, beam_size=2, max_len_b=10)
+    hyp = vanilla.generate([model], sample)[0]
+    assert_hypo(hyp[0], [w1, eos], [0.5, 1.0])
+    assert_hypo(hyp[1], [w2, eos], [0.3, 1.0])
+
+    diverse = SequenceGenerator(
+        d, beam_size=2, max_len_b=10,
+        search_strategy=DiverseBeamSearch(
+            d, num_groups=2, diversity_strength=2.0
+        ),
+    )
+    hyp = diverse.generate([model], sample)[0]
+    assert_hypo(hyp[0], [w1, eos], [0.5, 1.0])
+    # the diverse pick; group 0 also emits eos at step 1, so group 1's
+    # recorded eos score carries the diversity penalty (exp(-2)) — the
+    # reference's scores behave identically (penalized lprobs feed the
+    # beam step)
+    assert_hypo(hyp[1], [w3, eos], [0.2, float(np.exp(-2.0))])
+
+
+def test_diverse_siblings_rank_penalty_flips_selection():
+    """Step-1 candidates: beam0's rank-2 (w1w2, lp -1.7428) narrowly beats
+    beam1's rank-1 (w2w3, lp -1.745) under vanilla beam; the sibling rank
+    penalty (rate 0.5: rank-2 pays 1.0, rank-1 pays 0.5) flips it."""
+    from fbk_fairseq_st_tpu.generation.search import DiverseSiblingsSearch
+
+    step0 = [[0.0, 0.0, 0.5, 0.3, 0.2]] * 2
+    step1 = [
+        [0.0, 0.0, 0.55, 0.35, 0.10],   # beam 0 = the w1 path
+        [0.0, 0.0, 0.20, 0.218, 0.582],  # beam 1 = the w2 path
+    ]
+    d, model, sample = _three_token_setup(step0, step1)
+    w1, w2, w3, eos = 4, 5, 6, d.eos()
+
+    vanilla = SequenceGenerator(d, beam_size=2, max_len_b=10)
+    hyp = vanilla.generate([model], sample)[0]
+    assert [int(t) for t in hyp[0]["tokens"]] == [w1, w1, eos]
+    assert [int(t) for t in hyp[1]["tokens"]] == [w1, w2, eos]
+
+    siblings = SequenceGenerator(
+        d, beam_size=2, max_len_b=10,
+        search_strategy=DiverseSiblingsSearch(d, diversity_rate=0.5),
+    )
+    hyp = siblings.generate([model], sample)[0]
+    tok_sets = {tuple(int(t) for t in h["tokens"]) for h in hyp}
+    assert (w1, w1, eos) in tok_sets
+    assert (w2, w3, eos) in tok_sets, tok_sets  # the flipped pick
+
+
+def test_sampling_topk1_is_greedy_and_scores_unrenormalized():
+    """top-k=1 sampling collapses to argmax regardless of the PRNG draw,
+    and positional scores are the ORIGINAL log-probs (not renormalized
+    over the truncated support), like the reference."""
+    from fbk_fairseq_st_tpu.generation.search import Sampling
+
+    step0 = [[0.0, 0.0, 0.6, 0.3, 0.1]]
+    step1 = [[0.0, 0.0, 0.05, 0.9, 0.05]]
+    d, model, sample = _three_token_setup(step0, step1)
+    w1, w2, eos = 4, 5, d.eos()
+
+    gen = SequenceGenerator(
+        d, beam_size=1, max_len_b=10,
+        search_strategy=Sampling(d, sampling_topk=1),
+    )
+    hyp = gen.generate([model], sample)[0]
+    assert_hypo(hyp[0], [w1, w2, eos], [0.6, 0.9, 1.0])
+
+
+def test_sampling_is_seed_deterministic_and_valid():
+    step0 = [[0.0, 0.0, 0.4, 0.35, 0.25]] * 2  # one row per bbsz beam
+    step1 = [[0.2, 0.0, 0.3, 0.3, 0.2]] * 2
+    d, model, sample = _three_token_setup(step0, step1)
+    from fbk_fairseq_st_tpu.generation.search import Sampling
+
+    def run():
+        gen = SequenceGenerator(
+            d, beam_size=2, max_len_b=10,
+            search_strategy=Sampling(d),
+        )
+        return gen.generate([model], sample)[0]
+
+    a, b = run(), run()
+    for ha, hb in zip(a, b):
+        np.testing.assert_array_equal(ha["tokens"], hb["tokens"])
+        # every hypo ends in eos, contains only real tokens, and its
+        # score is the sum of its positional log-probs
+        toks = [int(t) for t in ha["tokens"]]
+        assert toks[-1] == d.eos()
+        assert all(t >= 4 or t == d.eos() for t in toks)
+        np.testing.assert_allclose(
+            np.asarray(ha["positional_scores"]).sum(),
+            ha["score"] * len(toks),
+            atol=1e-4,
+        )
+
+
+def test_prefix_tokens_force_the_continuation(setup):
+    """prefix_tokens pin the first target positions; hypotheses must all
+    start with the prefix and carry its true model scores."""
+    d, w1, w2, model, sample = setup
+    gen = SequenceGenerator(d, beam_size=2, max_len_b=10)
+    prefix = np.array([[w2], [w2]], np.int64)
+    out = gen.generate([model], sample, prefix_tokens=prefix)
+    for sent, first_probs in zip(out, ([0.1], [0.3])):
+        for h in sent:
+            assert int(h["tokens"][0]) == w2
+        # the forced token's positional score is its real model prob
+        np.testing.assert_allclose(
+            h["positional_scores"][0], np.log(first_probs[0]), atol=1e-4
+        )
