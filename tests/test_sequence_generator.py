@@ -319,3 +319,32 @@ def test_prefix_tokens_force_the_continuation(setup):
         np.testing.assert_allclose(
             h["positional_scores"][0], np.log(first_probs[0]), atol=1e-4
         )
+
+
+def test_sampling_topp_support_is_the_smallest_exceeding_set():
+    """Nucleus truncation keeps exactly the tokens whose EXCLUSIVE
+    cumulative mass is below p (the reference's lt-mask plus one more
+    word, search.py:195-204): probs [.4,.3,.2,.1] with p=.65 may only
+    ever sample the top-2; with p=.71 the top-3."""
+    import jax
+
+    from fbk_fairseq_st_tpu.generation.search import Sampling
+
+    d = dummy_dictionary(vocab_size=4)  # tokens 4..7
+    probs = np.zeros((1, 1, len(d)), np.float32)
+    probs[0, 0, 4:8] = [0.4, 0.3, 0.2, 0.1]
+    lprobs = jnp.asarray(np.log(np.maximum(probs, 1e-30)))
+    scores = jnp.zeros((1, 1), jnp.float32)
+
+    def support(strategy, n=400):
+        seen = set()
+        for i in range(n):
+            out = strategy.step(1, lprobs, scores, jax.random.PRNGKey(i))
+            seen.update(int(t) for t in np.asarray(out.indices).ravel())
+        return seen
+
+    assert support(Sampling(d, sampling_topp=0.65)) == {4, 5}
+    assert support(Sampling(d, sampling_topp=0.71)) == {4, 5, 6}
+    assert support(Sampling(d, sampling_topk=1)) == {4}
+    assert support(Sampling(d, sampling_topk=3)) == {4, 5, 6}
+    assert support(Sampling(d), n=600) == {4, 5, 6, 7}
