@@ -183,3 +183,73 @@ def test_pretrained_decoder_dict_resize(tmp_path):
             pre_vars["params"]["encoder"]["layers"][0]["self_attn"]["q"]["w"]
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_multilingual_with_transcripts_train(tmp_path):
+    """multilingual_speech_translation_with_transcr: per-pair source
+    transcripts wrap every pair's dataset (TranscriptionWrapper) and the
+    round-robin training loop still runs end-to-end."""
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "ckpt")
+    create_multilingual_data(data_dir)
+    # binarize transcripts for the shared source 'audio'
+    rng = np.random.RandomState(99)
+    for split, count in [("train", 8), ("valid", 4), ("test", 4)]:
+        with open(os.path.join(data_dir, f"{split}_raw.audio"), "w") as f:
+            for _ in range(count):
+                f.write(
+                    " ".join(
+                        f"tr{rng.randint(10)}"
+                        for _ in range(rng.randint(2, 5))
+                    ) + "\n"
+                )
+    preprocess_cli.cli_main([
+        "--target-lang", "audio",
+        "--trainpref", os.path.join(data_dir, "train_raw"),
+        "--validpref", os.path.join(data_dir, "valid_raw"),
+        "--testpref", os.path.join(data_dir, "test_raw"),
+        "--destdir", data_dir, "--dataset-impl", "cached",
+    ])
+    argv = [data_dir, "--save-dir", save_dir] + ML_ARGS
+    argv[argv.index("--task") + 1] = (
+        "multilingual_speech_translation_with_transcr"
+    )
+    train_cli.cli_main(argv)
+    assert "checkpoint1.pt" in os.listdir(save_dir)
+
+    # the task actually loaded transcripts: a collated batch carries them
+    import argparse
+
+    from fbk_fairseq_st_tpu import options
+    from fbk_fairseq_st_tpu.registry import TASKS
+
+    parser = options.get_training_parser()
+    args = options.parse_args_and_arch(parser, argv)
+    task = TASKS[args.task].setup_task(args)
+    task.load_dataset("train")
+    ds = task.dataset("train")
+    batch = ds.collater([ds[0], ds[1]])
+    pair_batch = next(iter(batch.values())) if isinstance(
+        batch, dict) and "net_input" not in batch else batch
+    assert "transcript_target" in pair_batch, sorted(pair_batch)
+
+
+def test_multilingual_kd_requires_teacher_dumps(tmp_path):
+    """The KD variant hard-fails with an actionable message when the
+    teacher top-k dumps are absent (its success path shares the
+    TeacherOutputDataset machinery proven in tests/test_kd.py)."""
+    data_dir = str(tmp_path / "data")
+    create_multilingual_data(data_dir)
+
+    from fbk_fairseq_st_tpu import options
+    from fbk_fairseq_st_tpu.registry import TASKS
+
+    parser = options.get_training_parser()
+    argv = [data_dir, "--distill-topk", "4"] + ML_ARGS
+    argv[argv.index("--task") + 1] = (
+        "multilingual_speech_translation_with_transcr_kd"
+    )
+    args = options.parse_args_and_arch(parser, argv)
+    task = TASKS[args.task].setup_task(args)
+    with pytest.raises(AssertionError, match="Teacher datasets not found"):
+        task.load_dataset("train")
