@@ -74,7 +74,45 @@ def main(args):
         target = batch["target"]
         nll = -jnp.take_along_axis(lprobs, target[..., None], axis=-1)[..., 0]
         mask = target != d.pad()
-        return jnp.sum(nll * mask), jnp.sum(mask)
+        return jnp.sum(nll * mask), jnp.sum(mask), nll * mask
+
+    output_word_probs = getattr(args, "output_word_probs", False)
+    output_word_stats = getattr(args, "output_word_stats", False)
+    word_stats: dict = {}
+    bpe_cont = (args.remove_bpe or "@@ ").rstrip()
+
+    def emit_word_outputs(sample_ids, targets, per_tok_nll):
+        # glue BPE pieces back into words (a piece whose symbol ends with
+        # the continuation marker continues the word) and aggregate the
+        # pieces' log-probs, reference fairseq_cli/eval_lm.py WordStat
+        for sid, row, nll_row in zip(sample_ids, targets, per_tok_nll):
+            words = []
+            w, lp, is_bpe = "", 0.0, False
+            for tok, nll_tok in zip(row, nll_row):
+                if tok == d.pad():
+                    continue
+                sym = d[int(tok)]
+                w += sym
+                lp += -float(nll_tok)
+                if sym.endswith(bpe_cont):
+                    w = w[: -len(bpe_cont)]
+                    is_bpe = True
+                else:
+                    words.append((w, lp, is_bpe))
+                    w, lp, is_bpe = "", 0.0, False
+            if w:
+                words.append((w, lp, is_bpe))
+            if output_word_probs:
+                print(
+                    str(int(sid))
+                    + " "
+                    + "\t".join(f"{w} [{lp:2f}]" for w, lp, _ in words)
+                )
+            if output_word_stats:
+                for w, lp, wb in words:
+                    st = word_stats.setdefault(w, [0, 0.0, wb])
+                    st[0] += 1
+                    st[1] += lp
 
     total_nll = 0.0
     total_tokens = 0
@@ -86,9 +124,20 @@ def main(args):
             "src_lengths": jnp.asarray(sample["net_input"]["src_lengths"]),
             "target": jnp.asarray(sample["target"]),
         }
-        nll, n = jax.device_get(nll_batch(batch))
+        nll, n, per_tok = jax.device_get(nll_batch(batch))
         total_nll += float(nll)
         total_tokens += int(n)
+        if output_word_probs or output_word_stats:
+            emit_word_outputs(sample["id"], sample["target"], per_tok)
+
+    if output_word_stats:
+        for w, (count, log_prob, wb) in sorted(
+            word_stats.items(), key=lambda x: x[1][0], reverse=True
+        ):
+            suffix = " (is_bpe)" if wb else ""
+            logger.info(
+                f"{w}{suffix}: count={count} avg_log_prob={log_prob / count:.4f}"
+            )
 
     avg_nll = total_nll / max(total_tokens, 1) / math.log(2)
     logger.info(
@@ -103,13 +152,7 @@ def main(args):
 
 
 def cli_main(input_args=None):
-    parser = options.get_generation_parser(default_task="language_modeling")
-    group = parser.add_argument_group("LM evaluation")
-    group.add_argument(
-        "--context-window", type=int, default=0,
-        help="score each token with this many tokens of preceding context "
-        "carried across batch boundaries (reference eval_lm --context-window)",
-    )
+    parser = options.get_eval_lm_parser(default_task="language_modeling")
     args = options.parse_args_and_arch(parser, input_args)
     return main(args)
 

@@ -72,6 +72,25 @@ def _main(args, output_file):
     src_dict = getattr(task, "source_dictionary", None)
     tgt_dict = task.target_dictionary
 
+    # --replace-unk (reference generate.py:91): alignment dictionary from
+    # preprocess --alignfile, or {} to copy the aligned source token
+    from ..utils.align_utils import load_align_dict, post_process_prediction
+
+    align_dict = load_align_dict(args.replace_unk)
+
+    # detokenization chain for D- lines (reference generate.py decode_fn)
+    from ..data.encoders import build_bpe, build_tokenizer
+
+    tokenizer = build_tokenizer(args)
+    bpe = build_bpe(args)
+
+    def decode_fn(x):
+        if bpe is not None:
+            x = bpe.decode(x)
+        if tokenizer is not None:
+            x = tokenizer.decode(x)
+        return x
+
     itr = task.get_batch_iterator(
         dataset=task.dataset(args.gen_subset),
         max_tokens=args.max_tokens,
@@ -115,7 +134,8 @@ def _main(args, output_file):
         num_generated_tokens = sum(len(h[0]["tokens"]) for h in hypos if h)
         gen_timer.stop(num_generated_tokens)
 
-        if args.print_alignment and hasattr(models[0][0], "decoder"):
+        need_alignment = args.print_alignment or align_dict is not None
+        if need_alignment and hasattr(models[0][0], "decoder"):
             from ..generation.alignment_utils import attach_alignments
 
             model0, variables0 = models[0]
@@ -153,12 +173,24 @@ def _main(args, output_file):
                     print(f"T-{sample_id}\t{target_str}", file=output_file)
 
             for j, hypo in enumerate(hypos[i][: args.nbest]):
-                hypo_tokens = hypo["tokens"]
-                hypo_str = tgt_dict.string(hypo_tokens, args.remove_bpe)
+                hypo_tokens, hypo_str, alignment = post_process_prediction(
+                    hypo_tokens=hypo["tokens"],
+                    src_str=src_str,
+                    alignment=hypo.get("alignment"),
+                    align_dict=align_dict,
+                    tgt_dict=tgt_dict,
+                    remove_bpe=args.remove_bpe,
+                )
+                detok_hypo_str = decode_fn(hypo_str)
                 if not args.quiet:
                     score = hypo["score"] / math.log(2)  # convert to base 2
+                    # original hypothesis (after tokenization and BPE)
                     print(f"H-{sample_id}\t{score}\t{hypo_str}", file=output_file)
-                    print(f"D-{sample_id}\t{score}\t{hypo_str}", file=output_file)
+                    # detokenized hypothesis
+                    print(
+                        f"D-{sample_id}\t{score}\t{detok_hypo_str}",
+                        file=output_file,
+                    )
                     print(
                         "P-{}\t{}".format(
                             sample_id,
@@ -172,27 +204,48 @@ def _main(args, output_file):
                         file=output_file,
                     )
 
-                if (
-                    not args.quiet
-                    and args.print_alignment
-                    and hypo.get("alignment") is not None
-                ):
-                    print(
-                        "A-{}\t{}".format(
-                            sample_id, " ".join(hypo["alignment"])
-                        ),
-                        file=output_file,
-                    )
+                    if args.print_alignment and alignment is not None:
+                        print(
+                            "A-{}\t{}".format(sample_id, " ".join(alignment)),
+                            file=output_file,
+                        )
+
+                    if args.print_step and hypo.get("steps") is not None:
+                        print(
+                            f"I-{sample_id}\t{hypo['steps']}", file=output_file
+                        )
+
+                    if getattr(args, "retain_iter_history", False):
+                        for step, h_toks in enumerate(hypo.get("history", [])):
+                            _, h_str, _ = post_process_prediction(
+                                hypo_tokens=h_toks,
+                                src_str=src_str,
+                                alignment=None,
+                                align_dict=None,
+                                tgt_dict=tgt_dict,
+                                remove_bpe=None,
+                            )
+                            print(
+                                f"E-{sample_id}_{step}\t{h_str}",
+                                file=output_file,
+                            )
 
                 if has_target and j == 0:
+                    score_target = target_tokens
+                    if align_dict is not None or args.remove_bpe is not None:
+                        # score the post-processed words (reference
+                        # generate.py:243-246)
+                        score_target = np.asarray(
+                            tgt_dict.encode_line(
+                                target_str, add_if_not_exist=True
+                            )
+                        )
                     if args.sacrebleu:
-                        scorer.add_string(target_str, hypo_str)
+                        scorer.add_string(target_str, detok_hypo_str)
                     else:
                         scorer.add(
-                            target_tokens.astype(np.int32),
-                            np.concatenate(
-                                [hypo_tokens, []]
-                            ).astype(np.int32),
+                            np.asarray(score_target).astype(np.int32),
+                            np.asarray(hypo_tokens).astype(np.int32),
                         )
 
             num_sentences += 1

@@ -40,9 +40,11 @@ def buffered_read(input, buffer_size):
         yield buffer
 
 
-def make_batches(lines, args, task, max_positions):
+def make_batches(lines, args, task, max_positions, encode_fn=None):
     from ..data.datasets import collate_tokens
 
+    if encode_fn is not None:
+        lines = [encode_fn(line) for line in lines]
     tokens = [
         np.asarray(
             task.source_dictionary.encode_line(line, add_if_not_exist=False)
@@ -79,13 +81,34 @@ def main(args):
     generator = task.build_generator(models, args)
     tgt_dict = task.target_dictionary
 
+    # raw-text processing chain (reference fairseq_cli/interactive.py:
+    # tokenize -> BPE on the way in, BPE -> detokenize on the way out)
+    from ..data.encoders import build_bpe, build_tokenizer
+
+    tokenizer = build_tokenizer(args)
+    bpe = build_bpe(args)
+
+    def encode_fn(x):
+        if tokenizer is not None:
+            x = tokenizer.encode(x)
+        if bpe is not None:
+            x = bpe.encode(x)
+        return x
+
+    def decode_fn(x):
+        if bpe is not None:
+            x = bpe.decode(x)
+        if tokenizer is not None:
+            x = tokenizer.decode(x)
+        return x
+
     start_id = 0
     max_positions = task.max_positions()
     if args.input == "-":
         logger.info("Type the input sentence and press return:")
     for inputs in buffered_read(args.input, args.buffer_size):
         results = []
-        for batch in make_batches(inputs, args, task, max_positions):
+        for batch in make_batches(inputs, args, task, max_positions, encode_fn):
             sample = {
                 "net_input": {
                     "src_tokens": batch.src_tokens,
@@ -102,7 +125,9 @@ def main(args):
             src_str = task.source_dictionary.string(src_tokens, args.remove_bpe)
             print(f"S-{id_}\t{src_str}")
             for hypo in hypos[: args.nbest]:
-                hypo_str = tgt_dict.string(hypo["tokens"], args.remove_bpe)
+                hypo_str = decode_fn(
+                    tgt_dict.string(hypo["tokens"], args.remove_bpe)
+                )
                 print(f"H-{id_}\t{hypo['score']}\t{hypo_str}")
                 print(
                     "P-{}\t{}".format(

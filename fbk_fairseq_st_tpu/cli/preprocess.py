@@ -73,6 +73,60 @@ def binarize(input_file, dictionary, output_prefix, impl="mmap", append_eos=True
     return nseq, ntok, nunk
 
 
+def binarize_alignments(input_file, output_prefix, impl="mmap"):
+    """Binarize Pharaoh-format 'si-ti si-ti ...' alignment lines into a
+    flat [s0, t0, s1, t1, ...] int sequence per pair (reference
+    fairseq_cli/preprocess.py make_binary_alignment_dataset +
+    utils.parse_alignment)."""
+    import numpy as np
+
+    builder = make_builder(output_prefix + ".bin", impl=impl)
+    nseq = 0
+    with open(input_file, "r", encoding="utf-8") as f:
+        for line in f:
+            flat = []
+            for pair in line.split():
+                s, t = pair.split("-")
+                flat += [int(s), int(t)]
+            builder.add_item(np.asarray(flat, dtype=np.int64))
+            nseq += 1
+    builder.finalize(output_prefix + ".idx")
+    return nseq
+
+
+def build_unk_align_dict(args, src_dict, tgt_dict):
+    """--alignfile (reference fairseq_cli/preprocess.py:267-307): map each
+    source word to its most frequently aligned target word, written to
+    alignment.SRC-TGT.txt for --replace-unk at generation time."""
+    from itertools import zip_longest
+
+    assert args.trainpref, "--trainpref must be set if --alignfile is specified"
+    src_file = f"{args.trainpref}.{args.source_lang}"
+    tgt_file = f"{args.trainpref}.{args.target_lang}"
+    freq_map = {}
+    with open(args.alignfile, encoding="utf-8") as af, open(
+        src_file, encoding="utf-8"
+    ) as sf, open(tgt_file, encoding="utf-8") as tf:
+        for a, s, t in zip_longest(af, sf, tf):
+            si = src_dict.encode_line(s, add_if_not_exist=False)
+            ti = tgt_dict.encode_line(t, add_if_not_exist=False)
+            for pair in a.split():
+                sai, tai = pair.split("-")
+                srcidx, tgtidx = int(si[int(sai)]), int(ti[int(tai)])
+                if srcidx != src_dict.unk() and tgtidx != tgt_dict.unk():
+                    counts = freq_map.setdefault(srcidx, {})
+                    counts[tgtidx] = counts.get(tgtidx, 0) + 1
+    out = os.path.join(
+        args.destdir,
+        "alignment.{}-{}.txt".format(args.source_lang, args.target_lang),
+    )
+    with open(out, "w", encoding="utf-8") as f:
+        for srcidx, counts in freq_map.items():
+            best = max(counts, key=counts.get)
+            print("{} {}".format(src_dict[srcidx], tgt_dict[best]), file=f)
+    return out
+
+
 def main(args):
     os.makedirs(args.destdir, exist_ok=True)
     if getattr(args, "only_source", False):
@@ -98,6 +152,7 @@ def main(args):
             dict_cls=dict_cls,
         )
 
+    dicts = {}
     for lang in langs:
         dict_path = os.path.join(
             args.destdir, f"dict.{lang}.txt" if lang else "dict.txt"
@@ -121,6 +176,7 @@ def main(args):
                 dict_cls=dict_cls,
             )
         d.save(dict_path)
+        dicts[lang] = d
         logger.info(f"[{lang}] dictionary: {len(d)} types")
 
         both = args.source_lang is not None and args.target_lang is not None
@@ -151,6 +207,27 @@ def main(args):
                     100.0 * nunk / max(ntok, 1), d.unk_word,
                 )
             )
+    paired = args.source_lang is not None and args.target_lang is not None
+    if paired and getattr(args, "align_suffix", None):
+        for pref, split in [
+            (args.trainpref, "train"),
+            (args.validpref, "valid"),
+            (args.testpref, "test"),
+        ]:
+            path = f"{pref}.{args.align_suffix}" if pref else None
+            if path and os.path.exists(path):
+                out_prefix = os.path.join(
+                    args.destdir,
+                    f"{split}.align.{args.source_lang}-{args.target_lang}",
+                )
+                n = binarize_alignments(path, out_prefix, impl=args.dataset_impl)
+                logger.info(f"[alignments] {path}: {n} pairs -> {out_prefix}")
+    if paired and getattr(args, "alignfile", None):
+        out = build_unk_align_dict(
+            args, dicts[args.source_lang], dicts[args.target_lang]
+        )
+        logger.info(f"[alignments] wrote {out}")
+
     logger.info(f"Wrote preprocessed data to {args.destdir}")
 
 

@@ -89,6 +89,20 @@ def distributed_init(args) -> None:
     stays host-global-iterator + process-local transfer (parallel/mesh.py
     place_global_array), so no other component changes for multi-host."""
     coord = getattr(args, "distributed_coordinator", None)
+    init_method = getattr(args, "distributed_init_method", None)
+    if coord is None and init_method:
+        # reference-style --distributed-init-method tcp://HOST:PORT is an
+        # alias for the coordinator address (env:// has no counterpart:
+        # processes are launched explicitly)
+        if init_method.startswith("tcp://"):
+            coord = init_method[len("tcp://"):]
+        elif "://" not in init_method:
+            coord = init_method
+        else:
+            raise ValueError(
+                "--distributed-init-method only supports tcp://HOST:PORT "
+                f"here (got {init_method!r}); use --distributed-coordinator"
+            )
     nproc = getattr(args, "distributed_num_processes", None)
     if coord is None and nproc is None:
         return

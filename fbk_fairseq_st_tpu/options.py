@@ -10,6 +10,7 @@ args namespaces match the fork's.
 from __future__ import annotations
 
 import argparse
+import sys
 from typing import List, Optional
 
 from . import registry
@@ -40,11 +41,23 @@ def get_generation_parser(interactive=False, default_task="speech_recognition"):
     return parser
 
 
+def get_interactive_generation_parser(default_task="speech_recognition"):
+    return get_generation_parser(interactive=True, default_task=default_task)
+
+
+def get_eval_lm_parser(default_task="language_modeling"):
+    parser = get_parser("Evaluate Language Model", default_task)
+    add_dataset_args(parser, gen=True)
+    add_distributed_training_args(parser)
+    add_eval_lm_args(parser)
+    return parser
+
+
 def get_validation_parser(default_task="speech_recognition"):
     parser = get_parser("Validation", default_task)
     add_dataset_args(parser, train=True)
     group = parser.add_argument_group("Evaluation")
-    group.add_argument("--path", metavar="FILE", help="path(s) to model file(s)")
+    add_common_eval_args(group)
     return parser
 
 
@@ -120,6 +133,9 @@ def get_parser(desc: str, default_task: str = "speech_recognition"):
     # exponent range and needs no scaler
     parser.add_argument("--memory-efficient-fp16", action="store_true",
                         help="parity flag; same as --fp16 here")
+    parser.add_argument("--fp16-no-flatten-grads", action="store_true",
+                        help="parity flag; gradients are never flattened "
+                             "here (they live in the jitted update)")
     parser.add_argument("--fp16-init-scale", type=float, default=None,
                         help="parity flag; no loss scaler under bf16")
     parser.add_argument("--fp16-scale-window", type=int, default=None,
@@ -135,6 +151,30 @@ def get_parser(desc: str, default_task: str = "speech_recognition"):
                         "extensions (tasks and/or architectures)")
     parser.add_argument("--empty-cache-freq", default=0, type=int,
                         help="how often to clear the XLA compilation cache (unused; parity flag)")
+    parser.add_argument("--all-gather-list-size", default=16384, type=int,
+                        help="parity flag (reference options.py:239): stats "
+                             "reduce as psum'd scalar structs here — there "
+                             "is no pickle buffer to size")
+    parser.add_argument("--model-parallel-size", type=int, metavar="N",
+                        default=1,
+                        help="size of the 'model' mesh axis (tensor "
+                             "parallelism); the reference's Megatron "
+                             "partition count (options.py:241)")
+    parser.add_argument("--checkpoint-suffix", default="",
+                        help="suffix to add to the checkpoint file name "
+                             "before .pt (reference options.py:244)")
+    parser.add_argument("--quantization-config-path", default=None,
+                        help="path to a quantization config (reference "
+                             "options.py:246) driving in-training iterative "
+                             "product quantization (see quantization/)")
+    parser.add_argument("--tokenizer", default=None,
+                        choices=sorted(registry.TOKENIZERS.keys()),
+                        help="tokenizer applied to raw text before BPE "
+                             "(interactive/hub input processing)")
+    parser.add_argument("--bpe", default=None,
+                        choices=sorted(registry.BPES.keys()),
+                        help="subword codec applied after the tokenizer "
+                             "(interactive/hub input processing)")
     parser.add_argument("--task", metavar="TASK", default=default_task,
                         help="task")
     parser.add_argument("--criterion", default="cross_entropy",
@@ -158,6 +198,16 @@ def add_preprocess_args(parser):
     group.add_argument("--srcdict", metavar="FP", default=None)
     group.add_argument("--nwordstgt", metavar="N", default=-1, type=int)
     group.add_argument("--nwordssrc", metavar="N", default=-1, type=int)
+    group.add_argument("--align-suffix", metavar="FP", default=None,
+                       help="alignment file suffix: binarize "
+                            "{train,valid,test}pref.SUFFIX (Pharaoh 'si-ti' "
+                            "pairs) into {split}.align.src-tgt datasets "
+                            "consumed by --load-alignments training")
+    group.add_argument("--alignfile", metavar="ALIGN", default=None,
+                       help="train-split alignment file: build the "
+                            "alignment.src-tgt.txt dictionary (most-frequent "
+                            "target word per source word) used by "
+                            "--replace-unk")
     group.add_argument("--only-source", action="store_true")
     group.add_argument("--padding-factor", metavar="N", default=8, type=int)
     group.add_argument("--dataset-impl", metavar="FORMAT", default="mmap",
@@ -209,8 +259,6 @@ def add_distributed_training_args(parser):
     group.add_argument("--distributed-world-size", type=int, metavar="N",
                        default=None, help="total number of chips (default: all)")
     group.add_argument("--distributed-rank", default=0, type=int)
-    group.add_argument("--model-parallel-size", type=int, metavar="N", default=1,
-                       help="size of the 'model' mesh axis (tensor parallelism)")
     group.add_argument("--fsdp", default=False, action="store_true",
                        help="ZeRO-3 fully-sharded data parallelism: shard "
                        "params + optimizer state over the 'data' mesh axis "
@@ -219,6 +267,58 @@ def add_distributed_training_args(parser):
                        metavar="N", help="replicate params smaller than N "
                        "elements instead of sharding them (default 4096)")
     group.add_argument("--ddp-backend", default="pjit", help="parity flag; always pjit")
+    # torch-DDP machinery parity flags (reference options.py:361-424):
+    # accepted so fork launch commands run unmodified; they configure
+    # NCCL/Gloo process groups and DDP wrappers that have no counterpart
+    # under SPMD (XLA compiles the collectives into the step program)
+    group.add_argument("--distributed-backend", default="pjit", metavar="BACKEND",
+                       help="parity flag; collectives are XLA-compiled")
+    group.add_argument("--distributed-init-method", default=None,
+                       help="tcp://HOST:PORT is accepted as an alias for "
+                            "--distributed-coordinator (reference env:// "
+                            "init has no counterpart: processes are "
+                            "launched explicitly)")
+    group.add_argument("--distributed-port", default=-1, type=int,
+                       help="parity flag; encode the port in "
+                            "--distributed-coordinator instead")
+    group.add_argument("--device-id", "--local_rank", default=0, type=int,
+                       help="parity flag; use --distributed-local-device-ids "
+                            "to pin chips to a process")
+    group.add_argument("--distributed-no-spawn", action="store_true",
+                       help="parity flag; one process per HOST is the only "
+                            "launch mode (never one per chip)")
+    group.add_argument("--nprocs-per-node", type=int, default=None,
+                       help="parity flag; a process drives all its local "
+                            "chips")
+    group.add_argument("--fix-batches-to-gpus", action="store_true",
+                       help="parity flag; batches shard deterministically "
+                            "over the 'data' axis every step")
+    group.add_argument("--bucket-cap-mb", default=25, type=int, metavar="MB",
+                       help="parity flag; gradient all-reduce is fused by "
+                            "XLA, not bucketed by bytes")
+    group.add_argument("--broadcast-buffers", action="store_true",
+                       help="parity flag; module buffers are part of the "
+                            "replicated model_state")
+    group.add_argument("--find-unused-parameters", action="store_true",
+                       help="parity flag; unused params get zero grads from "
+                            "jax.grad, no detection pass needed")
+    group.add_argument("--fast-stat-sync", action="store_true",
+                       help="parity flag; stat sync is always the fast "
+                            "psum'd-scalars path")
+    group.add_argument("--distributed-wrapper", default="DDP",
+                       choices=["DDP", "SlowMo"],
+                       help="parity flag; SlowMo's gossip dependency is "
+                            "external in the reference too — use --use-bmuf "
+                            "with the local-step schedule (optim/local_sgd) "
+                            "for communication-efficient training here")
+    group.add_argument("--slowmo-momentum", default=None, type=float,
+                       help="parity flag; see --block-momentum (BMUF)")
+    group.add_argument("--slowmo-algorithm", default="LocalSGD",
+                       choices=["LocalSGD", "SGP"],
+                       help="parity flag; see --distributed-wrapper")
+    group.add_argument("--localsgd-frequency", default=3, type=int,
+                       help="parity flag; see --global-sync-iter (BMUF "
+                            "local-step schedule)")
     # multi-host (multi-process) launch: one CLI process per host drives its
     # local chips; jax.distributed.initialize stitches them into one mesh
     # (the counterpart of the reference's env:///SLURM init,
@@ -273,6 +373,12 @@ def add_checkpoint_args(parser):
                        help="filename from which to load checkpoint")
     group.add_argument("--reset-dataloader", action="store_true")
     group.add_argument("--reset-lr-scheduler", action="store_true")
+    group.add_argument("--allow-partial-restore", action="store_true",
+                       help="restore the model even if the checkpoint does "
+                            "not match the architecture exactly: params "
+                            "missing from the checkpoint keep their fresh "
+                            "initialization (FBK fork flag, reference "
+                            "options.py:464)")
     group.add_argument("--reset-meters", action="store_true")
     group.add_argument("--reset-optimizer", action="store_true")
     group.add_argument("--optimizer-overrides", default="{}", type=str, metavar="DICT")
@@ -320,8 +426,9 @@ def add_model_args(parser):
     return group
 
 
-def add_generation_args(parser):
-    group = parser.add_argument_group("Generation")
+def add_common_eval_args(group):
+    """Reference options.py add_common_eval_args — shared by generation,
+    validation and eval_lm parsers."""
     group.add_argument("--path", metavar="FILE",
                        help="path(s) to model file(s), colon separated")
     group.add_argument("--remove-bpe", "--post-process", nargs="?", const="@@ ",
@@ -329,13 +436,39 @@ def add_generation_args(parser):
     group.add_argument("--quiet", action="store_true",
                        help="only print final scores")
     group.add_argument("--model-overrides", default="{}", type=str, metavar="DICT")
+    group.add_argument("--results-path", metavar="RESDIR", type=str, default=None)
+
+
+def add_eval_lm_args(parser):
+    group = parser.add_argument_group("LM Evaluation")
+    add_common_eval_args(group)
+    group.add_argument("--output-word-probs", action="store_true",
+                       help="print each word with its predicted log "
+                            "probability to standard output")
+    group.add_argument("--output-word-stats", action="store_true",
+                       help="print per-word statistics (count, average "
+                            "probability) sorted by count")
+    group.add_argument("--context-window", default=0, type=int, metavar="N",
+                       help="score each token with this many tokens of "
+                            "preceding context carried across batch "
+                            "boundaries (reference eval_lm --context-window)")
+    group.add_argument("--softmax-batch", default=sys.maxsize, type=int,
+                       metavar="N",
+                       help="parity flag (reference GPU memory control): "
+                            "the jitted scorer streams the softmax "
+                            "reduction, nothing to batch")
+    return group
+
+
+def add_generation_args(parser):
+    group = parser.add_argument_group("Generation")
+    add_common_eval_args(group)
     group.add_argument("--quantize-weights", choices=["none", "int8"],
                        default="none",
                        help="weight-only quantization of linear layers for "
                        "serving: int8 storage + per-channel scales, "
                        "dequantized at the matmul (4x smaller weight "
                        "memory, latency-neutral; PERF.md)")
-    group.add_argument("--results-path", metavar="RESDIR", type=str, default=None)
     group.add_argument("--beam", default=5, type=int, metavar="N",
                        help="beam size")
     group.add_argument("--nbest", default=1, type=int, metavar="N",
@@ -364,6 +497,28 @@ def add_generation_args(parser):
                         help="maximum refinement iterations for NAT decoding")
     group.add_argument("--iter-decode-eos-penalty", default=0.0, type=float, metavar="N",
                         help="eos penalty for levenshtein placeholder insertion")
+    group.add_argument("--iter-decode-force-max-iter", action="store_true",
+                       help="run exactly the maximum number of refinement "
+                            "iterations (the fixed-shape NAT loop always "
+                            "does — accepted so reference commands run "
+                            "unmodified)")
+    group.add_argument("--iter-decode-with-beam", default=1, type=int, metavar="N",
+                       help="decode N length-beam candidates per sentence "
+                            "(top-N predicted lengths) and keep the best "
+                            "by average token score")
+    group.add_argument("--iter-decode-with-external-reranker", action="store_true",
+                       help="assume the last --path checkpoint is an "
+                            "autoregressive reranker: rescore the length-"
+                            "beam candidates teacher-forced and pick the "
+                            "best (requires --iter-decode-with-beam > 1)")
+    group.add_argument("--retain-iter-history", action="store_true",
+                       help="return every refinement iteration's tokens "
+                            "(printed as E-id_step lines by generate)")
+    group.add_argument("--decoding-format", default=None, type=str,
+                       choices=["unigram", "ensemble", "vote", "dp", "bs"],
+                       help="parity flag (reference options.py:607): passed "
+                            "through to the NAT models, which ignore it — "
+                            "as they do in the reference")
     group.add_argument("--no-repeat-ngram-size", default=0, type=int, metavar="N",
                        help="ngram blocking such that this size ngram cannot be repeated")
     group.add_argument("--sampling", action="store_true",

@@ -101,21 +101,35 @@ def load_langpair_dataset(
 
     align_dataset = None
     if load_alignments:
-        # raw "srcidx-tgtidx ..." lines per sentence pair (the reference
-        # binarizes these with --align-suffix; here they are read directly)
-        align_path = os.path.join(data_path, f"{split}.{src}-{tgt}.align")
-        if os.path.exists(align_path):
-            import numpy as np
+        import numpy as np
 
-            align_dataset = []
-            with open(align_path) as f:
-                for line in f:
-                    pairs = [
-                        tuple(map(int, p.split("-"))) for p in line.split()
-                    ]
-                    align_dataset.append(
-                        np.array(pairs, np.int64).reshape(-1, 2)
-                    )
+        # preferred: the binarized {split}.align.src-tgt dataset written by
+        # preprocess --align-suffix (reference translation.py
+        # load_langpair_dataset align path) — flat [s0,t0,s1,t1,...] rows
+        from ..data import indexed_dataset
+
+        bin_prefix = os.path.join(data_path, f"{split}.align.{src}-{tgt}")
+        impl = indexed_dataset.infer_dataset_impl(bin_prefix)
+        if impl is not None:
+            ds = indexed_dataset.make_dataset(bin_prefix, impl)
+            align_dataset = [
+                np.asarray(ds[i], np.int64).reshape(-1, 2)
+                for i in range(len(ds))
+            ]
+        else:
+            # fallback: raw "srcidx-tgtidx ..." lines per sentence pair
+            align_path = os.path.join(data_path, f"{split}.{src}-{tgt}.align")
+            if os.path.exists(align_path):
+                align_dataset = []
+                with open(align_path) as f:
+                    for line in f:
+                        pairs = [
+                            tuple(map(int, p.split("-"))) for p in line.split()
+                        ]
+                        align_dataset.append(
+                            np.array(pairs, np.int64).reshape(-1, 2)
+                        )
+        if align_dataset is not None:
             assert len(align_dataset) == len(src_dataset)
 
     return LanguagePairDataset(

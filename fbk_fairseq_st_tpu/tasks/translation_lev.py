@@ -96,4 +96,8 @@ class TranslationLevenshteinTask(TranslationTask):
             max_iter=getattr(args, "iter_decode_max_iter", 10),
             max_len_a=getattr(args, "max_len_a", 0),
             max_len_b=getattr(args, "max_len_b", 200),
+            beam_size=getattr(args, "iter_decode_with_beam", 1),
+            reranking=getattr(args, "iter_decode_with_external_reranker", False),
+            retain_history=getattr(args, "retain_iter_history", False),
+            decoding_format=getattr(args, "decoding_format", None),
         )

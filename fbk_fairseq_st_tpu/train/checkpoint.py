@@ -125,6 +125,16 @@ def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
         args, "no_last_checkpoints", False
     )
 
+    # --checkpoint-suffix (reference checkpoint_utils.py:48): every file
+    # name gets the suffix before .pt — the reference's per-model-part
+    # naming scheme for TP partitions, usable for any side-by-side runs
+    suffix = getattr(args, "checkpoint_suffix", "") or ""
+    if suffix:
+        checkpoint_conds = collections.OrderedDict(
+            (fn[: -len(".pt")] + suffix + ".pt", cond)
+            for fn, cond in checkpoint_conds.items()
+        )
+
     extra_state = {
         "train_iterator": epoch_itr.state_dict(),
         "val_loss": val_loss,
@@ -166,24 +176,27 @@ def save_checkpoint(args, trainer, epoch_itr, val_loss) -> None:
         # same shared-filesystem paths can throw or leave partial deletes
         if jax.process_index() != 0:
             return
+        sfx = re.escape(getattr(args, "checkpoint_suffix", "") or "")
         keep_interval_updates = getattr(args, "keep_interval_updates", -1)
         if keep_interval_updates > 0:
             found = checkpoint_paths(
-                save_dir, pattern=r"checkpoint_\d+_(\d+)\.pt"
+                save_dir, pattern=r"checkpoint_\d+_(\d+)" + sfx + r"\.pt"
             )
             for old_chk in found[keep_interval_updates:]:
                 _remove_checkpoint(old_chk)
         keep_last_epochs = getattr(args, "keep_last_epochs", -1)
         if keep_last_epochs > 0:
-            found = checkpoint_paths(save_dir, pattern=r"checkpoint(\d+)\.pt")
+            found = checkpoint_paths(
+                save_dir, pattern=r"checkpoint(\d+)" + sfx + r"\.pt"
+            )
             for old_chk in found[keep_last_epochs:]:
                 _remove_checkpoint(old_chk)
         keep_best = getattr(args, "keep_best_checkpoints", -1)
         if keep_best > 0:
             found = checkpoint_paths(
                 save_dir,
-                pattern=r"checkpoint\.best_{}_(\d+\.?\d*)\.pt".format(
-                    getattr(args, "best_checkpoint_metric", "loss")
+                pattern=r"checkpoint\.best_{}_(\d+\.?\d*){}\.pt".format(
+                    getattr(args, "best_checkpoint_metric", "loss"), sfx
                 ),
             )
             if not getattr(args, "maximize_best_checkpoint_metric", False):
@@ -258,6 +271,45 @@ def checkpoint_paths(path: str, pattern: str = r"checkpoint(\d+)\.pt") -> List[s
     return [os.path.join(path, x[1]) for x in sorted(entries, reverse=True)]
 
 
+def merge_partial_state(init_tree, ckpt_tree, _path=""):
+    """Non-strict model restore (--allow-partial-restore, the FBK fork's
+    reference options.py:464 / checkpoint_utils.py:138): keep the fresh
+    initialization for params the checkpoint lacks, drop checkpoint params
+    the model lacks, and fail loudly on shape mismatches (torch's
+    strict=False would too).
+
+    Returns (merged_tree, missing_names, unexpected_names)."""
+    merged, missing, unexpected = {}, [], []
+    ckpt = ckpt_tree if isinstance(ckpt_tree, dict) else {}
+    for k, v in init_tree.items():
+        name = _path + str(k)
+        if isinstance(v, dict):
+            sub = ckpt.get(k)
+            if not isinstance(sub, dict):
+                merged[k] = v
+                missing.append(name)
+            else:
+                m, mi, un = merge_partial_state(v, sub, name + ".")
+                merged[k] = m
+                missing += mi
+                unexpected += un
+        elif k in ckpt and not isinstance(ckpt[k], dict):
+            got, want = getattr(ckpt[k], "shape", ()), getattr(v, "shape", ())
+            if got != want:
+                raise ValueError(
+                    f"partial restore: param '{name}' has shape {got} in "
+                    f"the checkpoint but {want} in the model"
+                )
+            merged[k] = ckpt[k]
+        else:
+            merged[k] = v
+            missing.append(name)
+    for k in ckpt:
+        if k not in init_tree:
+            unexpected.append(_path + str(k))
+    return merged, missing, unexpected
+
+
 def load_checkpoint(args, trainer, task) -> tuple:
     """Load checkpoint_last (or --restore-file) and restore iterator state.
 
@@ -269,6 +321,11 @@ def load_checkpoint(args, trainer, task) -> tuple:
     reset_dataloader = getattr(args, "reset_dataloader", False)
 
     restore_file = getattr(args, "restore_file", "checkpoint_last.pt")
+    suffix = getattr(args, "checkpoint_suffix", "") or ""
+    if suffix and restore_file == "checkpoint_last.pt":
+        # reference checkpoint_utils.py:126: the default restore name picks
+        # up the suffix so suffixed runs resume from their own files
+        restore_file = "checkpoint_last" + suffix + ".pt"
     if os.path.isabs(restore_file):
         checkpoint_path = restore_file
     else:
@@ -278,6 +335,33 @@ def load_checkpoint(args, trainer, task) -> tuple:
     wait_for_async_writes()
     if os.path.exists(checkpoint_path):
         state = load_checkpoint_to_cpu(checkpoint_path)
+        if getattr(args, "allow_partial_restore", False):
+            state["model"], missing, unexpected = merge_partial_state(
+                trainer.params, state["model"]
+            )
+            if missing:
+                logger.warning(
+                    "partial restore: %d params missing from the checkpoint "
+                    "keep their fresh initialization: %s",
+                    len(missing), ", ".join(missing[:8]),
+                )
+            if unexpected:
+                logger.warning(
+                    "partial restore: %d checkpoint params have no "
+                    "counterpart in the model and were dropped: %s",
+                    len(unexpected), ", ".join(unexpected[:8]),
+                )
+            if (missing or unexpected) and state.get("opt_state") is not None:
+                # the saved moments were laid out for the checkpoint's
+                # param tree, which does not match this model — a fresh
+                # optimizer is the only consistent choice (pass
+                # --reset-optimizer explicitly to silence this)
+                if not reset_optimizer:
+                    logger.warning(
+                        "partial restore changed the param tree; resetting "
+                        "the optimizer state"
+                    )
+                    reset_optimizer = True
         trainer.load_trainer_state(
             {
                 "params": state["model"],
