@@ -163,7 +163,20 @@ def main(args):
     criterion = task.build_criterion(args)
     logger.info(f"model {args.arch}, criterion {criterion.__class__.__name__}")
 
-    trainer = Trainer(args, task, model, criterion)
+    quantizer = None
+    if getattr(args, "quantization_config_path", None):
+        # in-training iterative PQ (reference fairseq_cli/train.py:81-94)
+        from ..quantization.quantizer import Quantizer
+
+        quantizer = Quantizer(
+            args.quantization_config_path,
+            max_epoch=getattr(args, "max_epoch", 0) or 0,
+            max_update=getattr(args, "max_update", 0) or 0,
+        )
+
+    trainer = Trainer(args, task, model, criterion, quantizer=quantizer)
+    if quantizer is not None:
+        quantizer.set_trainer(trainer)
     n_params = sum(
         int(np.prod(p.shape))
         for p in _tree_leaves(trainer.params)
@@ -180,6 +193,10 @@ def main(args):
         task.set_trainer(trainer)
 
     extra_state, epoch_itr = checkpoint_utils.load_checkpoint(args, trainer, task)
+    if quantizer is not None:
+        # re-detect after restore: a quantized checkpoint's param tree
+        # already carries w_codes for the completed stages
+        quantizer.set_trainer(trainer)
 
     lr = trainer.get_lr()
     max_epoch = args.max_epoch or math.inf
@@ -267,6 +284,9 @@ def train(args, trainer, task, epoch_itr, max_update):
     itr = epoch_itr.next_epoch_itr(
         shuffle=(epoch_itr.epoch > args.curriculum),
     )
+    if trainer.quantizer is not None:
+        # epoch-scheduled iPQ stage boundaries (reference trainer.py:328)
+        trainer.quantizer.begin_epoch(epoch_itr.epoch)
     update_freq = (
         args.update_freq[epoch_itr.epoch - 1]
         if epoch_itr.epoch <= len(args.update_freq)

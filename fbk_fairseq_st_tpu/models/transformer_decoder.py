@@ -26,6 +26,7 @@ from ..ops.core import (
     RngStream,
     dropout,
     embedding,
+    embedding_table,
     init_embedding,
     init_layer_norm,
     layer_norm,
@@ -252,7 +253,7 @@ class TransformerDecoder:
                 params["adaptive_softmax"], cutoff, x
             ).astype(x.dtype)
         if self.cfg.share_input_output_embed:
-            w = params["embed_tokens"]["w"]
+            w = embedding_table(params["embed_tokens"])
         else:
             w = params["embed_out"]
         return x @ w.T.astype(x.dtype)

@@ -73,6 +73,21 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True):
     return p
 
 
+def pq_reconstruct(codes, centroids, dtype):
+    """Rebuild a product-quantized (out, in) weight from its codebook.
+
+    ``codes``: (n_blocks, out) centroid indices stored as float32 (exact
+    ints; float keeps the param tree uniformly differentiable — the
+    float->int cast below has a structurally-zero gradient, so training
+    only moves the centroids, exactly the reference's iPQ semantics where
+    assignments are frozen and centroids learn,
+    fairseq/modules/quantization/pq/modules/qlinear.py).
+    ``centroids``: (n_centroids, block_size)."""
+    w = centroids.astype(dtype)[codes.astype(jnp.int32)]
+    n_blocks, out, block = w.shape
+    return jnp.transpose(w, (1, 0, 2)).reshape(out, n_blocks * block)
+
+
 def weight_of(p, dtype):
     """Materialize a linear weight, dequantizing weight-only int8 storage.
 
@@ -82,10 +97,18 @@ def weight_of(p, dtype):
     convert + scale into the matmul operand read instead of
     materializing a full-precision copy; the optimization_barrier keeps
     the compiler from hoisting/CSE-ing the dequant in generator loops,
-    which measured 30% slower at small batch without it (PERF.md §6)."""
+    which measured 30% slower at small batch without it (PERF.md §6).
+
+    In-training product-quantized layers (quantization/quantizer.py,
+    --quantization-config-path) carry ``w_codes`` + ``w_centroids``; the
+    reconstruction at the use site keeps gradients flowing to the
+    centroids only."""
     if "w_q" in p:
         wq, scale = jax.lax.optimization_barrier((p["w_q"], p["w_scale"]))
         return wq.astype(dtype) * scale.astype(dtype)
+    if "w_codes" in p:
+        # linear storage layout is (in, out); PQ blocks the input dim
+        return pq_reconstruct(p["w_codes"], p["w_centroids"], dtype).T
     return p["w"].astype(dtype)
 
 
@@ -125,11 +148,22 @@ def init_embedding(key, num_embeddings: int, dim: int, padding_idx: Optional[int
     return {"w": w}
 
 
-def embedding(p, ids, dtype=None):
+def embedding_table(p, dtype=None):
+    """The (num_embeddings, dim) table, reconstructing PQ storage (codes
+    block the embedding dim, reference qemb.py) when present."""
+    if "w_codes" in p:
+        return pq_reconstruct(
+            p["w_codes"], p["w_centroids"],
+            dtype or p["w_centroids"].dtype,
+        )
     w = p["w"]
     if dtype is not None:
         w = w.astype(dtype)
-    return jnp.take(w, ids, axis=0)
+    return w
+
+
+def embedding(p, ids, dtype=None):
+    return jnp.take(embedding_table(p, dtype), ids, axis=0)
 
 
 # ---------------------------------------------------------------------------

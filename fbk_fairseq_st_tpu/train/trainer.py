@@ -47,11 +47,13 @@ logger = logging.getLogger(__name__)
 
 
 class Trainer:
-    def __init__(self, args, task, model, criterion, mesh=None):
+    def __init__(self, args, task, model, criterion, mesh=None,
+                 quantizer=None):
         self.args = args
         self.task = task
         self.model = model
         self.criterion = criterion
+        self.quantizer = quantizer
         world = getattr(args, "distributed_world_size", None)
         self.mesh = mesh if mesh is not None else make_mesh(
             devices=jax.devices()[:world] if world else None,
@@ -143,22 +145,7 @@ class Trainer:
         # frozen-parameter mask (models loading pretrained components expose
         # frozen_param_filter; reference freeze semantics
         # conv_transformer.py:114-121, conv_transformer_context.py:88-96)
-        self._grad_mask = None
-        if hasattr(model, "frozen_param_filter"):
-            from ..parallel.mesh import _path_str
-
-            def mask_leaf(path, leaf):
-                frozen = model.frozen_param_filter(_path_str(path))
-                return jnp.zeros_like(leaf) if frozen else jnp.ones_like(leaf)
-
-            mask = jax.tree_util.tree_map_with_path(
-                mask_leaf, self.train_state["params"]
-            )
-            if any(
-                float(jnp.min(m)) == 0.0
-                for m in jax.tree_util.tree_leaves(mask)
-            ):
-                self._grad_mask = mask
+        self._build_grad_mask()
 
         self._fused_step = jax.jit(
             self._fused_step_impl, donate_argnums=(0,),
@@ -207,6 +194,64 @@ class Trainer:
     # ------------------------------------------------------------------
     # jitted bodies
     # ------------------------------------------------------------------
+
+    def _build_grad_mask(self) -> None:
+        """Zero-update mask over frozen params: paths the model's
+        frozen_param_filter rejects (reference freeze semantics,
+        conv_transformer.py:114-121) and PQ assignment codes (``w_codes``
+        leaves stay fixed; only centroids train — reference qlinear.py)."""
+        from ..parallel.mesh import _path_str
+
+        model_filter = getattr(self.model, "frozen_param_filter", None)
+
+        def mask_leaf(path, leaf):
+            name = _path_str(path)
+            frozen = name.endswith("w_codes") or (
+                model_filter is not None and model_filter(name)
+            )
+            return jnp.zeros_like(leaf) if frozen else jnp.ones_like(leaf)
+
+        self._grad_mask = None
+        if model_filter is not None or any(
+            getattr(p, "key", None) == "w_codes"
+            for path, _ in jax.tree_util.tree_flatten_with_path(
+                self.train_state["params"]
+            )[0]
+            for p in path
+        ):
+            mask = jax.tree_util.tree_map_with_path(
+                mask_leaf, self.train_state["params"]
+            )
+            if any(
+                float(jnp.min(m)) == 0.0
+                for m in jax.tree_util.tree_leaves(mask)
+            ):
+                self._grad_mask = mask
+
+    def reinitialize(self, new_params) -> None:
+        """Rebuild after a structural param change (reference
+        trainer.reinitialize + quantization_utils.py:101): fresh optimizer
+        state over the new tree, recomputed shardings, refreshed frozen
+        mask. num_updates and LR-scheduler state carry over; the jitted
+        step recompiles automatically for the new tree structure."""
+        from ..parallel.mesh import param_sharding
+
+        use_tp = self.mesh.shape.get("model", 1) > 1
+        use_fsdp = bool(getattr(self.args, "fsdp", False))
+        self._param_shard = param_sharding(
+            self.mesh, new_params, use_tp=use_tp, use_fsdp=use_fsdp,
+            fsdp_min_size=getattr(self.args, "fsdp_min_shard_size", None),
+        )
+        opt_state = self.tx.init(new_params)
+        self._opt_shard = self._opt_state_sharding(
+            opt_state, new_params, self._param_shard
+        )
+        self.train_state = {
+            "params": jax.device_put(new_params, self._param_shard),
+            "model_state": self.train_state["model_state"],
+            "opt_state": jax.device_put(opt_state, self._opt_shard),
+        }
+        self._build_grad_mask()
 
     def _cast_batch(self, batch):
         for key in ("src_tokens", "source"):
@@ -684,6 +729,10 @@ class Trainer:
     def set_num_updates(self, num_updates: int) -> None:
         self._num_updates = num_updates
         self.lr_scheduler.step_update(num_updates)
+        if self.quantizer is not None:
+            # update-scheduled iPQ stage boundaries (reference
+            # trainer.py:624-625)
+            self.quantizer.step_update(num_updates)
         metrics.log_scalar("num_updates", num_updates, weight=0, priority=200)
 
     def get_lr(self) -> float:
@@ -722,6 +771,13 @@ class Trainer:
         reset_optimizer: bool = False,
         reset_lr_scheduler: bool = False,
     ) -> None:
+        if jax.tree_util.tree_structure(
+            state["params"]
+        ) != jax.tree_util.tree_structure(self.train_state["params"]):
+            # structurally different checkpoint (e.g. PQ-quantized layers
+            # carrying w_codes/w_centroids): rebuild shardings + optimizer
+            # over the checkpoint's tree before restoring into it
+            self.reinitialize(state["params"])
         new_state = dict(self.train_state)
         # restore with the SAME placements as at init: params keep their TP
         # sharding and the optimizer moments theirs — re-placing everything
