@@ -123,6 +123,13 @@ class GeneratorHubInterface:
         self.args = args
         self.task = task
         self.models = models
+        # raw-text processing chain (reference hub_utils.py:150-200:
+        # tokenize -> BPE -> binarize in, and the reverse out), built from
+        # the checkpointed --tokenizer/--bpe args when present
+        from .data.encoders import build_bpe, build_tokenizer
+
+        self.tokenizer = build_tokenizer(args)
+        self.bpe = build_bpe(args)
 
     @property
     def src_dict(self):
@@ -180,9 +187,25 @@ class GeneratorHubInterface:
         return self.task.inference_step(generator, self.models, sample)
 
     def encode(self, sentence: str) -> np.ndarray:
+        sentence = self.tokenize(sentence)
+        sentence = self.apply_bpe(sentence)
         return np.asarray(
             self.src_dict.encode_line(sentence, add_if_not_exist=False)
         )
 
     def decode(self, tokens) -> str:
-        return self.tgt_dict.string(tokens)
+        sentence = self.tgt_dict.string(tokens)
+        sentence = self.remove_bpe(sentence)
+        return self.detokenize(sentence)
+
+    def tokenize(self, sentence: str) -> str:
+        return self.tokenizer.encode(sentence) if self.tokenizer else sentence
+
+    def detokenize(self, sentence: str) -> str:
+        return self.tokenizer.decode(sentence) if self.tokenizer else sentence
+
+    def apply_bpe(self, sentence: str) -> str:
+        return self.bpe.encode(sentence) if self.bpe else sentence
+
+    def remove_bpe(self, sentence: str) -> str:
+        return self.bpe.decode(sentence) if self.bpe else sentence
