@@ -125,10 +125,11 @@ def main(args):
             src_str = task.source_dictionary.string(src_tokens, args.remove_bpe)
             print(f"S-{id_}\t{src_str}")
             for hypo in hypos[: args.nbest]:
-                hypo_str = decode_fn(
-                    tgt_dict.string(hypo["tokens"], args.remove_bpe)
-                )
+                hypo_str = tgt_dict.string(hypo["tokens"], args.remove_bpe)
+                # H- = tokenized hypothesis, D- = detokenized (reference
+                # interactive.py:188-190)
                 print(f"H-{id_}\t{hypo['score']}\t{hypo_str}")
+                print(f"D-{id_}\t{hypo['score']}\t{decode_fn(hypo_str)}")
                 print(
                     "P-{}\t{}".format(
                         id_,
