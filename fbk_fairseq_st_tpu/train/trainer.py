@@ -82,6 +82,17 @@ class Trainer:
         # typed key: carries its impl through jit/fold_in regardless of the
         # ambient default
         self._root_key = jax.random.key(seed, impl=prng_impl)
+        # --fixed-validation-seed (reference fairseq_cli/train.py:262-264):
+        # every validation pass sees the same RNG regardless of --seed,
+        # making valid losses comparable across runs; built once here (key
+        # construction is a device op — per-batch would round-trip the
+        # tunneled host)
+        fvs = getattr(args, "fixed_validation_seed", None)
+        self._valid_key = (
+            jax.random.key(int(fvs), impl=prng_impl)
+            if fvs is not None
+            else self._root_key
+        )
         variables = model.init(jax.random.fold_in(self._root_key, 0))
         opt_state = self.tx.init(variables["params"])
         self.train_state: Dict[str, Any] = {
@@ -711,7 +722,7 @@ class Trainer:
             return None
         b = shard_batch(self.mesh, b)
         loss, sample_size, logging_output = self._jit_valid(
-            self.train_state, b, self._root_key
+            self.train_state, b, self._valid_key
         )
         # one transfer for all scalars (leaf-by-leaf float() costs a device
         # round-trip each — ruinous on a tunneled host)
