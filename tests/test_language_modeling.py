@@ -465,6 +465,24 @@ def test_eval_lm_context_window(tmp_path):
     assert np.isfinite(nll_ctx)
     assert nll_ctx != nll_plain  # context actually conditioned the scores
 
+    # --output-word-probs / --output-word-stats (reference eval_lm
+    # WordStat): per-word "word [logprob]" records on stdout, stats via
+    # the logger; the aggregate NLL is unchanged
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        nll_words, total_words = eval_lm_cli.cli_main(
+            base_argv + ["--output-word-probs", "--output-word-stats"]
+        )
+    assert total_words == total_plain
+    assert nll_words == nll_plain
+    word_lines = [
+        l for l in buf.getvalue().splitlines() if "[" in l and "]" in l
+    ]
+    assert word_lines, "no word-probability records printed"
+
 
 def test_tie_adaptive_weights_shares_parameters():
     """Baevski & Auli tying: with --tie-adaptive-weights the adaptive
