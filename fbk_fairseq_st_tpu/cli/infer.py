@@ -68,6 +68,7 @@ def _sclite_line(sentence: str, utt_id) -> str:
 
 
 def process_predictions(args, hypos, tgt_dict, sample_id, res_files):
+    best_words = best_pieces = None
     for hypo in hypos[: min(len(hypos), args.nbest)]:
         hyp_pieces = tgt_dict.string(hypo["tokens"])
         if hypo.get("words"):
@@ -77,6 +78,9 @@ def process_predictions(args, hypos, tgt_dict, sample_id, res_files):
             hyp_words = post_process(hyp_pieces, "sentencepiece")
         res_files["hypo.units"].write(_sclite_line(hyp_pieces, sample_id))
         res_files["hypo.word"].write(_sclite_line(hyp_words, sample_id))
+        if best_words is None:
+            best_words, best_pieces = hyp_words, hyp_pieces
+    return best_words, best_pieces
 
 
 def process_references(args, target_tokens, tgt_dict, sample_id, res_files):
@@ -84,6 +88,22 @@ def process_references(args, target_tokens, tgt_dict, sample_id, res_files):
     tgt_words = post_process(tgt_pieces, "sentencepiece")
     res_files["ref.units"].write(_sclite_line(tgt_pieces, sample_id))
     res_files["ref.word"].write(_sclite_line(tgt_words, sample_id))
+    return tgt_words, tgt_pieces
+
+
+def _edit_distance(ref, hyp) -> int:
+    """Levenshtein over token lists (two-row DP; WER/UER numerator)."""
+    if not ref or not hyp:
+        return max(len(ref), len(hyp))
+    prev = list(range(len(hyp) + 1))
+    for i, r in enumerate(ref, 1):
+        cur = [i] + [0] * len(hyp)
+        for j, h in enumerate(hyp, 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (r != h)
+            )
+        prev = cur
+    return prev[-1]
 
 
 def prepare_result_files(args):
@@ -339,6 +359,7 @@ def main(args):
     res_files = prepare_result_files(args)
 
     num_sentences = 0
+    wer_errs = wer_total = uer_errs = uer_total = 0
     for sample in itr:
         if len(sample) == 0:
             continue
@@ -354,11 +375,21 @@ def main(args):
             sample_id = int(sample_id)
             if sample_id < 0:
                 continue
+            ref_words = ref_pieces = None
             if sample["target"] is not None:
                 target_tokens = np.asarray(sample["target"][i])
                 target_tokens = target_tokens[target_tokens != tgt_dict.pad()]
-                process_references(args, target_tokens, tgt_dict, sample_id, res_files)
-            process_predictions(args, hypos[i], tgt_dict, sample_id, res_files)
+                ref_words, ref_pieces = process_references(
+                    args, target_tokens, tgt_dict, sample_id, res_files
+                )
+            hyp_words, hyp_pieces = process_predictions(
+                args, hypos[i], tgt_dict, sample_id, res_files
+            )
+            if ref_words is not None and hyp_words is not None:
+                wer_errs += _edit_distance(ref_words.split(), hyp_words.split())
+                wer_total += len(ref_words.split())
+                uer_errs += _edit_distance(ref_pieces.split(), hyp_pieces.split())
+                uer_total += len(ref_pieces.split())
             num_sentences += 1
 
     logger.info(
@@ -369,19 +400,33 @@ def main(args):
             1.0 / max(gen_timer.avg, 1e-9),
         )
     )
+    wer = uer = None
+    if wer_total > 0:
+        # native corpus WER/UER over the best hypotheses — the reference
+        # can only score offline with external sclite; the sclite-format
+        # files are still written for byte-compatible offline workflows
+        wer = 100.0 * wer_errs / wer_total
+        uer = 100.0 * uer_errs / max(uer_total, 1)
+        logger.info(
+            "| WER: {:.2f}% ({}/{} word errors), UER: {:.2f}% "
+            "({}/{} unit errors)".format(
+                wer, wer_errs, wer_total, uer, uer_errs, uer_total
+            )
+        )
     logger.info(
-        "| Score hypo.word against ref.word with sclite for WER "
-        "(offline, as in the reference)"
+        "| sclite-format hypo.word/ref.word files written for offline "
+        "scoring (as in the reference)"
     )
     for f in res_files.values():
         f.close()
+    return wer, uer
 
 
 def cli_main(input_args=None):
     parser = options.get_generation_parser(default_task="speech_recognition")
     parser = add_asr_eval_argument(parser)
     args = options.parse_args_and_arch(parser, input_args)
-    main(args)
+    return main(args)
 
 
 if __name__ == "__main__":

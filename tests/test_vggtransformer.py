@@ -152,7 +152,7 @@ def test_infer_cli_sclite_outputs(tmp_path):
             "--log-format", "none",
         ]
     )
-    infer_cli.cli_main(
+    wer, uer = infer_cli.cli_main(
         [
             data_dir,
             "--task", "speech_recognition", "-t", "de",
@@ -163,6 +163,10 @@ def test_infer_cli_sclite_outputs(tmp_path):
             "--log-format", "none",
         ]
     )
+    # native corpus WER/UER (the reference can only score offline via
+    # external sclite)
+    assert wer is not None and 0.0 <= wer
+    assert uer is not None and 0.0 <= uer
     files = os.listdir(results)
     for prefix in ("hypo.word", "hypo.units", "ref.word", "ref.units"):
         match = [f for f in files if f.startswith(prefix)]
