@@ -178,3 +178,56 @@ def test_greedy_simul_decode(simul_type):
     assert 0 < lat["average_proportion"] <= 1.0
     assert np.isfinite(lat["average_lagging"])
     assert np.isfinite(lat["differentiable_average_lagging"])
+
+
+def test_simul_eval_cli(tmp_path, capsys):
+    """Native corpus-level simultaneous evaluation (the reference needs
+    the external SimulEval harness here): train a tiny wait-k model, then
+    decode the test set incrementally and report BLEU + AP/AL/DAL."""
+    import os
+
+    from fbk_fairseq_st_tpu.cli import simul_eval as simul_eval_cli
+
+    data_dir, save_dir = str(tmp_path / "data"), str(tmp_path / "ckpt")
+    create_translation_data(data_dir, n=12)
+    train_cli.cli_main(
+        [
+            data_dir, "--save-dir", save_dir,
+            "--task", "translation", "-s", "en", "-t", "de",
+            "--arch", "transformer_monotonic",
+            "--simul-type", "waitk", "--waitk-lagging", "2",
+            "--criterion", "label_smoothed_cross_entropy",
+            "--label-smoothing", "0.1",
+            "--optimizer", "adam", "--lr", "0.001", "--lr-scheduler", "fixed",
+            "--max-tokens", "200", "--max-epoch", "1",
+            "--encoder-layers", "1", "--decoder-layers", "1",
+            "--encoder-embed-dim", "16", "--decoder-embed-dim", "16",
+            "--encoder-ffn-embed-dim", "32", "--decoder-ffn-embed-dim", "32",
+            "--encoder-attention-heads", "2", "--decoder-attention-heads", "2",
+            "--max-source-positions", "64", "--max-target-positions", "64",
+            "--log-format", "none",
+        ]
+    )
+    capsys.readouterr()
+    scorer, latency = simul_eval_cli.cli_main(
+        [
+            data_dir, "--task", "translation", "-s", "en", "-t", "de",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--gen-subset", "test", "--max-len-b", "12",
+            "--log-format", "none",
+        ]
+    )
+    out = capsys.readouterr().out
+    for prefix in ("H-", "DEL-", "LAT-"):
+        assert any(l.startswith(prefix) for l in out.splitlines()), prefix
+    assert scorer.stat.predlen > 0
+    assert 0.0 < latency["average_proportion"] <= 1.0
+    assert np.isfinite(latency["average_lagging"])
+    # wait-k honored: the first delay of every sentence is exactly k (or
+    # the whole source if shorter)
+    first_delays = [
+        int(l.split("\t")[1].split()[0])
+        for l in out.splitlines()
+        if l.startswith("DEL-") and len(l.split("\t")[1].split())
+    ]
+    assert first_delays and all(d <= 2 or d for d in first_delays)
