@@ -49,11 +49,18 @@ def _on_tpu() -> bool:
 def _pick_block(n: int, preferred: int = 256) -> int:
     """256 measured fastest on v5e at S=512-1024 (PERF.md flash table):
     bigger tiles amortize the per-grid-step DMA/semaphore overhead that
-    dominates at 128, without spilling VMEM."""
+    dominates at 128, without spilling VMEM. Callers pad sequence dims to
+    a multiple of 128 (`_pad_to`) so this always lands on 128 or 256 —
+    never a degenerate odd divisor that Mosaic would have to mask."""
     b = min(preferred, n)
     while n % b:
         b -= 1
     return b
+
+
+def _pad_to(n: int, mult: int = 128) -> int:
+    """Next multiple of *mult* ≥ n (tile-aligned sequence length)."""
+    return -(-n // mult) * mult
 
 
 def _dropout_keep(seed, block_id, rate: float, shape):
@@ -404,15 +411,32 @@ def flash_attention(q, k, v, mask_bias, scale: float, causal: bool = False,
     (0 or NEG_INF at pads). ``causal`` applies the future mask with block
     skipping. ``dropout_rate`` > 0 applies in-kernel attention dropout
     (TPU only); ``dropout_seed`` is an int32 scalar array. Differentiable
-    wrt q/k/v via the fused Pallas backward. Returns (BH, T, D)."""
+    wrt q/k/v via the fused Pallas backward. Returns (BH, T, D).
+
+    Any T/S is accepted: sequence dims are padded here to a multiple of
+    128 so the kernels always run on 128/256-aligned tiles. Padded KEY
+    rows are neutralized by a NEG_INF bias (their softmax weight
+    underflows to exactly 0 against any real row max), padded QUERY rows
+    are sliced off the output — and, under causal, padded query rows sit
+    BELOW every real diagonal so they never gate a real block skip."""
     if dropout_seed is None:
         dropout_seed = jnp.zeros((1,), jnp.int32)
     else:
         dropout_seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
-    return _flash(
+    t, s = q.shape[1], k.shape[1]
+    tp, sp = _pad_to(t), _pad_to(s)
+    if tp != t or sp != s:
+        q = jnp.pad(q, ((0, 0), (0, tp - t), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, sp - s), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sp - s), (0, 0)))
+        mask_bias = jnp.pad(
+            mask_bias, ((0, 0), (0, sp - s)), constant_values=NEG_INF
+        )
+    out = _flash(
         q, k, v, mask_bias, dropout_seed, bool(causal), float(scale),
         float(dropout_rate),
     )
+    return out[:, :t] if tp != t else out
 
 
 def _xla_reference(q, k, v, mask_bias, scale: float, causal: bool = False):

@@ -271,3 +271,42 @@ def test_label_smoothed_logits_fast_path_matches_lprobs_path():
     )(logits)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_flash_pad_unaligned_shapes():
+    """Tile-unaligned T/S (e.g. a 130-frame encoder) run through the same
+    kernels via 128-padding in the wrapper: padded keys are killed by the
+    NEG_INF bias, padded query rows sliced off — values AND grads match
+    the dense path, causal included."""
+    q, k, v, bias = make_qkv(bh=2, t=130, s=130, d=8, seed=7)
+    for causal in (False, True):
+        got = flash_attention(q, k, v, bias, 0.4, causal=causal)
+        want = _xla_reference(q, k, v, bias, 0.4, causal=causal)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+        g1 = jax.grad(
+            lambda q, k, v: (
+                flash_attention(q, k, v, bias, 0.4, causal=causal) ** 2
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        g2 = jax.grad(
+            lambda q, k, v: (
+                _xla_reference(q, k, v, bias, 0.4, causal=causal) ** 2
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_flash_pad_cross_attention_unaligned():
+    """t != s, both unaligned (cross-attention shapes)."""
+    q, k, v, bias = make_qkv(bh=2, t=70, s=190, d=8, seed=8)
+    got = flash_attention(q, k, v, bias, 0.6)
+    want = _xla_reference(q, k, v, bias, 0.6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

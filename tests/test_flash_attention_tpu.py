@@ -108,3 +108,44 @@ def test_dropout_rate_and_mean():
     mean = np.mean(outs, axis=0)
     # slow statistical convergence — this is a sanity band, not a proof
     assert np.abs(mean - nodrop).max() / np.abs(nodrop).max() < 0.35
+
+
+def test_compiled_unaligned_shapes():
+    """Tile-unaligned T/S through the real Mosaic lowering: the wrapper's
+    128-padding must keep values and grads equal to the dense path on the
+    compiled kernels, not just in the interpreter."""
+    flash, ref, *_ = _setup()
+    rng = np.random.RandomState(3)
+    bh, t, s, d = 4, 130, 130, 64
+    q = jnp.asarray(rng.randn(bh, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    bias = np.zeros((bh, s), np.float32)
+    bias[:, -7:] = -1e9
+    bias = jnp.asarray(bias)
+
+    def hi_ref(*a, **kw):
+        with jax.default_matmul_precision("highest"):
+            return ref(*a, **kw)
+
+    for causal in (False, True):
+        got = np.asarray(flash(q, k, v, bias, 0.125, causal=causal))
+        want = np.asarray(hi_ref(q, k, v, bias, 0.125, causal=causal))
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 5e-6
+
+        g1 = jax.grad(
+            lambda q, k, v: (flash(q, k, v, bias, 0.125,
+                                   causal=causal) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        g2 = jax.grad(
+            lambda q, k, v: (hi_ref(q, k, v, bias, 0.125,
+                                    causal=causal) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g1, g2):
+            rel = np.abs(np.asarray(a) - np.asarray(b)).max() / (
+                np.abs(np.asarray(b)).max() + 1e-9
+            )
+            assert rel < 2e-4
