@@ -20,6 +20,7 @@ from typing import Any, Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..parallel.mesh import constrain_seq_parallel
 from .attention import MHAConfig, init_mha, mha, precompute_cross_cache
 from .core import (
     RngStream,
@@ -89,6 +90,11 @@ def encoder_layer(
     act = get_activation(cfg.activation)
     rng = rng or RngStream(None)
 
+    # Megatron-SP: under an active sequence-parallel scope the LN/dropout/
+    # residual segments run time-sharded over the 'model' axis (GSPMD turns
+    # the TP boundary all-reduces into reduce-scatter/all-gather pairs);
+    # no-op otherwise (parallel/mesh.py constrain_seq_parallel)
+    x = constrain_seq_parallel(x)
     residual = x
     if cfg.normalize_before:
         x = layer_norm(params["self_attn_ln"], x)
@@ -102,7 +108,7 @@ def encoder_layer(
         deterministic=deterministic,
     )
     x = dropout(x, cfg.dropout, rng, deterministic)
-    x = residual + x
+    x = constrain_seq_parallel(residual + x)
     if not cfg.normalize_before:
         x = layer_norm(params["self_attn_ln"], x)
 
@@ -299,6 +305,7 @@ def decoder_layer(
     rng = rng or RngStream(None)
     new_cache: Optional[Dict[str, Any]] = {} if cache is not None else None
 
+    x = constrain_seq_parallel(x)  # no-op outside a sequence-parallel scope
     residual = x
     if cfg.normalize_before:
         x = layer_norm(params["self_attn_ln"], x)
@@ -316,7 +323,7 @@ def decoder_layer(
     if new_cache is not None:
         new_cache["self"] = self_cache
     x = dropout(x, cfg.dropout, rng, deterministic)
-    x = residual + x
+    x = constrain_seq_parallel(residual + x)
     if not cfg.normalize_before:
         x = layer_norm(params["self_attn_ln"], x)
 
@@ -352,7 +359,7 @@ def decoder_layer(
                 need_weights=need_attn,
             )
         x = dropout(x, cfg.dropout, rng, deterministic)
-        x = residual + x
+        x = constrain_seq_parallel(residual + x)
         if not cfg.normalize_before:
             x = layer_norm(params["encoder_attn_ln"], x)
 

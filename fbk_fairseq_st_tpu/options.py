@@ -266,6 +266,14 @@ def add_distributed_training_args(parser):
     group.add_argument("--fsdp-min-shard-size", type=int, default=None,
                        metavar="N", help="replicate params smaller than N "
                        "elements instead of sharding them (default 4096)")
+    group.add_argument("--sequence-parallel", default=False,
+                       action="store_true",
+                       help="Megatron-SP: with --model-parallel-size > 1, "
+                       "shard the LayerNorm/dropout/residual activation "
+                       "segments over the TIME axis across the 'model' "
+                       "mesh axis (activation memory / TP-degree; the "
+                       "boundary all-reduces become reduce-scatter + "
+                       "all-gather pairs, same volume)")
     group.add_argument("--ddp-backend", default="pjit", help="parity flag; always pjit")
     # torch-DDP machinery parity flags (reference options.py:361-424):
     # accepted so fork launch commands run unmodified; they configure

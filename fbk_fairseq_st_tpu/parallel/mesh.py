@@ -134,6 +134,54 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+# ---------------------------------------------------------------------------
+# Sequence parallelism (Megatron-SP, the GSPMD formulation)
+# ---------------------------------------------------------------------------
+#
+# Under tensor parallelism the activations BETWEEN attention/FFN regions
+# (LayerNorm, dropout, residuals) are replicated across the 'model' axis —
+# each TP rank holds the full (B, T, D) tensor and burns the memory for it.
+# Megatron-LM's sequence parallelism (Korthikanti et al. 2022,
+# arXiv:2205.05198) shards those segments over the TIME axis instead,
+# turning the TP all-reduce at each region boundary into a reduce-scatter +
+# all-gather pair of the same total volume, while inter-layer activations
+# (and everything the backward saves for LN/dropout/residual) shrink by the
+# TP degree. The reference fork has no counterpart (its Megatron layer is
+# replicated-activations only).
+#
+# On TPU this is NOT hand-written collectives: one sharding constraint at
+# each transformer-layer boundary declares the time-sharded layout and
+# GSPMD derives the reduce-scatter/all-gather placement. The scope is
+# process-global state set by the Trainer while it traces its train step
+# (the same pattern as ops.attention.set_flash_attention) so the model
+# layer needs no mesh plumbing.
+_SEQ_PARALLEL_MESH: Optional[Mesh] = None
+
+
+def set_sequence_parallel(mesh: Optional[Mesh]) -> None:
+    """Enable (pass the mesh) / disable (None) time-axis activation
+    sharding inside transformer layers. Only meaningful when the mesh has
+    a 'model' axis > 1; a data-only mesh makes this a no-op."""
+    global _SEQ_PARALLEL_MESH
+    if mesh is not None and mesh.shape.get("model", 1) <= 1:
+        mesh = None
+    _SEQ_PARALLEL_MESH = mesh
+
+
+def constrain_seq_parallel(x):
+    """Constrain a (B, T, ...) activation to P('data', 'model') when a
+    sequence-parallel scope is active (trace-time check: the flag is read
+    while the Trainer traces its jitted step, so generation and plain
+    training never pay it). Skipped for rank<2 tensors and decode-step
+    tensors with T == 1, where a time shard is meaningless."""
+    mesh = _SEQ_PARALLEL_MESH
+    if mesh is None or getattr(x, "ndim", 0) < 3 or x.shape[1] < 2:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("data", "model"))
+    )
+
+
 # Tensor-parallel placement rules: (param path regex) -> PartitionSpec.
 # Megatron layout (reference fairseq/model_parallel/modules/
 # multihead_attention.py:78-81, transformer_layer.py:23-66): q/k/v and fc1

@@ -110,6 +110,12 @@ class Trainer:
         # optimizer moments) over the 'data' axis; GSPMD inserts the
         # per-use all-gathers and grad reduce-scatters
         use_fsdp = bool(getattr(args, "fsdp", False))
+        # Megatron-SP (arXiv:2205.05198, the GSPMD formulation — see
+        # parallel/mesh.py): time-shard the LN/dropout/residual segments
+        # over the 'model' axis during training traces
+        self._seq_parallel = bool(
+            getattr(args, "sequence_parallel", False)
+        ) and self.mesh.shape.get("model", 1) > 1
         from ..parallel.mesh import param_sharding
 
         self._param_shard = param_sharding(
@@ -288,14 +294,25 @@ class Trainer:
         return loss, (sample_size, logging_output, new_state)
 
     def _compute_grads(self, train_state, batch, rng_key):
-        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
-        (loss, (sample_size, logging_output, new_model_state)), grads = grad_fn(
-            train_state["params"],
-            train_state["model_state"],
-            batch,
-            rng_key,
-            None,
-        )
+        from ..parallel.mesh import set_sequence_parallel
+
+        # activate the sequence-parallel scope only while THIS trainer's
+        # graph traces (jitted bodies run once per shape signature), so
+        # other trainers / generators in the same process are untouched
+        set_sequence_parallel(self.mesh if self._seq_parallel else None)
+        try:
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (loss, (sample_size, logging_output, new_model_state)), grads = (
+                grad_fn(
+                    train_state["params"],
+                    train_state["model_state"],
+                    batch,
+                    rng_key,
+                    None,
+                )
+            )
+        finally:
+            set_sequence_parallel(None)
         return grads, loss, sample_size, logging_output, new_model_state
 
     def _apply_grads(self, train_state, grads, sample_size, lr, new_model_state):
@@ -384,15 +401,21 @@ class Trainer:
         return new_state, gnorms, logs
 
     def _valid_impl(self, train_state, batch, rng_key):
+        from ..parallel.mesh import set_sequence_parallel
+
         rng = RngStream(rng_key)
         batch = self._cast_batch(batch)
         variables = {
             "params": train_state["params"],
             "state": train_state["model_state"],
         }
-        loss, sample_size, logging_output, _ = self.criterion(
-            self.model, variables, batch, rng=rng, training=False
-        )
+        set_sequence_parallel(self.mesh if self._seq_parallel else None)
+        try:
+            loss, sample_size, logging_output, _ = self.criterion(
+                self.model, variables, batch, rng=rng, training=False
+            )
+        finally:
+            set_sequence_parallel(None)
         return loss, sample_size, logging_output
 
     # ------------------------------------------------------------------
