@@ -44,14 +44,18 @@ class LocalSGDBMUF:
     def __init__(self, mesh, tx, loss_fn: Callable, params, args):
         self.mesh = mesh
         self.tx = tx
-        self.n_replicas = int(mesh.shape["data"])
+        from ..parallel.mesh import batch_axes
+
+        self.n_replicas = 1
+        for a in batch_axes(mesh):
+            self.n_replicas *= int(mesh.shape[a])
         self.sync_iter = getattr(args, "global_sync_iter", 50)
         self.warmup_iteration = getattr(args, "warmup_iterations", 500)
         self.average_sync = getattr(args, "average_sync", False)
         self.bmuf = BMUF(args)
         self._updates = 0
 
-        rep_sharding = NamedSharding(mesh, P("data"))
+        rep_sharding = NamedSharding(mesh, P(batch_axes(mesh)))
 
         def broadcast(tree):
             return jax.device_put(

@@ -259,6 +259,14 @@ def add_distributed_training_args(parser):
     group.add_argument("--distributed-world-size", type=int, metavar="N",
                        default=None, help="total number of chips (default: all)")
     group.add_argument("--distributed-rank", default=0, type=int)
+    group.add_argument("--dcn-data-parallel", type=int, default=1,
+                       metavar="N",
+                       help="multi-slice pods: number of TPU slices; adds "
+                       "an outer 'dcn' mesh axis so the batch (and its "
+                       "gradient all-reduce) decomposes hierarchically — "
+                       "ICI inside each slice, one DCN hop across — while "
+                       "--fsdp / --model-parallel-size shardings stay "
+                       "intra-slice (params replicated across slices)")
     group.add_argument("--fsdp", default=False, action="store_true",
                        help="ZeRO-3 fully-sharded data parallelism: shard "
                        "params + optimizer state over the 'data' mesh axis "

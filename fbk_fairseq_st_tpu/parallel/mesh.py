@@ -31,10 +31,43 @@ def make_mesh(
     devices: Optional[Sequence] = None,
     data: Optional[int] = None,
     model: int = 1,
+    dcn: int = 1,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh over the available devices."""
+    """Build a ('data', 'model') mesh over the available devices.
+
+    With ``dcn > 1`` (multi-slice pods) the mesh gains an OUTER 'dcn' axis
+    of that size — ('dcn', 'data', 'model') — grouping devices by TPU slice
+    (``device.slice_index`` when the platform exposes it, contiguous chunks
+    otherwise). The batch shards over ('dcn', 'data') jointly, so gradient
+    all-reduce decomposes hierarchically: reduce inside each slice over ICI,
+    then once across slices over DCN. FSDP/TP param shardings stay on the
+    intra-slice axes ('data'/'model') — parameters are REPLICATED across
+    'dcn', keeping the per-step all-gather/reduce-scatter traffic of ZeRO-3
+    and Megatron-TP off the (order-of-magnitude slower) cross-slice link;
+    the only DCN traffic is the once-per-step gradient reduction. This is
+    the standard multi-slice recipe; the reference's multi-node story
+    (NCCL over IB for everything, distributed_utils.py:30-77) has no
+    equivalent hierarchy."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    dcn = int(dcn or 1)
+    if dcn > 1:
+        assert n % dcn == 0, f"{n} devices not divisible by dcn={dcn}"
+        if all(
+            getattr(d, "slice_index", None) is not None for d in devices
+        ):
+            devices.sort(key=lambda d: (d.slice_index, d.id))
+        per_slice = n // dcn
+        if data is None:
+            assert per_slice % model == 0, (
+                f"{per_slice} devices/slice not divisible by model={model}"
+            )
+            data = per_slice // model
+        assert dcn * data * model == n, (
+            f"dcn*data*model must equal device count ({n})"
+        )
+        dev_array = np.array(devices).reshape(dcn, data, model)
+        return Mesh(dev_array, ("dcn", "data", "model"))
     if data is None:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
@@ -43,13 +76,20 @@ def make_mesh(
     return Mesh(dev_array, ("data", "model"))
 
 
+def batch_axes(mesh: Mesh):
+    """The mesh axes the batch dimension shards over (joint outer 'dcn'
+    axis on multi-slice meshes)."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis over 'data'."""
-    return NamedSharding(mesh, P("data"))
+    """Leading (batch) axis over 'data' (jointly over ('dcn', 'data') on
+    multi-slice meshes)."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def is_multiprocess(mesh: Mesh) -> bool:
@@ -178,7 +218,7 @@ def constrain_seq_parallel(x):
     if mesh is None or getattr(x, "ndim", 0) < 3 or x.shape[1] < 2:
         return x
     return jax.lax.with_sharding_constraint(
-        x, NamedSharding(mesh, P("data", "model"))
+        x, NamedSharding(mesh, P(batch_axes(mesh), "model"))
     )
 
 

@@ -58,6 +58,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             devices=jax.devices()[:world] if world else None,
             model=getattr(args, "model_parallel_size", 1) or 1,
+            dcn=getattr(args, "dcn_data_parallel", 1) or 1,
         )
 
         self.compute_dtype = (
