@@ -219,16 +219,19 @@ class Dictionary:
         bpe_symbol: Optional[str] = None,
         escape_unk: bool = False,
         extra_symbols_to_ignore=None,
+        unk_string: Optional[str] = None,
     ) -> str:
         """Convert an id array to a string, stripping pad/eos/bos.
 
         Mirrors reference dictionary.py:65-104 (incl. sentencepiece-style
-        ``bpe_symbol`` post-processing).
+        ``bpe_symbol`` post-processing and the ``unk_string`` override used
+        by validation BLEU).
         """
         tensor = np.asarray(tensor)
         if tensor.ndim == 2:
             return "\n".join(
-                self.string(t, bpe_symbol, escape_unk, extra_symbols_to_ignore)
+                self.string(t, bpe_symbol, escape_unk,
+                            extra_symbols_to_ignore, unk_string)
                 for t in tensor
             )
         extra = set(extra_symbols_to_ignore or [])
@@ -237,6 +240,8 @@ class Dictionary:
 
         def token_string(i):
             if i == self.unk_index:
+                if unk_string is not None:
+                    return unk_string
                 return self.unk_string(escape_unk)
             return self[int(i)]
 

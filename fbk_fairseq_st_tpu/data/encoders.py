@@ -51,13 +51,33 @@ class SpaceTokenizer:
 class MosesTokenizer:
     """reference encoders/moses_tokenizer.py (requires sacremoses)."""
 
+    @staticmethod
+    def add_args(parser):
+        # reference moses_tokenizer.py:15-21
+        parser.add_argument("--moses-source-lang", metavar="SRC",
+                            help="source language")
+        parser.add_argument("--moses-target-lang", metavar="TARGET",
+                            help="target language")
+        parser.add_argument("--moses-no-dash-splits", action="store_true",
+                            default=False, help="don't apply dash split rules")
+        parser.add_argument("--moses-no-escape", action="store_true",
+                            default=False,
+                            help="don't perform HTML escaping on apostrophy, "
+                                 "quotes, etc.")
+
     def __init__(self, args):
         try:
             from sacremoses import MosesDetokenizer, MosesTokenizer as MT
         except ImportError:
             raise ImportError("Please install sacremoses for moses tokenization")
-        src = getattr(args, "source_lang", "en") or "en"
-        tgt = getattr(args, "target_lang", "en") or "en"
+        # --moses-{source,target}-lang override the task languages
+        # (reference moses_tokenizer.py:24-27)
+        src = (getattr(args, "moses_source_lang", None)
+               or getattr(args, "source_lang", "en") or "en")
+        tgt = (getattr(args, "moses_target_lang", None)
+               or getattr(args, "target_lang", "en") or "en")
+        self.dash_splits = not getattr(args, "moses_no_dash_splits", False)
+        self.escape = not getattr(args, "moses_no_escape", False)
         self.tok = MT(lang=src)
         self.detok = MosesDetokenizer(lang=tgt)
 
@@ -66,7 +86,12 @@ class MosesTokenizer:
         return cls(args)
 
     def encode(self, x: str) -> str:
-        return self.tok.tokenize(x, return_str=True, escape=False)
+        return self.tok.tokenize(
+            x,
+            aggressive_dash_splits=self.dash_splits,
+            return_str=True,
+            escape=self.escape,
+        )
 
     def decode(self, x: str) -> str:
         return self.detok.detokenize(x.split())
@@ -130,6 +155,12 @@ class Characters:
 class SentencepieceBPE:
     """reference encoders/sentencepiece_bpe.py (requires sentencepiece)."""
 
+    @staticmethod
+    def add_args(parser):
+        # reference sentencepiece_bpe.py:16
+        parser.add_argument("--sentencepiece-vocab", type=str,
+                            help="path to sentencepiece vocab")
+
     def __init__(self, args):
         try:
             import sentencepiece as spm
@@ -137,8 +168,10 @@ class SentencepieceBPE:
             raise ImportError(
                 "Please install sentencepiece for sentencepiece BPE"
             )
+        model = (getattr(args, "sentencepiece_vocab", None)
+                 or getattr(args, "sentencepiece_model", None))
         self.sp = spm.SentencePieceProcessor()
-        self.sp.Load(args.sentencepiece_model)
+        self.sp.Load(model)
 
     @classmethod
     def build_bpe(cls, args):
@@ -153,6 +186,14 @@ class SentencepieceBPE:
 
 @BPES.register("subword_nmt")
 class SubwordNMTBPE:
+    @staticmethod
+    def add_args(parser):
+        # reference subword_nmt_bpe.py:16-18
+        parser.add_argument("--bpe-codes", type=str,
+                            help="path to subword NMT BPE")
+        parser.add_argument("--bpe-separator", default="@@",
+                            help="BPE separator")
+
     def __init__(self, args):
         try:
             from subword_nmt import apply_bpe
@@ -181,13 +222,31 @@ class GPT2BPE:
     """GPT-2 byte-level BPE via the available transformers tokenizer
     (reference encoders/gpt2_bpe.py downloads the same vocab)."""
 
+    @staticmethod
+    def add_args(parser):
+        # reference gpt2_bpe.py:22-26 (defaults there are download URLs;
+        # with zero egress a local path is required, so default to the
+        # hub-cached "gpt2" tokenizer instead)
+        parser.add_argument("--gpt2-encoder-json", type=str, default=None,
+                            help="path to encoder.json")
+        parser.add_argument("--gpt2-vocab-bpe", type=str, default=None,
+                            help="path to vocab.bpe")
+
     def __init__(self, args):
         try:
             from transformers import GPT2Tokenizer
 
-            self.bpe = GPT2Tokenizer.from_pretrained(
-                getattr(args, "gpt2_encoder_json", None) or "gpt2"
-            )
+            encoder_json = getattr(args, "gpt2_encoder_json", None)
+            vocab_bpe = getattr(args, "gpt2_vocab_bpe", None)
+            if encoder_json and vocab_bpe:
+                # explicit vocab/merges files (the reference layout)
+                self.bpe = GPT2Tokenizer(
+                    vocab_file=encoder_json, merges_file=vocab_bpe
+                )
+            else:
+                self.bpe = GPT2Tokenizer.from_pretrained(
+                    encoder_json or "gpt2"
+                )
         except Exception as e:
             raise ImportError(f"GPT-2 BPE unavailable: {e}")
 
@@ -204,13 +263,30 @@ class GPT2BPE:
 
 @BPES.register("bert")
 class BertBPE:
+    @staticmethod
+    def add_args(parser):
+        # reference hf_bert_bpe.py:15-19
+        parser.add_argument("--bpe-cased", action="store_true", default=False,
+                            help="set for cased BPE")
+        parser.add_argument("--bpe-vocab-file", type=str,
+                            help="bpe vocab file.")
+
     def __init__(self, args):
         try:
             from transformers import BertTokenizer
 
-            self.bpe = BertTokenizer.from_pretrained(
-                getattr(args, "bpe_vocab_file", None) or "bert-base-uncased"
-            )
+            vocab_file = getattr(args, "bpe_vocab_file", None)
+            if vocab_file:
+                self.bpe = BertTokenizer(
+                    vocab_file,
+                    do_lower_case=not getattr(args, "bpe_cased", False),
+                )
+            else:
+                self.bpe = BertTokenizer.from_pretrained(
+                    "bert-base-cased"
+                    if getattr(args, "bpe_cased", False)
+                    else "bert-base-uncased"
+                )
         except Exception as e:
             raise ImportError(f"BERT BPE unavailable: {e}")
 
@@ -227,6 +303,13 @@ class BertBPE:
 
 @BPES.register("fastbpe")
 class FastBPE:
+    @staticmethod
+    def add_args(parser):
+        # reference fastbpe.py: shares the --bpe-codes spelling with
+        # subword_nmt (only one --bpe is active per run)
+        parser.add_argument("--bpe-codes", type=str,
+                            help="path to fastBPE BPE")
+
     def __init__(self, args):
         try:
             import fastBPE
@@ -302,6 +385,12 @@ class ByteBPE:
     """Byte-level BPE via sentencepiece over byte-chars (reference
     encoders/byte_bpe.py, examples/byte_level_bpe)."""
 
+    @staticmethod
+    def add_args(parser):
+        # reference byte_bpe.py:18
+        parser.add_argument("--sentencepiece-model-path", type=str,
+                            help="path to sentencepiece model")
+
     def __init__(self, args):
         try:
             import sentencepiece as spm
@@ -327,6 +416,15 @@ class ByteBPE:
 class HuggingFaceByteLevelBPE:
     """GPT-2-style byte-level BPE from vocab.json + merges.txt (reference
     encoders/hf_byte_bpe.py), via the available transformers tokenizer."""
+
+    @staticmethod
+    def add_args(parser):
+        # reference hf_byte_bpe.py:15-18
+        parser.add_argument("--bpe-merges", help="path to merges.txt")
+        parser.add_argument("--bpe-vocab", help="path to vocab.json")
+        parser.add_argument("--bpe-add-prefix-space", action="store_true",
+                            default=False,
+                            help="add prefix space before encoding")
 
     def __init__(self, args):
         try:

@@ -618,6 +618,8 @@ def parse_args_and_arch(
         (registry.CRITERIONS, "criterion"),
         (registry.OPTIMIZERS, "optimizer"),
         (registry.LR_SCHEDULERS, "lr_scheduler"),
+        (registry.TOKENIZERS, "tokenizer"),
+        (registry.BPES, "bpe"),
     ]:
         name = getattr(args, attr, None)
         if name is not None and name in registry_obj:

@@ -157,6 +157,22 @@ class Task:
     def inference_step(self, generator, models, sample, prefix_tokens=None):
         return generator.generate(models, sample, prefix_tokens=prefix_tokens)
 
+    # -- metrics ----------------------------------------------------------------
+
+    def valid_step_extra(self, sample, trainer) -> dict:
+        """Host-side per-batch validation hook: extra logging-output entries
+        computed from the raw collated sample + live trainer params (the
+        reference computes these inside task.valid_step, e.g. validation
+        BLEU in translation.py:299-311). Identity by default."""
+        return {}
+
+    def reduce_metrics(self, logging_outputs, criterion, metrics) -> None:
+        """Aggregate logging outputs into the metrics stack (reference
+        FairseqTask.reduce_metrics, fairseq_task.py:372-402: delegates to
+        the criterion; tasks override to add derived metrics)."""
+        if hasattr(criterion, "reduce_metrics"):
+            criterion.reduce_metrics(logging_outputs, metrics)
+
     # -- dictionaries -----------------------------------------------------------
 
     @property

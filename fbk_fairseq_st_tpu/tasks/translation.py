@@ -21,11 +21,14 @@ from .base import Task
 logger = logging.getLogger(__name__)
 
 
+EVAL_BLEU_ORDER = 4
+
+
 def load_langpair_dataset(
     data_path, split, src, src_dict, tgt, tgt_dict, combine, dataset_impl,
     upsample_primary, left_pad_source, left_pad_target,
     max_source_positions, max_target_positions, load_alignments=False,
-    prepend_bos=False, append_source_id=False,
+    prepend_bos=False, append_source_id=False, truncate_source=False,
 ):
     def split_exists(split_k, src_l, tgt_l, lang, path):
         filename = os.path.join(path, f"{split_k}.{src_l}-{tgt_l}.{lang}")
@@ -47,9 +50,25 @@ def load_langpair_dataset(
             raise FileNotFoundError(
                 f"Dataset not found: {split} ({data_path})"
             )
-        src_datasets.append(
-            load_indexed_dataset(prefix + src, src_dict, dataset_impl)
-        )
+        src_dataset = load_indexed_dataset(prefix + src, src_dict, dataset_impl)
+        if truncate_source:
+            # strip eos -> hard-truncate -> re-append eos (reference
+            # translation.py:66-74): sources longer than the model limit are
+            # clipped instead of dropped by the size filter
+            from ..data.wrappers import (
+                AppendTokenDataset,
+                StripTokenDataset,
+                TruncateDataset,
+            )
+
+            src_dataset = AppendTokenDataset(
+                TruncateDataset(
+                    StripTokenDataset(src_dataset, src_dict.eos()),
+                    max_source_positions - 1,
+                ),
+                src_dict.eos(),
+            )
+        src_datasets.append(src_dataset)
         tgt_datasets.append(
             load_indexed_dataset(prefix + tgt, tgt_dict, dataset_impl)
         )
@@ -165,12 +184,35 @@ class TranslationTask(Task):
         parser.add_argument("--max-target-positions", default=1024, type=int, metavar="N")
         parser.add_argument("--upsample-primary", default=1, type=int)
         parser.add_argument("--load-alignments", action="store_true")
+        parser.add_argument("--truncate-source", action="store_true", default=False,
+                            help="truncate source to max-source-positions")
+
+        # options for reporting BLEU during validation
+        # (reference translation.py:181-199)
+        parser.add_argument("--eval-bleu", action="store_true",
+                            help="evaluation with BLEU scores")
+        parser.add_argument("--eval-bleu-detok", type=str, default="space",
+                            help='detokenize before computing BLEU (e.g. "moses"); '
+                                 'use "space" to disable detokenization')
+        parser.add_argument("--eval-bleu-detok-args", type=str, metavar="JSON",
+                            help="args for building the tokenizer, if needed")
+        parser.add_argument("--eval-tokenized-bleu", action="store_true", default=False,
+                            help="compute tokenized BLEU instead of sacrebleu")
+        parser.add_argument("--eval-bleu-remove-bpe", nargs="?", const="@@ ", default=None,
+                            help="remove BPE before computing BLEU")
+        parser.add_argument("--eval-bleu-args", type=str, metavar="JSON",
+                            help="generation args for BLEU scoring, e.g. "
+                                 '\'{"beam": 4, "lenpen": 0.6}\'')
+        parser.add_argument("--eval-bleu-print-samples", action="store_true",
+                            help="print sample generations during validation")
 
     def __init__(self, args, src_dict, tgt_dict):
         super().__init__(args)
         self.src_dict = src_dict
         self.tgt_dict = tgt_dict
         self.paths = args.data.split(os.pathsep)
+        self.tokenizer = None
+        self._bleu_generator = None
 
     @classmethod
     def setup_task(cls, args, **kwargs):
@@ -213,6 +255,7 @@ class TranslationTask(Task):
             max_source_positions=self.args.max_source_positions,
             max_target_positions=self.args.max_target_positions,
             load_alignments=getattr(self.args, "load_alignments", False),
+            truncate_source=getattr(self.args, "truncate_source", False),
         )
 
     @property
@@ -225,6 +268,123 @@ class TranslationTask(Task):
 
     def max_positions(self):
         return (self.args.max_source_positions, self.args.max_target_positions)
+
+    # -- validation-time BLEU (reference translation.py:264-381) ------------
+
+    def build_model(self, args):
+        model = super().build_model(args)
+        if getattr(args, "eval_bleu", False):
+            import json
+            from argparse import Namespace
+
+            from ..data import encoders
+
+            detok = getattr(args, "eval_bleu_detok", None)
+            assert detok is not None, (
+                "--eval-bleu-detok is required if using --eval-bleu; "
+                "try --eval-bleu-detok=moses (or --eval-bleu-detok=space "
+                "to disable detokenization, e.g., when using sentencepiece)"
+            )
+            detok_args = json.loads(
+                getattr(args, "eval_bleu_detok_args", "{}") or "{}"
+            )
+            self.tokenizer = encoders.build_tokenizer(
+                Namespace(tokenizer=detok, **detok_args)
+            )
+            gen_args = json.loads(getattr(args, "eval_bleu_args", "{}") or "{}")
+            self._bleu_generator = self.build_generator(
+                [model], Namespace(**gen_args)
+            )
+        return model
+
+    def valid_step_extra(self, sample, trainer):
+        """Per-batch validation hook run by Trainer.valid_step on the HOST
+        sample: decodes with the current params and returns sacrebleu
+        sufficient statistics as logging-output entries (the reference
+        computes these in TranslationTask.valid_step, translation.py:299-311;
+        splitting counts into scalar entries keeps them psum-reducible)."""
+        if not getattr(self.args, "eval_bleu", False):
+            return {}
+        bleu = self._inference_with_bleu(
+            self._bleu_generator,
+            sample,
+            [(trainer.model, trainer.variables())],
+        )
+        out = {"_bleu_sys_len": bleu.sys_len, "_bleu_ref_len": bleu.ref_len}
+        assert len(bleu.counts) == EVAL_BLEU_ORDER
+        for i in range(EVAL_BLEU_ORDER):
+            out[f"_bleu_counts_{i}"] = bleu.counts[i]
+            out[f"_bleu_totals_{i}"] = bleu.totals[i]
+        return out
+
+    def reduce_metrics(self, logging_outputs, criterion, metrics):
+        super().reduce_metrics(logging_outputs, criterion, metrics)
+        if not getattr(self.args, "eval_bleu", False):
+            return
+
+        import numpy as np
+
+        def sum_logs(key):
+            return sum(log.get(key, 0) for log in logging_outputs)
+
+        counts = [sum_logs(f"_bleu_counts_{i}") for i in range(EVAL_BLEU_ORDER)]
+        totals = [sum_logs(f"_bleu_totals_{i}") for i in range(EVAL_BLEU_ORDER)]
+        if max(totals) > 0:
+            # arrays sum correctly inside AverageMeter across batches
+            metrics.log_scalar("_bleu_counts", np.array(counts))
+            metrics.log_scalar("_bleu_totals", np.array(totals))
+            metrics.log_scalar("_bleu_sys_len", sum_logs("_bleu_sys_len"))
+            metrics.log_scalar("_bleu_ref_len", sum_logs("_bleu_ref_len"))
+
+            def compute_bleu(meters):
+                from sacrebleu.metrics import BLEU
+
+                bleu = BLEU.compute_bleu(
+                    correct=[int(c) for c in np.asarray(meters["_bleu_counts"].sum)],
+                    total=[int(t) for t in np.asarray(meters["_bleu_totals"].sum)],
+                    sys_len=int(meters["_bleu_sys_len"].sum),
+                    ref_len=int(meters["_bleu_ref_len"].sum),
+                    smooth_method="exp",
+                )
+                return round(bleu.score, 2)
+
+            metrics.log_derived("bleu", compute_bleu)
+
+    def _inference_with_bleu(self, generator, sample, models):
+        import numpy as np
+        import sacrebleu
+
+        def decode(toks, escape_unk=False):
+            s = self.tgt_dict.string(
+                np.asarray(toks),
+                getattr(self.args, "eval_bleu_remove_bpe", None),
+                # <unk> would be tokenized by sacrebleu as '< unk >',
+                # inflating BLEU — substitute verbose sentinels that can't
+                # cross-match (reference translation.py:351-361)
+                unk_string=(
+                    "UNKNOWNTOKENINREF" if escape_unk else "UNKNOWNTOKENINHYP"
+                ),
+            )
+            if self.tokenizer:
+                s = self.tokenizer.decode(s)
+            return s
+
+        gen_out = self.inference_step(generator, models, sample, None)
+        hyps, refs = [], []
+        pad = self.tgt_dict.pad()
+        for i in range(len(gen_out)):
+            hyps.append(decode(gen_out[i][0]["tokens"]))
+            target = np.asarray(sample["target"][i])
+            refs.append(decode(target[target != pad], escape_unk=True))
+        if getattr(self.args, "eval_bleu_print_samples", False):
+            logger.info("example hypothesis: " + hyps[0])
+            logger.info("example reference: " + refs[0])
+        tokenize = (
+            "none"
+            if getattr(self.args, "eval_tokenized_bleu", False)
+            else sacrebleu.BLEU.TOKENIZER_DEFAULT
+        )
+        return sacrebleu.corpus_bleu(hyps, [refs], tokenize=tokenize)
 
 
 def infer_language_pair(path):

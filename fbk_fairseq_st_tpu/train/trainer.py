@@ -734,8 +734,7 @@ class Trainer:
         if ntokens:
             metrics.log_speed("wps", ntokens, priority=90, round=1)
         metrics.log_scalar("bsz", meta.get("nsentences", 0), priority=190, round=1)
-        if hasattr(self.criterion, "reduce_metrics"):
-            self.criterion.reduce_metrics([logging_output], metrics)
+        self.task.reduce_metrics([logging_output], self.criterion, metrics)
 
     def valid_step(self, sample) -> Optional[Dict[str, float]]:
         crit_prepare = getattr(self.criterion, "prepare_sample", None)
@@ -752,8 +751,10 @@ class Trainer:
         # round-trip each — ruinous on a tunneled host)
         logging_output = jax.device_get(logging_output)
         logging_output = {k: float(np.asarray(v)) for k, v in logging_output.items()}
-        if hasattr(self.criterion, "reduce_metrics"):
-            self.criterion.reduce_metrics([logging_output], metrics)
+        # host-side task extras (e.g. --eval-bleu decoding) run on the raw
+        # collated sample, not the device batch
+        logging_output.update(self.task.valid_step_extra(sample, self))
+        self.task.reduce_metrics([logging_output], self.criterion, metrics)
         return logging_output
 
     # -- bookkeeping -----------------------------------------------------
