@@ -12,6 +12,7 @@ from __future__ import annotations
 import ast
 import logging
 import os
+import math
 import sys
 
 import numpy as np
@@ -48,6 +49,16 @@ def add_asr_eval_argument(parser):
                         "KenLM binary files need the optional kenlm binding")
     parser.add_argument("--lm-weight", type=float, default=2.0)
     parser.add_argument("--word-score", type=float, default=-1.0)
+    # reference examples/speech_recognition/infer.py:52-55 (flashlight
+    # DecoderOptions tuning knobs)
+    parser.add_argument("--beam-threshold", type=float, default=25.0,
+                        help="prune beams scoring below best minus this")
+    parser.add_argument("--unk-weight", type=float, default=-math.inf,
+                        help="score for emitting <unk> at an "
+                             "out-of-lexicon word boundary (-inf forbids)")
+    parser.add_argument("--sil-weight", type=float, default=0.0,
+                        help="score added per silence/word-boundary "
+                             "transition")
     parser.add_argument("--word-boundary-unit", default="|",
                         help="dictionary unit delimiting words for the "
                         "lexicon decoder (wav2letter convention)")
@@ -236,6 +247,9 @@ def main(args):
                     lm_weight=args.lm_weight,
                     word_score=args.word_score,
                     word_boundary=boundary,
+                    beam_threshold=args.beam_threshold,
+                    unk_weight=args.unk_weight,
+                    sil_weight=args.sil_weight,
                 )
 
         def _emissions(sample):

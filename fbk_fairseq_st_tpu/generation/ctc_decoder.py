@@ -191,7 +191,13 @@ class CTCPrefixBeamDecoder:
             words. With a trie, ``word_boundary`` (e.g. the "|" unit id) or
             sentencepiece-style "▁"-prefixed units delimit words.
         lm: optional WordLM scored at each word completion.
-        lm_weight / word_score: wav2letter decoder-options semantics.
+        lm_weight / word_score / beam_threshold / unk_weight / sil_weight:
+            wav2letter decoder-options semantics (reference
+            w2l_decoder.py:130-152 DecoderOptions): beam_threshold prunes
+            beams scoring below best-in-frame minus threshold; unk_weight
+            scores emitting <unk> for an out-of-lexicon word at a boundary
+            (-inf forbids, the flashlight default); sil_weight is added on
+            every silence (word-boundary) transition.
     """
 
     def __init__(
@@ -204,6 +210,9 @@ class CTCPrefixBeamDecoder:
         lm_weight: float = 2.0,
         word_score: float = -1.0,
         word_boundary: Optional[int] = None,
+        beam_threshold: float = 25.0,
+        unk_weight: float = LOG0,
+        sil_weight: float = 0.0,
     ):
         self.blank = blank
         self.beam_size = beam_size
@@ -213,6 +222,9 @@ class CTCPrefixBeamDecoder:
         self.lm_weight = lm_weight
         self.word_score = word_score
         self.word_boundary = word_boundary
+        self.beam_threshold = beam_threshold
+        self.unk_weight = unk_weight
+        self.sil_weight = sil_weight
 
     # -- word completion ----------------------------------------------------
 
@@ -282,10 +294,14 @@ class CTCPrefixBeamDecoder:
                     else:
                         self._extend(next_beams, beam, c, p_tot + p_c)
 
-            # prune
+            # prune: top beam_size AND within beam_threshold of the best
+            # (flashlight's score-window pruning)
             ranked = sorted(
                 next_beams.values(), key=_Beam.score, reverse=True
             )
+            if ranked and self.beam_threshold != float("inf"):
+                floor = ranked[0].score() - self.beam_threshold
+                ranked = [b for b in ranked if b.score() >= floor]
             beams = {
                 (b.prefix, self._beam_tag(b)): b
                 for b in ranked[: self.beam_size]
@@ -371,11 +387,22 @@ class CTCPrefixBeamDecoder:
         node = beam.node
         lm_state, lm_score, words = beam.lm_state, beam.lm_score, beam.words
         if self.word_boundary is not None and c == self.word_boundary:
-            # boundary token: legal only when a word just completed
-            if node is None or not node.words or node is self.trie.root:
+            # boundary token: legal when a word just completed, or — with a
+            # finite --unk-weight — as an out-of-lexicon <unk> emission
+            if node is None or node is self.trie.root:
                 return
-            lm_state, delta, words = self._complete_word(beam, node)
-            lm_score = lm_score + delta
+            if node.words:
+                lm_state, delta, words = self._complete_word(beam, node)
+                lm_score = lm_score + delta
+            elif self.unk_weight > LOG0:
+                if self.lm is not None:
+                    lm_state, logp = self.lm.score(lm_state, "<unk>")
+                    lm_score = lm_score + self.lm_weight * logp
+                lm_score = lm_score + self.unk_weight
+                words = words + ("<unk>",)
+            else:
+                return
+            lm_score = lm_score + self.sil_weight
             new_node = self.trie.root
         else:
             if node is None:

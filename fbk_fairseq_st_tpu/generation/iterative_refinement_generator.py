@@ -126,6 +126,9 @@ class IterativeRefinementGenerator:
                     # b*beam+j is sentence b's j-th length candidate
                     length_logits = model.forward_length(variables, enc)
                     _, top_lengths = jax.lax.top_k(length_logits, beam)
+                    if hasattr(model, "decode_lengths"):
+                        # --pred-length-offset: classes are src-relative
+                        top_lengths = model.decode_lengths(top_lengths, enc)
                     enc = jax.tree_util.tree_map(
                         lambda x: jnp.repeat(x, beam, axis=0)
                         if hasattr(x, "ndim") and x.ndim >= 1

@@ -87,10 +87,21 @@ class LSTMConfig(NamedTuple):
 
 @register_model("lstm")
 class LSTMModel(Model):
-    def __init__(self, cfg: LSTMConfig):
+    def __init__(self, cfg: LSTMConfig, freeze_encoder_embed: bool = False,
+                 freeze_decoder_embed: bool = False):
         self.cfg = cfg
         self.max_source_positions = cfg.max_positions
         self.max_target_positions = cfg.max_positions
+        self._freeze_encoder_embed = freeze_encoder_embed
+        self._freeze_decoder_embed = freeze_decoder_embed
+
+    def frozen_param_filter(self, path: str) -> bool:
+        """--encoder/decoder-freeze-embed (reference lstm.py:42-56,147-150:
+        embedding.weight.requires_grad = False); here the trainer zeroes
+        the gradient leaf instead."""
+        return (self._freeze_encoder_embed and path.endswith("encoder_embed/w")) or (
+            self._freeze_decoder_embed and path.endswith("decoder_embed/w")
+        )
 
     @staticmethod
     def add_args(parser):
@@ -109,6 +120,15 @@ class LSTMModel(Model):
         parser.add_argument("--encoder-dropout-out", type=float, metavar="D")
         parser.add_argument("--decoder-dropout-in", type=float, metavar="D")
         parser.add_argument("--decoder-dropout-out", type=float, metavar="D")
+        # reference lstm.py:42-56 (pretrained-embedding freezing)
+        parser.add_argument("--encoder-freeze-embed", action="store_true",
+                            help="freeze encoder embeddings")
+        parser.add_argument("--decoder-freeze-embed", action="store_true",
+                            help="freeze decoder embeddings")
+        parser.add_argument("--encoder-embed-path", type=str, metavar="STR",
+                            help="path to pre-trained encoder embedding")
+        parser.add_argument("--decoder-embed-path", type=str, metavar="STR",
+                            help="path to pre-trained decoder embedding")
 
     @classmethod
     def build_model(cls, args, task):
@@ -135,7 +155,11 @@ class LSTMModel(Model):
             ),
             max_positions=getattr(args, "max_source_positions", 1024),
         )
-        return cls(cfg)
+        return cls(
+            cfg,
+            freeze_encoder_embed=getattr(args, "encoder_freeze_embed", False),
+            freeze_decoder_embed=getattr(args, "decoder_freeze_embed", False),
+        )
 
     # -- init -----------------------------------------------------------------
 
@@ -369,6 +393,8 @@ def base_architecture(args):
     args.share_decoder_input_output_embed = getattr(
         args, "share_decoder_input_output_embed", False
     )
+    args.encoder_freeze_embed = getattr(args, "encoder_freeze_embed", False)
+    args.decoder_freeze_embed = getattr(args, "decoder_freeze_embed", False)
     args.encoder_dropout_in = getattr(args, "encoder_dropout_in", args.dropout)
     args.encoder_dropout_out = getattr(args, "encoder_dropout_out", args.dropout)
     args.decoder_dropout_in = getattr(args, "decoder_dropout_in", args.dropout)

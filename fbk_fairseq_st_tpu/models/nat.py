@@ -38,12 +38,46 @@ class CMLMTransformerModel(TransformerModel):
     """Conditional masked LM NAT model."""
 
     def __init__(self, encoder_cfg, decoder_cfg, share_all_embeddings=False,
-                 unk=3, bos=0, eos=2, pad=1):
+                 unk=3, bos=0, eos=2, pad=1,
+                 pred_length_offset: bool = False,
+                 sg_length_pred: bool = False):
         super().__init__(encoder_cfg, decoder_cfg, share_all_embeddings)
         self.unk = unk
         self.bos = bos
         self.eos = eos
         self.pad = pad
+        # reference nonautoregressive_transformer.py:202-203: predict the
+        # length DELTA vs the source (offset by 128) / stop-gradient the
+        # pooled features entering the length head
+        self.pred_length_offset = pred_length_offset
+        self.sg_length_pred = sg_length_pred
+
+    @staticmethod
+    def add_args(parser):
+        TransformerModel.add_args(parser)
+        parser.add_argument("--src-embedding-copy", action="store_true",
+                            help="copy encoder word embeddings as the "
+                                 "initial decoder input")
+        # reference nonautoregressive_transformer.py:58-75
+        # (--length-loss-factor lives on the nat_loss criterion here — same
+        # dest, avoids a duplicate-option parser conflict; --apply-bert-init
+        # is accepted for command-line parity, but initialization scheme is
+        # not part of the parity surface — checkpoint converters map weights)
+        parser.add_argument("--apply-bert-init", action="store_true",
+                            help="use custom param initialization for BERT")
+        parser.add_argument("--sg-length-pred", action="store_true",
+                            help="stop the gradients back-propagated from "
+                                 "the length predictor")
+        parser.add_argument("--pred-length-offset", action="store_true",
+                            help="predicting the length difference between "
+                                 "the target and source sentences")
+
+    @staticmethod
+    def _length_pred_kwargs(args) -> dict:
+        return {
+            "pred_length_offset": getattr(args, "pred_length_offset", False),
+            "sg_length_pred": getattr(args, "sg_length_pred", False),
+        }
 
     @classmethod
     def build_model(cls, args, task):
@@ -53,6 +87,7 @@ class CMLMTransformerModel(TransformerModel):
         nat = cls(
             model.encoder_cfg, model.decoder_cfg, model.share_all_embeddings,
             unk=d.unk(), bos=d.bos(), eos=d.eos(), pad=d.pad(),
+            **cls._length_pred_kwargs(args),
         )
         return nat
 
@@ -68,18 +103,42 @@ class CMLMTransformerModel(TransformerModel):
     # -- length prediction -----------------------------------------------------
 
     def forward_length(self, variables, encoder_out: EncoderOut):
-        """Length logits from mean-pooled (non-pad) encoder states."""
+        """Length logits from mean-pooled (non-pad) encoder states
+        (reference nonautoregressive_transformer.py:218-226; --sg-length-pred
+        detaches the pooled features so the length loss does not train the
+        encoder)."""
         x = encoder_out.encoder_out.astype(jnp.float32)
         mask = encoder_out.encoder_padding_mask
         keep = (~mask).astype(jnp.float32)[:, :, None]
         pooled = (x * keep).sum(axis=1) / jnp.maximum(keep.sum(axis=1), 1.0)
+        if self.sg_length_pred:
+            pooled = jax.lax.stop_gradient(pooled)
         w = variables["params"]["embed_length"].astype(jnp.float32)
         return pooled @ w.T  # (B, MAX_LENGTH)
 
-    def length_targets(self, tgt_tokens):
-        return jnp.clip(
-            jnp.sum(tgt_tokens != self.pad, axis=1), 0, MAX_LENGTH - 1
-        )
+    def _src_lengths(self, encoder_out: EncoderOut):
+        return jnp.sum(
+            ~encoder_out.encoder_padding_mask, axis=1
+        ).astype(jnp.int32)
+
+    def length_targets(self, tgt_tokens, encoder_out: EncoderOut = None):
+        """Length-head class target (reference
+        nonautoregressive_transformer.py:351-359): the target length, or
+        with --pred-length-offset the delta vs the source length + 128."""
+        tgt_lengs = jnp.sum(tgt_tokens != self.pad, axis=1)
+        if self.pred_length_offset and encoder_out is not None:
+            tgt_lengs = tgt_lengs - self._src_lengths(encoder_out) + 128
+        return jnp.clip(tgt_lengs, 0, MAX_LENGTH - 1)
+
+    def decode_lengths(self, length_pred, encoder_out: EncoderOut):
+        """Map argmax/top-k length-head classes to actual lengths
+        (reference :361-368)."""
+        if self.pred_length_offset:
+            src = self._src_lengths(encoder_out)
+            while src.ndim < length_pred.ndim:
+                src = src[:, None]
+            return length_pred - 128 + src
+        return length_pred
 
     # -- training forward --------------------------------------------------------
 
@@ -102,7 +161,7 @@ class CMLMTransformerModel(TransformerModel):
         )
         extra["encoder_out"] = enc
         extra["length_out"] = length_out
-        extra["length_tgt"] = self.length_targets(batch["target"])
+        extra["length_tgt"] = self.length_targets(batch["target"], enc)
         extra["word_ins_mask"] = batch["prev_output_tokens"] == self.unk
         return (word_ins_out, extra), {}
 
@@ -112,7 +171,9 @@ class CMLMTransformerModel(TransformerModel):
                                  max_len: int):
         """Predict lengths and build initial [bos, unk*L, eos] rows."""
         length_logits = self.forward_length(variables, encoder_out)
-        length_tgt = jnp.argmax(length_logits, axis=-1)
+        length_tgt = self.decode_lengths(
+            jnp.argmax(length_logits, axis=-1), encoder_out
+        )
         length_tgt = jnp.clip(length_tgt, 2, max_len - 1)
         b = length_logits.shape[0]
         pos = jnp.arange(max_len)[None, :]
@@ -179,10 +240,10 @@ class NATransformerModel(CMLMTransformerModel):
 
     @staticmethod
     def add_args(parser):
-        TransformerModel.add_args(parser)
-        parser.add_argument("--src-embedding-copy", action="store_true",
-                            help="copy encoder word embeddings as the "
-                                 "initial decoder input")
+        # inherited from CMLMTransformerModel (in the reference the
+        # hierarchy is inverted — cmlm extends NAT — so both accept the
+        # NAT length-prediction flags either way)
+        CMLMTransformerModel.add_args(parser)
 
     @classmethod
     def build_model(cls, args, task):
@@ -195,6 +256,7 @@ class NATransformerModel(CMLMTransformerModel):
             base.encoder_cfg, base.decoder_cfg, base.share_all_embeddings,
             unk=d.unk(), bos=d.bos(), eos=d.eos(), pad=d.pad(),
             src_embedding_copy=getattr(args, "src_embedding_copy", False),
+            **cls._length_pred_kwargs(args),
         )
 
     def _decoder_inputs(self, variables, batch, enc):
@@ -228,7 +290,7 @@ class NATransformerModel(CMLMTransformerModel):
         )
         extra["encoder_out"] = enc
         extra["length_out"] = length_out
-        extra["length_tgt"] = self.length_targets(batch["target"])
+        extra["length_tgt"] = self.length_targets(batch["target"], enc)
         extra["word_ins_mask"] = batch["prev_output_tokens"] == self.unk
         return (word_ins_out, extra), {}
 
@@ -257,6 +319,60 @@ def nat_wmt_en_de(args):
     nat_base_architecture(args)
 
 
+def sequential_poisoning(key, s, vocab_size, bos, eos, pad, beta=0.33):
+    """DAE corruption for iterative NAT training (reference
+    iterative_nonautoregressive_transformer.py:12-43): sweeping left to
+    right, each position independently (p = beta/3 each) is replaced by a
+    random word, repeated into the next slot, or swapped with the next
+    token; bos/eos/pad are safe. One lax.scan over positions — the carried
+    (B, T) array is updated with two dynamic column writes per step.
+
+    (The reference body compares next_word against the literal 3 — the eos
+    of its own *default* arguments — instead of the eos actually passed;
+    this build uses the real eos index.)
+    """
+    k1, k2 = jax.random.split(key)
+    rand_words = jax.random.randint(k1, s.shape, 4, vocab_size, dtype=s.dtype)
+    choices = jax.random.uniform(k2, s.shape)
+    choices = jnp.where((s == pad) | (s == bos) | (s == eos), 1.0, choices)
+    replace = choices < beta / 3
+    repeat = (choices >= beta / 3) & (choices < 2 * beta / 3)
+    swap = (choices >= 2 * beta / 3) & (choices < beta)
+    safe = choices >= beta
+
+    def col(a, j):
+        return jax.lax.dynamic_slice_in_dim(a, j, 1, axis=1)[:, 0]
+
+    def body(s, i):
+        rand_word = col(rand_words, i)
+        self_word = col(s, i)
+        next_word = col(s, i + 1)
+        replace_i = col(replace, i)
+        swap_i = col(swap, i) & (next_word != eos)
+        repeat_i = col(repeat, i) & (next_word != eos)
+        safe_i = col(safe, i) | ((next_word == eos) & ~replace_i)
+        new_i = (
+            self_word * (safe_i | repeat_i)
+            + next_word * swap_i
+            + rand_word * replace_i
+        )
+        new_next = next_word * (safe_i | replace_i) + self_word * (
+            swap_i | repeat_i
+        )
+        s = jax.lax.dynamic_update_slice_in_dim(
+            s, new_i[:, None].astype(s.dtype), i, axis=1
+        )
+        s = jax.lax.dynamic_update_slice_in_dim(
+            s, new_next[:, None].astype(s.dtype), i + 1, axis=1
+        )
+        return s, None
+
+    if s.shape[1] < 2:
+        return s
+    s, _ = jax.lax.scan(body, s, jnp.arange(s.shape[1] - 1))
+    return s
+
+
 @register_model("iterative_nonautoregressive_transformer")
 class IterNATransformerModel(NATransformerModel):
     """Iterative NAT (Lee et al. 2018): unroll --train-step refinement
@@ -267,10 +383,13 @@ class IterNATransformerModel(NATransformerModel):
     iterative_nonautoregressive_transformer.py:31-199."""
 
     def __init__(self, *args, train_step: int = 4, dae_ratio: float = 0.5,
-                 stochastic_approx: bool = False, **kwargs):
+                 stochastic_approx: bool = False, label_smoothing: float = 0.0,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.train_step = train_step
+        self.dae_ratio = dae_ratio
         self.stochastic_approx = stochastic_approx
+        self.label_smoothing = label_smoothing
 
     @staticmethod
     def add_args(parser):
@@ -281,6 +400,10 @@ class IterNATransformerModel(NATransformerModel):
         parser.add_argument("--stochastic-approx", action="store_true",
                             help="sample from the categorical (Gumbel) "
                                  "instead of argmax between iterations")
+        parser.add_argument("--dae-ratio", type=float,
+                            help="probability of switching a sentence to "
+                                 "the denoising auto-encoder input "
+                                 "(reference iterative_nat.py:58-60)")
 
     @classmethod
     def build_model(cls, args, task):
@@ -294,7 +417,10 @@ class IterNATransformerModel(NATransformerModel):
             unk=d.unk(), bos=d.bos(), eos=d.eos(), pad=d.pad(),
             src_embedding_copy=getattr(args, "src_embedding_copy", False),
             train_step=getattr(args, "train_step", 4),
+            dae_ratio=getattr(args, "dae_ratio", 0.5),
             stochastic_approx=getattr(args, "stochastic_approx", False),
+            label_smoothing=getattr(args, "label_smoothing", 0.0),
+            **cls._length_pred_kwargs(args),
         )
 
     def forward(self, variables, batch, rng: Optional[RngStream] = None,
@@ -306,8 +432,10 @@ class IterNATransformerModel(NATransformerModel):
         )
         length_out = self.forward_length(variables, enc)
         prev = batch["prev_output_tokens"].astype(jnp.int32)
-        tgt = batch["target"]
-        word_ins_mask = prev == self.unk
+        tgt = batch["target"].astype(jnp.int32)
+        # every non-pad target position is supervised at every step
+        # (reference iterative_nat.py:94 word_ins_mask = tgt.ne(pad))
+        word_ins_mask = tgt != self.pad
 
         losses = {}
         word_ins_out = None
@@ -322,10 +450,12 @@ class IterNATransformerModel(NATransformerModel):
                 "out": word_ins_out,
                 "tgt": tgt,
                 "mask": word_ins_mask,
-                "ls": 0.1,
+                "ls": self.label_smoothing,
                 "nll_loss": t == 0,
             }
             if t < self.train_step - 1:
+                # prediction for the next iteration
+                # (reference iterative_nat.py:100-111)
                 logits32 = word_ins_out.astype(jnp.float32)
                 if self.stochastic_approx and rng is not None and training:
                     pred = jax.random.categorical(rng.next(), logits32)
@@ -333,12 +463,25 @@ class IterNATransformerModel(NATransformerModel):
                     pred = jnp.argmax(logits32, axis=-1)
                 pred = jax.lax.stop_gradient(pred).astype(jnp.int32)
                 prev = jnp.where(word_ins_mask, pred, prev)
+                if self.dae_ratio > 0 and training and rng is not None:
+                    # per-sentence switch to the denoising auto-encoder
+                    # input: a poisoned copy of the target
+                    # (reference iterative_nat.py:113-126)
+                    corrupt = (
+                        jax.random.uniform(rng.next(), (tgt.shape[0],))
+                        < self.dae_ratio
+                    )
+                    poisoned = sequential_poisoning(
+                        rng.next(), tgt, self.decoder_cfg.vocab_size,
+                        self.bos, self.eos, self.pad,
+                    )
+                    prev = jnp.where(corrupt[:, None], poisoned, prev)
 
         extra = {
             "encoder_out": enc,
             "losses": losses,
             "length_out": length_out,
-            "length_tgt": self.length_targets(tgt),
+            "length_tgt": self.length_targets(tgt, enc),
             "word_ins_mask": word_ins_mask,
         }
         return (word_ins_out, extra), {}
@@ -350,6 +493,7 @@ class IterNATransformerModel(NATransformerModel):
 )
 def iter_nat_base_architecture(args):
     args.train_step = getattr(args, "train_step", 4)
+    args.dae_ratio = getattr(args, "dae_ratio", 0.5)
     args.stochastic_approx = getattr(args, "stochastic_approx", False)
     nat_base_architecture(args)
 
@@ -796,6 +940,7 @@ class NACRFTransformerModel(NATransformerModel):
             crf_beam_approx=args.crf_beam_approx,
             word_ins_loss_factor=args.word_ins_loss_factor,
             label_smoothing=getattr(args, "label_smoothing", 0.0),
+            **cls._length_pred_kwargs(args),
         )
 
     def init(self, key):

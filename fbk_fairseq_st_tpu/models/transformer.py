@@ -219,6 +219,8 @@ class TransformerModel(Model):
             layernorm_embedding=getattr(args, "layernorm_embedding", False),
             no_token_positional_embeddings=args.no_token_positional_embeddings,
             layerdrop=getattr(args, "decoder_layerdrop", 0.0) or 0.0,
+            no_encoder_attn=getattr(args, "no_cross_attention", False),
+            cross_self_attention=getattr(args, "cross_self_attention", False),
         )
         return cls(encoder_cfg, decoder_cfg, share_all)
 
@@ -324,6 +326,9 @@ def base_architecture(args):
     args.layernorm_embedding = getattr(args, "layernorm_embedding", False)
     args.adaptive_softmax_cutoff = getattr(args, "adaptive_softmax_cutoff", None)
     args.adaptive_softmax_dropout = getattr(args, "adaptive_softmax_dropout", 0)
+    # reference transformer.py:915-916
+    args.no_cross_attention = getattr(args, "no_cross_attention", False)
+    args.cross_self_attention = getattr(args, "cross_self_attention", False)
 
 
 @register_model_architecture("transformer", "transformer_iwslt_de_en")

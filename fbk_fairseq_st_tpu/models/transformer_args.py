@@ -72,3 +72,10 @@ def add_transformer_args(parser) -> None:
                         help="comma separated list of adaptive softmax cutoff points")
     parser.add_argument("--adaptive-softmax-dropout", type=float, metavar="D",
                         help="sets adaptive softmax dropout")
+    # reference transformer.py:155-158
+    parser.add_argument("--no-cross-attention", action="store_true",
+                        default=False,
+                        help="do not perform cross-attention")
+    parser.add_argument("--cross-self-attention", action="store_true",
+                        default=False,
+                        help="perform cross+self-attention")

@@ -60,6 +60,9 @@ class TransformerDecoderConfig(NamedTuple):
     layernorm_embedding: bool = False
     no_token_positional_embeddings: bool = False
     no_encoder_attn: bool = False
+    # reference --cross-self-attention (transformer.py:155-158,583): decoder
+    # self-attention keys include the encoder states
+    cross_self_attention: bool = False
     adaptive_softmax_cutoff: Optional[tuple] = None
     adaptive_softmax_factor: float = 4.0
     layerdrop: float = 0.0
@@ -90,6 +93,7 @@ class TransformerDecoderConfig(NamedTuple):
             activation_dropout=self.activation_dropout,
             activation=self.activation,
             normalize_before=self.normalize_before,
+            cross_self_attention=self.cross_self_attention,
         )
 
 

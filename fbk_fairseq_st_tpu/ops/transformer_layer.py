@@ -45,6 +45,9 @@ class TransformerLayerConfig(NamedTuple):
     # encoder self-attention distance penalty ('log' | 'gauss' | None)
     distance_penalty: Optional[str] = None
     init_variance: float = 1.0
+    # decoder self-attention additionally attends over the encoder states
+    # (reference --cross-self-attention, transformer_layer.py:286-307)
+    cross_self_attention: bool = False
 
     @property
     def self_attn_cfg(self) -> MHAConfig:
@@ -148,9 +151,29 @@ def init_decoder_layer_cache(
     params, cfg: TransformerLayerConfig, batch: int, max_len: int, encoder_out=None,
     dtype=jnp.float32,
 ) -> Dict[str, Any]:
-    from .attention import init_cache
+    from .attention import _split_heads, init_cache
 
-    cache = {"self": init_cache(batch, max_len, cfg.self_attn_cfg, dtype)}
+    if cfg.cross_self_attention and encoder_out is not None:
+        # the self-attention buffer holds [encoder K/V; decoder K/V]: the
+        # reference seeds its incremental buffer with cat(encoder_out, x) on
+        # the first step (transformer_layer.py:286-307); here the encoder
+        # rows are projected once and decode steps write at offset S + step
+        s = encoder_out.shape[1]
+        base = init_cache(batch, s + max_len, cfg.self_attn_cfg, dtype)
+        k_enc = _split_heads(
+            linear(params["self_attn"]["k"], encoder_out), cfg.num_heads
+        ).astype(dtype)
+        v_enc = _split_heads(
+            linear(params["self_attn"]["v"], encoder_out), cfg.num_heads
+        ).astype(dtype)
+        cache = {
+            "self": {
+                "k": base["k"].at[:, :, :s, :].set(k_enc),
+                "v": base["v"].at[:, :, :s, :].set(v_enc),
+            }
+        }
+    else:
+        cache = {"self": init_cache(batch, max_len, cfg.self_attn_cfg, dtype)}
     if encoder_out is not None and "encoder_attn" in params:
         cache["cross"] = precompute_cross_cache(
             params["encoder_attn"], cfg.cross_attn_cfg, encoder_out
@@ -309,16 +332,59 @@ def decoder_layer(
     residual = x
     if cfg.normalize_before:
         x = layer_norm(params["self_attn_ln"], x)
+    self_key = None
+    self_cache_index = cache_index
+    if cfg.cross_self_attention and encoder_out is not None and cache is None:
+        # keys/values are cat(encoder_out, x): every decoder position may
+        # attend to every encoder position, causal over the decoder suffix
+        # (reference transformer_layer.py:286-307)
+        b, t = x.shape[0], x.shape[1]
+        s = encoder_out.shape[1]
+        self_key = jnp.concatenate([encoder_out.astype(x.dtype), x], axis=1)
+        if isinstance(self_attn_mask, str) and self_attn_mask == "causal":
+            from .attention import causal_mask
+
+            self_attn_mask = jnp.concatenate(
+                [jnp.zeros((t, s), jnp.float32), causal_mask(t)], axis=1
+            )
+        epm = (
+            encoder_padding_mask
+            if encoder_padding_mask is not None
+            else jnp.zeros((b, s), bool)
+        )
+        spm = (
+            self_attn_padding_mask
+            if self_attn_padding_mask is not None
+            else jnp.zeros((b, t), bool)
+        )
+        self_attn_padding_mask = jnp.concatenate([epm, spm], axis=1)
+    elif cfg.cross_self_attention and cache is not None:
+        # incremental: the buffer is pre-seeded with S encoder rows
+        # (init_decoder_layer_cache), so writes land at S + step
+        buf_len = cache["self"]["k"].shape[2]
+        s = (
+            encoder_padding_mask.shape[1]
+            if encoder_padding_mask is not None
+            else 0
+        )
+        if s:
+            b = x.shape[0]
+            self_cache_index = cache_index + s
+            self_attn_padding_mask = jnp.concatenate(
+                [encoder_padding_mask, jnp.zeros((b, buf_len - s), bool)],
+                axis=1,
+            )
     x, _, self_cache = mha(
         params["self_attn"],
         cfg.self_attn_cfg,
         x,
+        key=self_key,
         key_padding_mask=self_attn_padding_mask,
         attn_mask=self_attn_mask,
         rng=rng,
         deterministic=deterministic,
         cache=cache.get("self") if cache is not None else None,
-        cache_index=cache_index,
+        cache_index=self_cache_index,
     )
     if new_cache is not None:
         new_cache["self"] = self_cache

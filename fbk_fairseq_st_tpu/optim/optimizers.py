@@ -55,6 +55,11 @@ class Adam(Optimizer):
     def add_args(cls, parser):
         parser.add_argument("--adam-betas", default="(0.9, 0.999)", metavar="B",
                             help="betas for Adam optimizer")
+        parser.add_argument("--use-old-adam", action="store_true",
+                            default=False,
+                            help="parity no-op: the reference uses this to "
+                                 "opt out of apex FusedAdam (adam.py:54-58); "
+                                 "this build has one XLA adam path")
         parser.add_argument("--adam-eps", type=float, default=1e-8, metavar="D",
                             help="epsilon for Adam optimizer")
         parser.add_argument("--weight-decay", "--wd", default=0.0, type=float,
