@@ -25,6 +25,10 @@ class BinaryCrossEntropyCriterion(Criterion):
         self.loss_weights = None if lw is None else (
             lw if isinstance(lw, (list, tuple)) else eval(lw)  # noqa: S307
         )
+        lk = getattr(args, "log_keys", None)
+        self.log_keys = [] if lk is None else (
+            lk if isinstance(lk, (list, tuple)) else eval(lk)  # noqa: S307
+        )
 
     @classmethod
     def add_args(cls, parser):
@@ -33,6 +37,10 @@ class BinaryCrossEntropyCriterion(Criterion):
                                  "of binary cross entropy")
         parser.add_argument("--loss-weights", type=str, default=None,
                             help="weights for additional loss terms")
+        # reference binary_cross_entropy.py:32-33
+        parser.add_argument("--log-keys", type=str, default=None,
+                            help="output keys to log (python list literal, "
+                                 "e.g. \"['prob_perplexity']\")")
 
     def __call__(self, model, variables, batch, rng=None, training=False):
         (logits, extra), new_state = model.forward(
@@ -90,6 +98,12 @@ class BinaryCrossEntropyCriterion(Criterion):
             "correct": corr,
             "count": jnp.sum(valid if not self.infonce else valid[:, 0]),
         }
+        # --log-keys: surface scalar model outputs (codebook perplexities,
+        # temperatures, ...) in the training log (reference
+        # binary_cross_entropy.py:83-85)
+        for lk in self.log_keys:
+            if lk in extra:
+                logging_output[lk] = jnp.asarray(extra[lk], jnp.float32)
         return loss, sample_size, logging_output, new_state
 
     @staticmethod

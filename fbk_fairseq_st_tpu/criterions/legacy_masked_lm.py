@@ -20,11 +20,17 @@ class LegacyMaskedLmLoss(Criterion):
     def __init__(self, task, args):
         super().__init__(task, args)
         self.nsp_loss_weight = getattr(args, "nsp_loss_weight", 1.0)
+        self.masked_lm_only = getattr(args, "masked_lm_only", False)
 
     @classmethod
     def add_args(cls, parser):
         parser.add_argument("--nsp-loss-weight", default=1.0, type=float,
                             help="weight for next-sentence-prediction loss")
+        # reference legacy_masked_lm.py:59-61 (XLM-style training computes
+        # only the MLM term even when sentence targets exist in the batch)
+        parser.add_argument("--masked-lm-only", default=False,
+                            action="store_true",
+                            help="compute MLM loss only")
 
     def __call__(self, model, variables, batch, rng=None, training=False):
         (logits, extra), new_state = model.forward(
@@ -41,7 +47,8 @@ class LegacyMaskedLmLoss(Criterion):
         sentence_loss = 0.0
         nsentences = target.shape[0]
         if (
-            batch.get("sentence_target") is not None
+            not self.masked_lm_only
+            and batch.get("sentence_target") is not None
             and extra.get("sentence_logits") is not None
         ):
             st = batch["sentence_target"]

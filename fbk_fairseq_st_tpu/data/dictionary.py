@@ -259,6 +259,31 @@ class Dictionary:
         return t
 
 
+class TruncatedDictionary:
+    """View of a Dictionary clipped to its first ``length`` types
+    (--output-dictionary-size, reference fairseq/data/dictionary.py:387-404):
+    ``len()`` reports the truncated size, symbol lookups past the limit
+    return unk, and every other attribute (pad/eos/bos/unk indices,
+    string(), ...) delegates to the wrapped dictionary."""
+
+    def __init__(self, wrapped_dict, length: int):
+        self.wrapped_dict = wrapped_dict
+        self.length = min(len(wrapped_dict), length)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int) -> str:
+        if idx < self.length:
+            return self.wrapped_dict[idx]
+        return self.wrapped_dict[self.wrapped_dict.unk()]
+
+    def __getattr__(self, name):
+        if name == "wrapped_dict":  # unpickle-safety: no recursion
+            raise AttributeError(name)
+        return getattr(self.wrapped_dict, name)
+
+
 def post_process(sentence: str, bpe_symbol: Optional[str]) -> str:
     """BPE de-segmentation (reference fairseq/utils.py post-processing)."""
     if bpe_symbol == "sentencepiece":

@@ -30,6 +30,10 @@ class BARTModel(TransformerModel):
         self.pooler_dropout = pooler_dropout
         self.classification_heads: Dict[str, HeadConfig] = {}
 
+    @property
+    def supported_targets(self):
+        return {"self"}  # reference bart/model.py:62-64
+
     @staticmethod
     def add_args(parser):
         TransformerModel.add_args(parser)

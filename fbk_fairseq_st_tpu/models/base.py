@@ -71,6 +71,13 @@ class Model:
     def build_model(cls, args, task) -> "Model":
         raise NotImplementedError
 
+    @property
+    def supported_targets(self):
+        """LM target types this model can train against (reference
+        fairseq_model.py:469-471; bidirectional encoders override with
+        {'self'})."""
+        return {"future"}
+
     def init(self, key):
         raise NotImplementedError
 

@@ -297,6 +297,8 @@ class LightConvModel(Model):
                             type=lambda x: str(x).lower() == "true")
         parser.add_argument("--weight-dropout", type=float, metavar="D")
         parser.add_argument("--input-dropout", type=float, metavar="D")
+        # --relu-dropout (reference lightconv.py:71-72) comes in via
+        # add_transformer_args as an alias of --activation-dropout
         parser.add_argument("--encoder-kernel-size-list", type=str, metavar="EXPR",
                             help="per-layer kernel sizes, e.g. [3,7,15,31,31,31,31]")
         parser.add_argument("--decoder-kernel-size-list", type=str, metavar="EXPR")

@@ -137,6 +137,13 @@ def fconv_lm_dauphin_gbw(args):
 
 @register_model("lightconv_lm")
 class LightConvLanguageModel(LightConvModel):
+    @staticmethod
+    def add_args(parser):
+        LightConvModel.add_args(parser)
+        # reference lightconv_lm.py:57-59
+        parser.add_argument("--adaptive-softmax-factor", type=float,
+                            metavar="N", help="adaptive softmax factor")
+
     @classmethod
     def build_model(cls, args, task):
         lightconv_lm_architecture(args)

@@ -55,6 +55,8 @@ class RobertaConfig(NamedTuple):
     untie_weights: bool = False
     max_positions: int = 512
     padding_idx: int = 1
+    quant_noise_pq: float = 0.0
+    quant_noise_block: int = 8
 
     @property
     def layer_cfg(self) -> TransformerLayerConfig:
@@ -67,6 +69,8 @@ class RobertaConfig(NamedTuple):
             activation_dropout=self.activation_dropout,
             activation=self.activation,
             normalize_before=True,  # reference roberta/model.py:297
+            quant_noise_pq=self.quant_noise_pq,
+            quant_noise_block=self.quant_noise_block,
         )
 
 
@@ -86,6 +90,10 @@ class RobertaModel(Model):
         self.max_source_positions = cfg.max_positions
         self.max_target_positions = cfg.max_positions
 
+    @property
+    def supported_targets(self):
+        return {"self"}  # reference roberta/model.py:147-149
+
     @staticmethod
     def add_args(parser):
         # reference roberta/model.py:57-102
@@ -103,6 +111,19 @@ class RobertaModel(Model):
         parser.add_argument("--max-positions", type=int)
         parser.add_argument("--load-checkpoint-heads", action="store_true")
         parser.add_argument("--untie-weights-roberta", action="store_true")
+        # reference roberta/model.py:93-98
+        parser.add_argument("--quant-noise-pq", type=float, metavar="D",
+                            default=0,
+                            help="iterative PQ quantization noise at "
+                                 "training time")
+        parser.add_argument("--quant-noise-pq-block-size", type=int,
+                            metavar="D", default=8,
+                            help="block size of quantization noise at "
+                                 "training time")
+        parser.add_argument("--quant-noise-scalar", type=float, metavar="D",
+                            default=0,
+                            help="scalar quantization noise and scalar "
+                                 "quantization at training time")
 
     @classmethod
     def build_model(cls, args, task):
@@ -125,6 +146,10 @@ class RobertaModel(Model):
             untie_weights=getattr(args, "untie_weights_roberta", False),
             max_positions=args.max_positions,
             padding_idx=d.pad(),
+            quant_noise_pq=getattr(args, "quant_noise_pq", 0) or 0.0,
+            quant_noise_block=getattr(
+                args, "quant_noise_pq_block_size", 8
+            ) or 8,
         )
         model = cls(cfg)
         # fine-tuning recipes register the head before init (reference

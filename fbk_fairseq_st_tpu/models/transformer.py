@@ -56,6 +56,8 @@ class TransformerEncoderConfig(NamedTuple):
     layernorm_embedding: bool = False
     no_token_positional_embeddings: bool = False
     layerdrop: float = 0.0
+    quant_noise_pq: float = 0.0
+    quant_noise_block: int = 8
 
     @property
     def layer_cfg(self) -> TransformerLayerConfig:
@@ -68,6 +70,8 @@ class TransformerEncoderConfig(NamedTuple):
             activation_dropout=self.activation_dropout,
             activation=self.activation,
             normalize_before=self.normalize_before,
+            quant_noise_pq=self.quant_noise_pq,
+            quant_noise_block=self.quant_noise_block,
         )
 
 
@@ -197,6 +201,10 @@ class TransformerModel(Model):
             layernorm_embedding=getattr(args, "layernorm_embedding", False),
             no_token_positional_embeddings=args.no_token_positional_embeddings,
             layerdrop=getattr(args, "encoder_layerdrop", 0.0) or 0.0,
+            quant_noise_pq=getattr(args, "quant_noise_pq", 0) or 0.0,
+            quant_noise_block=getattr(
+                args, "quant_noise_pq_block_size", 8
+            ) or 8,
         )
         decoder_cfg = TransformerDecoderConfig(
             vocab_size=len(tgt_dict),
@@ -221,6 +229,10 @@ class TransformerModel(Model):
             layerdrop=getattr(args, "decoder_layerdrop", 0.0) or 0.0,
             no_encoder_attn=getattr(args, "no_cross_attention", False),
             cross_self_attention=getattr(args, "cross_self_attention", False),
+            quant_noise_pq=getattr(args, "quant_noise_pq", 0) or 0.0,
+            quant_noise_block=getattr(
+                args, "quant_noise_pq_block_size", 8
+            ) or 8,
         )
         return cls(encoder_cfg, decoder_cfg, share_all)
 
@@ -329,6 +341,12 @@ def base_architecture(args):
     # reference transformer.py:915-916
     args.no_cross_attention = getattr(args, "no_cross_attention", False)
     args.cross_self_attention = getattr(args, "cross_self_attention", False)
+    # reference transformer.py:921-923
+    args.quant_noise_pq = getattr(args, "quant_noise_pq", 0)
+    args.quant_noise_pq_block_size = getattr(
+        args, "quant_noise_pq_block_size", 8
+    )
+    args.quant_noise_scalar = getattr(args, "quant_noise_scalar", 0)
 
 
 @register_model_architecture("transformer", "transformer_iwslt_de_en")

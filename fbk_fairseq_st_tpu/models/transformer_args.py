@@ -79,3 +79,17 @@ def add_transformer_args(parser) -> None:
     parser.add_argument("--cross-self-attention", action="store_true",
                         default=False,
                         help="perform cross+self-attention")
+    # reference transformer.py:169-174 (quant-noise training for later
+    # PQ/scalar quantization; see quantization/quant_noise.py)
+    parser.add_argument("--quant-noise-pq", type=float, metavar="D",
+                        default=0,
+                        help="iterative PQ quantization noise at training "
+                             "time")
+    parser.add_argument("--quant-noise-pq-block-size", type=int, metavar="D",
+                        default=8,
+                        help="block size of quantization noise at training "
+                             "time")
+    parser.add_argument("--quant-noise-scalar", type=float, metavar="D",
+                        default=0,
+                        help="scalar quantization noise and scalar "
+                             "quantization at training time")

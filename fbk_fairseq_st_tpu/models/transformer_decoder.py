@@ -63,6 +63,12 @@ class TransformerDecoderConfig(NamedTuple):
     # reference --cross-self-attention (transformer.py:155-158,583): decoder
     # self-attention keys include the encoder states
     cross_self_attention: bool = False
+    quant_noise_pq: float = 0.0
+    quant_noise_block: int = 8
+    # LM --output-dictionary-size: the input embedding covers the full
+    # vocabulary while vocab_size (the output projection) is truncated
+    # (reference tasks/language_modeling.py:118-122); None = same as output
+    input_vocab_size: Optional[int] = None
     adaptive_softmax_cutoff: Optional[tuple] = None
     adaptive_softmax_factor: float = 4.0
     layerdrop: float = 0.0
@@ -94,6 +100,8 @@ class TransformerDecoderConfig(NamedTuple):
             activation=self.activation,
             normalize_before=self.normalize_before,
             cross_self_attention=self.cross_self_attention,
+            quant_noise_pq=self.quant_noise_pq,
+            quant_noise_block=self.quant_noise_block,
         )
 
 
@@ -114,6 +122,12 @@ class TransformerDecoder:
 
     def init(self, key) -> Dict[str, Any]:
         cfg = self.cfg
+        in_vocab = cfg.input_vocab_size or cfg.vocab_size
+        if cfg.share_input_output_embed and in_vocab != cfg.vocab_size:
+            raise ValueError(
+                "--output-dictionary-size is incompatible with "
+                "--share-decoder-input-output-embed"
+            )
         ks = jax.random.split(key, cfg.layers + 3)
         if cfg.char_embedder is not None:
             from ..ops.character_embedder import init_character_embedder
@@ -128,7 +142,7 @@ class TransformerDecoder:
 
             embed_p = {
                 "adaptive_input": init_adaptive_input(
-                    ks[0], cfg.vocab_size, cfg.padding_idx, cfg.embed_dim,
+                    ks[0], in_vocab, cfg.padding_idx, cfg.embed_dim,
                     cfg.adaptive_input_factor, cfg.embed_dim,
                     cfg.adaptive_input_cutoff,
                 )
@@ -136,7 +150,7 @@ class TransformerDecoder:
         else:
             embed_p = {
                 "embed_tokens": init_embedding(
-                    ks[0], cfg.vocab_size, cfg.embed_dim, cfg.padding_idx
+                    ks[0], in_vocab, cfg.embed_dim, cfg.padding_idx
                 )
             }
         p: Dict[str, Any] = {
@@ -206,7 +220,10 @@ class TransformerDecoder:
 
             x = self.embed_scale * adaptive_embed(
                 params["adaptive_input"],
-                _parse_cutoff(cfg.adaptive_input_cutoff, cfg.vocab_size),
+                _parse_cutoff(
+                    cfg.adaptive_input_cutoff,
+                    cfg.input_vocab_size or cfg.vocab_size,
+                ),
                 tokens, dtype,
             )
         else:

@@ -32,6 +32,11 @@ class TransformerLanguageModel(Model):
         parser.add_argument("--adaptive-input-cutoff", metavar="EXPR",
                             help="comma separated adaptive input cutoffs")
         parser.add_argument("--adaptive-input-factor", type=float, metavar="N")
+        # reference transformer_lm.py:82-84 (tail projections shrink by this
+        # factor per cluster; must equal --adaptive-input-factor when tying)
+        parser.add_argument("--adaptive-softmax-factor", type=float,
+                            metavar="N",
+                            help="adaptive softmax factor")
         parser.add_argument("--no-decoder-final-norm", action="store_true",
                             help="don't add an extra layernorm after the "
                             "last decoder block")
@@ -60,8 +65,12 @@ class TransformerLanguageModel(Model):
     def build_model(cls, args, task):
         base_lm_architecture(args)
         d = task.target_dictionary
+        src_d = getattr(task, "source_dictionary", None) or d
         cfg = TransformerDecoderConfig(
             vocab_size=len(d),
+            # --output-dictionary-size: input embeds the full vocab while
+            # the output projection is truncated
+            input_vocab_size=len(src_d) if len(src_d) != len(d) else None,
             embed_dim=args.decoder_embed_dim,
             ffn_dim=args.decoder_ffn_embed_dim,
             layers=args.decoder_layers,
@@ -95,6 +104,10 @@ class TransformerLanguageModel(Model):
                 args, "adaptive_softmax_factor", 4.0
             ),
             layerdrop=getattr(args, "decoder_layerdrop", 0.0) or 0.0,
+            quant_noise_pq=getattr(args, "quant_noise_pq", 0) or 0.0,
+            quant_noise_block=getattr(
+                args, "quant_noise_pq_block_size", 8
+            ) or 8,
             adaptive_input_cutoff=(
                 tuple(
                     int(x)

@@ -65,6 +65,7 @@ class Wav2VecConfig(NamedTuple):
     dropout_features: float = 0.0
     dropout_agg: float = 0.0
     aggregator: str = "cnn"
+    gru_dim: int = 512
     no_conv_bias: bool = False
     agg_zero_pad: bool = False
     skip_connections_feat: bool = False
@@ -103,7 +104,10 @@ class Wav2VecModel(Model):
     def __init__(self, cfg: Wav2VecConfig):
         self.cfg = cfg
         self.embed = cfg.conv_feature_layers[-1][0]
-        self.agg_dim = cfg.conv_aggregator_layers[-1][0]
+        self.agg_dim = (
+            cfg.gru_dim if cfg.aggregator == "gru"
+            else cfg.conv_aggregator_layers[-1][0]
+        )
         self.max_source_positions = 10 ** 9
         self.max_target_positions = 10 ** 9
 
@@ -120,7 +124,12 @@ class Wav2VecModel(Model):
         parser.add_argument("--dropout-features", type=float, metavar="D")
         parser.add_argument("--dropout-agg", type=float, metavar="D")
         parser.add_argument("--encoder", type=str, choices=["cnn"])
-        parser.add_argument("--aggregator", type=str, choices=["cnn"])
+        parser.add_argument("--aggregator", type=str,
+                            choices=["cnn", "gru"])
+        # reference wav2vec.py:91-93 (one-layer unidirectional GRU over the
+        # encoder features instead of the causal conv stack)
+        parser.add_argument("--gru-dim", type=int, metavar="N",
+                            help="GRU dimensionality")
         parser.add_argument("--no-conv-bias", action="store_true")
         parser.add_argument("--agg-zero-pad", action="store_true")
         parser.add_argument("--skip-connections-feat", action="store_true")
@@ -164,6 +173,8 @@ class Wav2VecModel(Model):
             dropout=args.dropout,
             dropout_features=args.dropout_features,
             dropout_agg=args.dropout_agg,
+            aggregator=args.aggregator,
+            gru_dim=args.gru_dim,
             no_conv_bias=args.no_conv_bias,
             agg_zero_pad=args.agg_zero_pad,
             skip_connections_feat=args.skip_connections_feat,
@@ -206,6 +217,12 @@ class Wav2VecModel(Model):
 
     def _init_aggregator(self, key):
         cfg = self.cfg
+        if cfg.aggregator == "gru":
+            # reference wav2vec.py:307-318: TransposeLast + nn.GRU(embed ->
+            # gru_dim, 1 layer); here the shared scan cell
+            from .gru_transformer import init_gru
+
+            return {"gru": init_gru(key, self.embed, cfg.gru_dim)}
         layers = []
         in_d = self.embed
         for i, (dim, k, _) in enumerate(cfg.conv_aggregator_layers):
@@ -294,8 +311,13 @@ class Wav2VecModel(Model):
         return x
 
     def aggregator(self, layers, x, rng, deterministic):
-        """Causal conv stack; x: (B, T, embed) -> (B, T, agg_dim)."""
+        """Causal conv stack (or --aggregator gru: one recurrent sweep);
+        x: (B, T, embed) -> (B, T, agg_dim)."""
         cfg = self.cfg
+        if cfg.aggregator == "gru":
+            from .gru_transformer import gru_scan
+
+            return gru_scan(layers["gru"], x)
         act = get_activation(cfg.activation)
         for p, (dim, k, stride) in zip(layers, cfg.conv_aggregator_layers):
             residual = x

@@ -48,6 +48,10 @@ class TransformerLayerConfig(NamedTuple):
     # decoder self-attention additionally attends over the encoder states
     # (reference --cross-self-attention, transformer_layer.py:286-307)
     cross_self_attention: bool = False
+    # --quant-noise-pq training noise on every projection/FFN weight
+    # (reference transformer.py:169-174 + modules/quant_noise.py)
+    quant_noise_pq: float = 0.0
+    quant_noise_block: int = 8
 
     @property
     def self_attn_cfg(self) -> MHAConfig:
@@ -79,6 +83,39 @@ def init_encoder_layer(key, cfg: TransformerLayerConfig):
     }
 
 
+def _pq_noised(params, cfg: TransformerLayerConfig, rng: "RngStream"):
+    """Apply --quant-noise-pq block dropout to every projection weight of a
+    layer (fc1/fc2 + q/k/v/out of each attention), the set the reference
+    wraps with quant_noise() Linear hooks."""
+    from ..quantization.quant_noise import quant_noise_linear
+
+    out = dict(params)
+    for name in ("fc1", "fc2"):
+        if name in out:
+            out[name] = dict(
+                out[name],
+                w=quant_noise_linear(
+                    rng.next(), out[name]["w"],
+                    cfg.quant_noise_pq, cfg.quant_noise_block,
+                ),
+            )
+    for name in ("self_attn", "encoder_attn"):
+        if name not in out:
+            continue
+        proj = dict(out[name])
+        for k in ("q", "k", "v", "out"):
+            if k in proj and isinstance(proj[k], dict) and "w" in proj[k]:
+                proj[k] = dict(
+                    proj[k],
+                    w=quant_noise_linear(
+                        rng.next(), proj[k]["w"],
+                        cfg.quant_noise_pq, cfg.quant_noise_block,
+                    ),
+                )
+        out[name] = proj
+    return out
+
+
 def encoder_layer(
     params,
     cfg: TransformerLayerConfig,
@@ -92,6 +129,8 @@ def encoder_layer(
     vggtransformer left/right context mask)."""
     act = get_activation(cfg.activation)
     rng = rng or RngStream(None)
+    if cfg.quant_noise_pq > 0 and not deterministic and rng.active:
+        params = _pq_noised(params, cfg, rng)
 
     # Megatron-SP: under an active sequence-parallel scope the LN/dropout/
     # residual segments run time-sharded over the 'model' axis (GSPMD turns
@@ -326,6 +365,8 @@ def decoder_layer(
     """x: (B, T, D). Returns (x, cross_attn_weights|None, new_cache|None)."""
     act = get_activation(cfg.activation)
     rng = rng or RngStream(None)
+    if cfg.quant_noise_pq > 0 and not deterministic and rng.active:
+        params = _pq_noised(params, cfg, rng)
     new_cache: Optional[Dict[str, Any]] = {} if cache is not None else None
 
     x = constrain_seq_parallel(x)  # no-op outside a sequence-parallel scope

@@ -63,6 +63,38 @@ def fake_quantize(w, bits: int = 8, method: str = "tensor"):
     return w + jax.lax.stop_gradient(q - w)
 
 
+def scalar_quant_noise(key, w, p: float, bits: int = 8,
+                       method: str = "tensor"):
+    """--quant-noise-scalar: each weight element is replaced by its int8
+    fake-quantized value with probability p (STE backward), the reference's
+    scalar quant-noise training (quantization/scalar/modules/qlinear.py:
+    quantize weight, bernoulli(1-p) mask keeps the fp value)."""
+    if p <= 0:
+        return w
+    q, _, _ = emulate_int(w, bits, method)
+    noise = jnp.where(jax.random.bernoulli(key, 1.0 - p, w.shape), 0.0, q - w)
+    return w + jax.lax.stop_gradient(noise).astype(w.dtype)
+
+
+def scalar_quant_noise_params(params, key, p: float, bits: int = 8,
+                              method: str = "tensor", min_size: int = 256):
+    """Apply scalar quant noise to every weight leaf with >= min_size
+    elements (same whitelist as fake_quantize_params)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, max(len(leaves), 1))
+
+    def leaf(w, k):
+        if hasattr(w, "size") and w.size >= min_size and jnp.issubdtype(
+            w.dtype, jnp.floating
+        ):
+            return scalar_quant_noise(k, w, p, bits, method)
+        return w
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [leaf(w, k) for w, k in zip(leaves, keys)]
+    )
+
+
 def fake_quantize_params(params, bits: int = 8, method: str = "tensor",
                          min_size: int = 256):
     """Apply STE fake quantization to every weight leaf with >= min_size

@@ -129,6 +129,10 @@ class CrossLingualLMTask(LegacyMaskedLMTask):
         LegacyMaskedLMTask.add_args(parser)
         parser.add_argument("--monolingual-langs", default="en", type=str,
                             help="comma-separated languages")
+        # reference cross_lingual_lm.py:52-54
+        parser.add_argument("--shuffle", action="store_true",
+                            help="shuffle each monolingual dataset while "
+                                 "training")
 
     def __init__(self, args, dictionary):
         super().__init__(args, dictionary)
@@ -178,7 +182,10 @@ class CrossLingualLMTask(LegacyMaskedLMTask):
                 seed=self.seed,
             )
             lang_datasets.append(
-                MaskedLMDataset(pair, self.dictionary.pad(), shuffle=False)
+                MaskedLMDataset(
+                    pair, self.dictionary.pad(),
+                    shuffle=getattr(self.args, "shuffle", False),
+                )
             )
         self.datasets[split] = (
             ConcatDataset(lang_datasets)

@@ -41,6 +41,12 @@ class MultilingualDenoisingTask(DenoisingTask):
                             action="store_true")
         parser.add_argument("--langs", type=str, default=None,
                             help="comma-separated language ids")
+        # reference multilingual_denoising.py:40-41 (scripts without word
+        # segmentation fall back to subword masking)
+        parser.add_argument("--no-whole-word-mask-langs", type=str,
+                            default="", metavar="N",
+                            help="languages without spacing between words "
+                                 "(do not use whole-word masking)")
 
     @classmethod
     def setup_task(cls, args, **kwargs):
@@ -75,6 +81,9 @@ class MultilingualDenoisingTask(DenoisingTask):
             get_whole_word_mask(None, self.dictionary)
             if self.args.mask_length != "subword" else None
         )
+        language_without_segmentations = getattr(
+            self.args, "no_whole_word_mask_langs", ""
+        ).split(",")
         lang_datasets = []
         for language in languages:
             split_path = os.path.join(data_path, language, split)
@@ -99,10 +108,16 @@ class MultilingualDenoisingTask(DenoisingTask):
             )
             ds = PrependTokenDataset(ds, self.dictionary.bos())
             ds = AppendTokenDataset(ds, end_token)
+            lang_mask_whole_words = (
+                mask_whole_words
+                if language not in language_without_segmentations
+                else None
+            )
             lang_datasets.append(
                 DenoisingDataset(
                     ds, ds.sizes, self.dictionary, self.mask_idx,
-                    mask_whole_words, shuffle=self.args.shuffle_instance,
+                    lang_mask_whole_words,
+                    shuffle=self.args.shuffle_instance,
                     seed=self.seed, args=self.args, eos=end_token,
                 )
             )

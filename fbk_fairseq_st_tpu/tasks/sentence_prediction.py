@@ -34,12 +34,13 @@ logger = logging.getLogger(__name__)
 
 class SentencePredictionDataset(Dataset):
     def __init__(self, src, labels, pad_idx, regression: bool,
-                 shuffle: bool = True):
+                 shuffle: bool = True, add_prev_output_tokens: bool = False):
         self.src = src
         self.labels = labels
         self.pad_idx = pad_idx
         self.regression = regression
         self.shuffle = shuffle
+        self.add_prev_output_tokens = add_prev_output_tokens
 
     def __getitem__(self, index):
         target = None
@@ -91,11 +92,27 @@ class SentencePredictionDataset(Dataset):
                     else np.full(extra, -1, np.int64)
                 )
                 target = np.concatenate([target, pad_rows])
+        net_input = {"src_tokens": src, "src_lengths": lengths}
+        if self.add_prev_output_tokens:
+            # reference sentence_prediction.py:160-167: per-item roll of the
+            # source by 1 (RollDataset), right-padded — lets BART-style
+            # encoder-decoder classification heads run teacher-forced
+            prev = collate_tokens(
+                [np.roll(s["source"], 1) for s in samples], self.pad_idx,
+                pad_to_length=pad_to_src_len,
+            )
+            if src.shape[0] > prev.shape[0]:  # pad_to_bsz rows
+                prev = np.concatenate([
+                    prev,
+                    np.full((src.shape[0] - prev.shape[0], prev.shape[1]),
+                            self.pad_idx, prev.dtype),
+                ])
+            net_input["prev_output_tokens"] = prev
         return {
             "id": ids,
             "nsentences": nsentences,
             "ntokens": int(lengths.sum()),
-            "net_input": {"src_tokens": src, "src_lengths": lengths},
+            "net_input": net_input,
             "target": target,
         }
 
@@ -131,6 +148,11 @@ class SentencePredictionTask(Task):
         parser.add_argument("--no-shuffle", action="store_true", default=False)
         parser.add_argument("--truncate-sequence", action="store_true",
                             default=False)
+        # reference sentence_prediction.py:58-59
+        parser.add_argument("--add-prev-output-tokens", action="store_true",
+                            default=False,
+                            help="add prev_output_tokens to sample, used for "
+                                 "encoder-decoder arch")
         # --max-positions comes from the model args (roberta add_args)
 
     def __init__(self, args, data_dictionary, label_dictionary):
@@ -221,6 +243,9 @@ class SentencePredictionTask(Task):
             src_tokens, labels, self.source_dictionary.pad(),
             regression=self.args.regression_target,
             shuffle=not self.args.no_shuffle,
+            add_prev_output_tokens=getattr(
+                self.args, "add_prev_output_tokens", False
+            ),
         )
         logger.info(
             "Loaded {} with #samples: {}".format(

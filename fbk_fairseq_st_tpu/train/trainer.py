@@ -288,6 +288,14 @@ class Trainer:
         rng = RngStream(rng_key)
         batch = self._cast_batch(batch)
         batch = self.task.augment_batch(batch, rng)
+        qns = float(getattr(self.args, "quant_noise_scalar", 0) or 0)
+        if qns > 0:
+            # --quant-noise-scalar: train against int8 rounding (reference
+            # roberta/model.py quantize_model_ wrapping; here one STE pass
+            # over the weight leaves inside the jitted step)
+            from ..quantization.scalar import scalar_quant_noise_params
+
+            params = scalar_quant_noise_params(params, rng.next(), qns)
         variables = {"params": params, "state": model_state}
         loss, sample_size, logging_output, new_state = self.criterion(
             self.model, variables, batch, rng=rng, training=True

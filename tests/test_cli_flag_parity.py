@@ -380,3 +380,100 @@ def test_eval_lm_and_validation_parsers():
          "--quiet", "--results-path", "/tmp/r"]
     )
     assert args.quiet and args.results_path == "/tmp/r"
+
+
+@pytest.mark.quick
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not available"
+)
+def test_add_argument_surface_covers_reference_tree():
+    """Mechanical add_argument option-string diff over the WHOLE reference
+    tree (fairseq/ + fairseq_cli/ + examples/speech_recognition) vs this
+    repo — catches component-level add_args (tasks, models, criterions,
+    encoders, w2l decoders) that the parser-factory sweep above structurally
+    cannot see. Every reference long option must be registered somewhere in
+    this package (functionally, or as a documented parity no-op/alias)."""
+    import re
+    from pathlib import Path
+
+    # every quoted option string in the call, including alias spellings
+    # (e.g. add_argument("--activation-dropout", "--relu-dropout", ...))
+    call = re.compile(r"add_argument\(((?:\s*['\"]-[^'\"]*['\"]\s*,?)+)")
+    opt = re.compile(r"['\"](--[A-Za-z0-9][A-Za-z0-9-]*)['\"]")
+
+    def collect(roots):
+        opts = set()
+        for root in roots:
+            for p in Path(root).rglob("*.py"):
+                if "test" in p.parts or p.name.startswith("test_"):
+                    continue
+                text = p.read_text(errors="ignore")
+                for c in call.finditer(text):
+                    opts.update(m.group(1) for m in opt.finditer(c.group(1)))
+        return opts
+
+    ref = collect([
+        os.path.join(REFERENCE, "fairseq"),
+        os.path.join(REFERENCE, "fairseq_cli"),
+        os.path.join(REFERENCE, "examples", "speech_recognition"),
+    ])
+    mine = collect([
+        os.path.dirname(os.path.dirname(os.path.abspath(options.__file__)))
+        + "/fbk_fairseq_st_tpu",
+    ])
+    missing = sorted(ref - mine)
+    assert not missing, (
+        f"{len(missing)} reference flags have no registration here: "
+        f"{missing}"
+    )
+
+
+@pytest.mark.quick
+def test_component_flag_tail_parses():
+    """The flags the round-3 audit found missing now parse through the real
+    two-pass parser with their owning component selected."""
+    cases = [
+        (["data", "--task", "language_modeling",
+          "--arch", "transformer_lm",
+          "--self-target", "--future-target", "--past-target",
+          "--output-dictionary-size", "1000", "--add-bos-token",
+          "--sample-break-mode", "complete_doc",
+          "--adaptive-softmax-factor", "2"],
+         ["self_target", "past_target", "add_bos_token"]),
+        (["data", "--task", "translation", "--arch", "lstm",
+          "--encoder-freeze-embed", "--decoder-freeze-embed"],
+         ["encoder_freeze_embed"]),
+        (["data", "--task", "translation",
+          "--arch", "transformer_iwslt_de_en",
+          "--cross-self-attention", "--no-cross-attention",
+          "--quant-noise-pq", "0.1", "--quant-noise-pq-block-size", "8",
+          "--quant-noise-scalar", "0.2",
+          "--optimizer", "adam", "--use-old-adam"],
+         ["cross_self_attention", "use_old_adam"]),
+        (["data", "--task", "translation_lev", "--noise", "random_mask",
+          "--arch", "nonautoregressive_transformer",
+          "--pred-length-offset", "--sg-length-pred",
+          "--apply-bert-init"],
+         ["pred_length_offset", "sg_length_pred"]),
+        (["data", "--task", "audio_pretraining", "--arch", "wav2vec",
+          "--aggregator", "gru", "--gru-dim", "256",
+          "--criterion", "binary_cross_entropy",
+          "--log-keys", "['prob_perplexity']"],
+         ["gru_dim"]),
+        (["data", "--task", "masked_lm",
+          "--arch", "masked_lm",
+          "--criterion", "legacy_masked_lm_loss", "--masked-lm-only"],
+         ["masked_lm_only"]),
+        (["data", "--task", "multilingual_denoising",
+          "--arch", "mbart_large", "--langs", "en,ja",
+          "--no-whole-word-mask-langs", "ja"],
+         ["no_whole_word_mask_langs"]),
+        (["data", "--task", "sentence_prediction", "--num-classes", "2",
+          "--arch", "roberta_base", "--add-prev-output-tokens"],
+         ["add_prev_output_tokens"]),
+    ]
+    for argv, attrs in cases:
+        parser = options.get_training_parser()
+        args = options.parse_args_and_arch(parser, list(argv))
+        for a in attrs:
+            assert getattr(args, a) not in (None, False), (argv, a)

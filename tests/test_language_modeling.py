@@ -563,3 +563,197 @@ def test_tie_adaptive_weights_shares_parameters():
         )),
         0.0, atol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: multi-target LM data + complete_doc + output-dictionary-size
+# (reference tasks/language_modeling.py:65-199, data/monolingual_dataset.py,
+# data/token_block_dataset.py:120-146)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.quick
+def test_token_block_include_targets():
+    """include_targets: source/past shift across block boundaries; only the
+    stream start is eos/pad padded (reference token_block_dataset.py:128-146).
+    Stream = [1,2,3,4,5,6,7,8,9]."""
+    ds = _Toks([[1, 2, 3], [4, 5], [6, 7, 8, 9]])
+    tb = TokenBlockDataset(ds, ds.sizes, 4, pad=0, eos=2,
+                           break_mode="none", include_targets=True)
+    src, item, past = tb[0]
+    np.testing.assert_array_equal(item, [1, 2, 3, 4])
+    np.testing.assert_array_equal(src, [2, 1, 2, 3])     # eos-led shift
+    np.testing.assert_array_equal(past, [0, 2, 1, 2])    # pad,eos-led shift
+    src, item, past = tb[1]
+    np.testing.assert_array_equal(item, [5, 6, 7, 8])
+    np.testing.assert_array_equal(src, [4, 5, 6, 7])     # crosses boundary
+    np.testing.assert_array_equal(past, [3, 4, 5, 6])
+
+    # start == 1 corner (past needs one eos of padding)
+    tb1 = TokenBlockDataset(ds, ds.sizes, 1, pad=0, eos=2,
+                            break_mode="none", include_targets=True)
+    src, item, past = tb1[1]
+    np.testing.assert_array_equal(item, [2])
+    np.testing.assert_array_equal(src, [1])
+    np.testing.assert_array_equal(past, [2])
+
+
+@pytest.mark.quick
+def test_token_block_complete_doc():
+    """complete_doc: a size-1 sentence (lone eos = empty line) is a document
+    boundary no block crosses (reference token_block_utils_fast.pyx:75-95)."""
+    ds = _Toks([[1, 2, 3], [2], [4, 5], [6, 7], [2], [8, 9]])
+    tb = TokenBlockDataset(ds, ds.sizes, 10, pad=0, eos=2,
+                           break_mode="complete_doc", include_targets=False)
+    assert len(tb) == 3
+    np.testing.assert_array_equal(tb[0], [1, 2, 3])
+    np.testing.assert_array_equal(tb[1], [4, 5, 6, 7])
+    np.testing.assert_array_equal(tb[2], [8, 9])
+    # small block size still never crosses the separator
+    tb = TokenBlockDataset(ds, ds.sizes, 2, pad=0, eos=2,
+                           break_mode="complete_doc")
+    got = [tb[i].tolist() for i in range(len(tb))]
+    assert got == [[1, 2, 3], [4, 5], [6, 7], [8, 9]]
+
+
+@pytest.mark.quick
+def test_monolingual_multi_target_matches_reference():
+    """targets=['self','future','past'] + add_eos_for_other_targets +
+    add_bos_token + --output-dictionary-size truncation: sample-for-sample
+    equality with the reference MonolingualDataset fed the same
+    (source, future, past) triples."""
+    import torch
+
+    from .test_reference_equivalence import _load_reference
+
+    _load_reference()
+    from fairseq.data.monolingual_dataset import (
+        MonolingualDataset as RefMono,
+    )
+    from fairseq.data.dictionary import Dictionary as RefDictionary
+
+    from fbk_fairseq_st_tpu.data.dictionary import (
+        Dictionary,
+        TruncatedDictionary,
+    )
+    from fbk_fairseq_st_tpu.data.monolingual import MonolingualDataset
+
+    def fill(d):
+        for i in range(10):
+            d.add_symbol(f"w{i}")
+        return d
+
+    d_my, d_ref = fill(Dictionary()), fill(RefDictionary())
+    # 'complete'-mode triples (some blocks do not end in eos)
+    ds = _Toks([[4, 5, 6], [7, 8], [9, 10, 11, 2]])
+    tb = TokenBlockDataset(ds, ds.sizes, 5, pad=d_my.pad(), eos=d_my.eos(),
+                           break_mode="complete", include_targets=True)
+
+    class _RefTriples(torch.utils.data.Dataset):
+        def __len__(self):
+            return len(tb)
+
+        def __getitem__(self, i):
+            s, t, p = tb[i]
+            return (torch.tensor(s), torch.tensor(t), torch.tensor(p))
+
+    from fairseq.data.dictionary import TruncatedDictionary as RefTrunc
+
+    for targets in (["future"], ["self", "future", "past"], ["past"]):
+        for trunc, bos in ((None, False), (10, True)):
+            if bos and len(targets) > 1:
+                # the reference's _maybe_add_bos crashes on a target LIST
+                # (monolingual_dataset.py:136 list.new) — this build handles
+                # it; nothing to compare against
+                continue
+            tv_my = (TruncatedDictionary(d_my, trunc) if trunc else d_my)
+            tv_ref = (RefTrunc(d_ref, trunc) if trunc else d_ref)
+            mine = MonolingualDataset(
+                tb, tb.sizes, d_my, tv_my, add_eos_for_other_targets=True,
+                shuffle=False, targets=list(targets), add_bos_token=bos,
+            )
+            ref = RefMono(
+                _RefTriples(), tb.sizes, d_ref, tv_ref,
+                add_eos_for_other_targets=True, shuffle=False,
+                targets=list(targets), add_bos_token=bos,
+            )
+            for i in range(len(tb)):
+                a, b = mine[i], ref[i]
+                np.testing.assert_array_equal(
+                    a["source"], b["source"].numpy(), err_msg=str((targets, i))
+                )
+                if isinstance(a["target"], list):
+                    assert len(a["target"]) == len(b["target"])
+                    for x, y in zip(a["target"], b["target"]):
+                        np.testing.assert_array_equal(x, y.numpy())
+                else:
+                    np.testing.assert_array_equal(
+                        a["target"], b["target"].numpy()
+                    )
+            # collated batches agree (reference collate pads with pad_idx)
+            bm = mine.collater([mine[i] for i in range(len(tb))])
+            br = ref.collater([ref[i] for i in range(len(tb))])
+            np.testing.assert_array_equal(
+                bm["net_input"]["src_tokens"],
+                br["net_input"]["src_tokens"].numpy(),
+            )
+            if isinstance(bm["target"], list):
+                for x, y in zip(bm["target"], br["target"]):
+                    np.testing.assert_array_equal(x, y.numpy())
+            else:
+                np.testing.assert_array_equal(
+                    bm["target"], br["target"].numpy()
+                )
+
+
+def test_lm_task_new_flags_end_to_end(tmp_path):
+    """--output-dictionary-size / --add-bos-token / --future-target /
+    complete_doc parse and train through the real CLI; --self-target is
+    rejected for a decoder-only LM (supported_targets validation)."""
+    data_dir = str(tmp_path / "data")
+    save_dir = str(tmp_path / "ckpt")
+    create_lm_data(data_dir)
+    base = [
+        data_dir, "--save-dir", save_dir,
+        "--task", "language_modeling",
+        "--sample-break-mode", "complete_doc",
+        "--tokens-per-sample", "16",
+        "--arch", "transformer_lm",
+        "--criterion", "cross_entropy",
+        "--optimizer", "adam", "--lr", "0.001",
+        "--lr-scheduler", "fixed",
+        "--max-tokens", "128", "--max-epoch", "1",
+        "--decoder-layers", "1",
+        "--decoder-embed-dim", "16",
+        "--decoder-ffn-embed-dim", "32",
+        "--decoder-attention-heads", "2",
+        "--log-format", "none",
+        "--output-dictionary-size", "10",
+        "--add-bos-token", "--future-target",
+        "--truncate-sequence",
+    ]
+    train_cli.cli_main(base)
+    assert "checkpoint_last.pt" in os.listdir(save_dir)
+
+    # eval_lm against the truncated-output checkpoint
+    avg_nll, total = eval_lm_cli.cli_main(
+        [
+            data_dir,
+            "--task", "language_modeling",
+            "--sample-break-mode", "eos",
+            "--tokens-per-sample", "16",
+            "--output-dictionary-size", "10",
+            "--add-bos-token",
+            "--path", os.path.join(save_dir, "checkpoint_last.pt"),
+            "--gen-subset", "test",
+            "--max-tokens", "128",
+            "--log-format", "none",
+        ]
+    )
+    assert total > 0 and np.isfinite(avg_nll)
+
+    # decoder-only LMs support only the 'future' target
+    bad = list(base)
+    bad[bad.index("--future-target")] = "--self-target"
+    with pytest.raises(ValueError, match="Unsupported language modeling"):
+        train_cli.cli_main(bad)
