@@ -12,7 +12,8 @@ is batch-first (B, T, C); downsampled heads run at fixed strided widths so
 the whole stack jits statically; incremental generation re-runs the causal
 decoder at full width per step (self-attention needs the whole prefix
 anyway). The --pretrained fusion variant (frozen second model + gated
-joining, reference :376-478) is not implemented.
+joining, reference :376-478) is implemented below
+(fconv_selfatt_pretrained, lines ~246-482).
 """
 
 from __future__ import annotations

@@ -204,3 +204,77 @@ def test_jax_compilation_cache_wiring(tmp_path):
         capture_output=True, timeout=300,
     )
     assert cache.is_dir() and any(cache.iterdir())
+
+
+@pytest.mark.quick
+def test_strip_modules_both_formats(tmp_path):
+    """strip_modules removes params by prefix on native (nested tree) and
+    fork torch (flat state dict) checkpoints (reference
+    strip_modules.py:14-47)."""
+    import pickle
+
+    from fbk_fairseq_st_tpu.scripts import strip_modules
+
+    # native nested checkpoint
+    native = str(tmp_path / "native.pt")
+    state = {
+        "model": {
+            "encoder": {"w": np.ones(3)},
+            "decoder": {"layers": [  # list subtree survives untouched
+            ], "w": np.zeros(2)},
+        },
+        "args": {"arch": "x"},
+    }
+    state["model"]["decoder"].pop("layers")
+    with open(native, "wb") as f:
+        pickle.dump(state, f)
+    out = str(tmp_path / "enc_only.pt")
+    strip_modules.main(["--model-path", native, "--new-model-path", out,
+                        "--strip-what", "decoder"])
+    with open(out, "rb") as f:
+        stripped = pickle.load(f)
+    assert "decoder" not in stripped["model"]
+    assert "encoder" in stripped["model"]
+    assert stripped["args"] == {"arch": "x"}
+
+    # fork torch flat checkpoint
+    import torch
+
+    fork = str(tmp_path / "fork.pt")
+    torch.save(
+        {"model": {"encoder.w": torch.ones(3),
+                   "decoder.embed.weight": torch.zeros(2)},
+         "args": None},
+        fork,
+    )
+    out2 = str(tmp_path / "fork_enc.pt")
+    strip_modules.main(["--model-path", fork, "--new-model-path", out2,
+                        "--strip-what", "decoder"])
+    stripped2 = torch.load(out2, map_location="cpu", weights_only=False)
+    assert list(stripped2["model"]) == ["encoder.w"]
+
+    # root-level launcher exists and targets the same main
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "root_strip", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "strip_modules.py")
+    )
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main is strip_modules.main
+
+
+@pytest.mark.quick
+def test_hubconf_exposes_models():
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "hubconf", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "hubconf.py")
+    )
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert "jax" in mod.dependencies
+    assert callable(getattr(mod, "transformer"))
+    assert callable(getattr(mod, "conv_transformer"))
