@@ -800,7 +800,21 @@ class Trainer:
         }
 
     def state_for_checkpoint(self) -> Dict[str, Any]:
-        host = jax.device_get
+        def host(tree):
+            # multi-host + FSDP/TP: leaves sharded across PROCESSES are not
+            # device_get-able (non-addressable shards); all-gather those
+            # through the mesh first. Called by save_checkpoint on EVERY
+            # process in lockstep, so the collective is safe.
+            leaves = jax.tree_util.tree_leaves(tree)
+            if any(
+                isinstance(x, jax.Array) and not x.is_fully_addressable
+                for x in leaves
+            ):
+                from jax.experimental import multihost_utils
+
+                return multihost_utils.process_allgather(tree, tiled=True)
+            return jax.device_get(tree)
+
         return {
             "params": host(self.train_state["params"]),
             "model_state": host(self.train_state["model_state"]),

@@ -77,11 +77,11 @@ _DRIVER = textwrap.dedent(
 )
 
 
-def _run_multihost(data_dir, save_dir, n_procs=2):
+def _run_multihost(data_dir, save_dir, n_procs=2, extra=()):
     port = _free_port()
     procs = []
     for pid in range(n_procs):
-        argv = [data_dir, "--save-dir", save_dir] + TRAIN_ARGS + [
+        argv = [data_dir, "--save-dir", save_dir] + TRAIN_ARGS + list(extra) + [
             "--distributed-coordinator", f"127.0.0.1:{port}",
             "--distributed-num-processes", str(n_procs),
             "--distributed-process-id", str(pid),
@@ -103,10 +103,10 @@ def _run_multihost(data_dir, save_dir, n_procs=2):
     return outs
 
 
-def _run_singlehost(data_dir, save_dir):
+def _run_singlehost(data_dir, save_dir, extra=()):
     """Same config, one process, all 8 virtual devices — run in a
     subprocess too so both sides see identical library state."""
-    argv = [data_dir, "--save-dir", save_dir] + TRAIN_ARGS
+    argv = [data_dir, "--save-dir", save_dir] + TRAIN_ARGS + list(extra)
     script = _DRIVER.format(repo=REPO, argv=argv).replace(
         "device_count=4", "device_count=8"
     )
@@ -221,3 +221,71 @@ def test_two_process_run_writes_single_checkpoint_set(tmp_path):
     files = sorted(os.listdir(save_dir))
     assert "checkpoint_last.pt" in files
     assert not any(f.endswith(".tmp") for f in files)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "extra",
+    [
+        ["--model-parallel-size", "2"],
+        ["--fsdp", "--fsdp-min-shard-size", "1"],
+        ["--dcn-data-parallel", "2"],
+    ],
+    ids=["tp2", "fsdp", "dcn2"],
+)
+def test_two_process_composed_parallelism_matches_single_process(
+    tmp_path, extra
+):
+    """The last untested cell of the parallelism matrix: 2 REAL processes x
+    4 devices with a NON-TRIVIAL mesh — (data x model) tensor parallelism,
+    ZeRO-3 FSDP sharding, and the multi-slice DCN axis — each compared
+    parameter-for-parameter against the single-process 8-device run with
+    the identical config. This is exactly where process-local global-array
+    formation (parallel/mesh.py place_global_array) can silently go wrong:
+    the rows a process contributes must land in the right mesh coordinates
+    regardless of how the axes factor across hosts."""
+    data_dir = str(tmp_path / "data")
+    create_dummy_speech_data(data_dir, n=16)
+
+    save_multi = str(tmp_path / "ckpt_multi")
+    save_single = str(tmp_path / "ckpt_single")
+    _run_multihost(data_dir, save_multi, n_procs=2, extra=extra)
+    _run_singlehost(data_dir, save_single, extra=extra)
+
+    multi = _load_params(os.path.join(save_multi, "checkpoint_last.pt"))
+    single = _load_params(os.path.join(save_single, "checkpoint_last.pt"))
+
+    import jax
+
+    flat_m = jax.tree_util.tree_leaves_with_path(multi)
+    flat_s = dict(
+        (str(k), v) for k, v in jax.tree_util.tree_leaves_with_path(single)
+    )
+    assert len(flat_m) == len(flat_s)
+    max_abs = 0.0
+    for k, v in flat_m:
+        ref = flat_s[str(k)]
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(ref), rtol=2e-5, atol=1e-6,
+            err_msg=f"{extra}: {k}",
+        )
+        max_abs = max(max_abs, float(np.abs(v - ref).max()))
+    print(f"max abs param deviation 2-proc vs 1-proc {extra}: {max_abs:.2e}")
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_resume(tmp_path):
+    """Restore under multi-host FSDP: the second launch must re-place the
+    host-gathered checkpoint onto cross-process sharded placements
+    (trainer.load_trainer_state device_put with the FSDP param shardings)
+    and train one more epoch."""
+    data_dir = str(tmp_path / "data")
+    create_dummy_speech_data(data_dir, n=16)
+    save_dir = str(tmp_path / "ckpt")
+    fsdp = ["--fsdp", "--fsdp-min-shard-size", "1"]
+    _run_multihost(data_dir, save_dir, n_procs=2, extra=fsdp)
+    assert "checkpoint2.pt" in os.listdir(save_dir)
+    _run_multihost(
+        data_dir, save_dir, n_procs=2, extra=fsdp + ["--max-epoch", "3"]
+    )
+    assert "checkpoint3.pt" in os.listdir(save_dir)
