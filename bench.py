@@ -92,27 +92,27 @@ def _build(arch: str, extra_argv=()):
     return Trainer(args, task, model, criterion), d
 
 
-def _host_sample(d, rng):
+def _host_sample(d, rng, batch=BATCH, frames=FRAMES):
     import numpy as np
 
     lengths = rng.randint(
-        int(FRAMES * 0.8), FRAMES + 1, size=BATCH
+        int(frames * 0.8), frames + 1, size=batch
     ).astype(np.int32)
-    lengths[0] = FRAMES
-    prev = rng.randint(4, VOCAB - 1, size=(BATCH, TGT_LEN)).astype(np.int32)
+    lengths[0] = frames
+    prev = rng.randint(4, VOCAB - 1, size=(batch, TGT_LEN)).astype(np.int32)
     prev[:, 0] = d.eos()
     target = np.concatenate(
-        [prev[:, 1:], np.full((BATCH, 1), d.eos())], axis=1
+        [prev[:, 1:], np.full((batch, 1), d.eos())], axis=1
     ).astype(np.int32)
     return {
         "net_input": {
-            "src_tokens": rng.randn(BATCH, FRAMES, N_MELS).astype(np.float32),
+            "src_tokens": rng.randn(batch, frames, N_MELS).astype(np.float32),
             "src_lengths": lengths,
             "prev_output_tokens": prev,
         },
         "target": target,
         "ntokens": int((target != d.pad()).sum()),
-        "nsentences": BATCH,
+        "nsentences": batch,
     }
 
 
@@ -161,7 +161,8 @@ def _measure_compute_floor(trainer, host):
     return (_time.perf_counter() - t0) / 5
 
 
-def _measure_train(arch: str, realistic: bool = False):
+def _measure_train(arch: str, realistic: bool = False, batch=BATCH,
+                   frames=FRAMES):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -169,9 +170,11 @@ def _measure_train(arch: str, realistic: bool = False):
     extra = (
         ["--specaugment", "--specaugment-rate", "1.0"] if realistic else []
     )
+    if frames > 2048:
+        extra = extra + ["--max-source-positions", str(frames)]
     trainer, d = _build(arch, extra)
     rng = np.random.RandomState(0)
-    host = _host_sample(d, rng)
+    host = _host_sample(d, rng, batch=batch, frames=frames)
     frames_per_batch = int(host["net_input"]["src_lengths"].sum())
     n_chips = jax.device_count()
 
@@ -249,6 +252,21 @@ def _measure_train(arch: str, realistic: bool = False):
     if not realistic:
         flops = _flops_per_step(trainer, host)
         peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+        from fbk_fairseq_st_tpu.ops.attention import FLASH_MIN_KEY_LEN
+
+        if flops and peak and frames // 4 >= FLASH_MIN_KEY_LEN:
+            # the flash kernel is a custom call XLA's cost model cannot
+            # see: count the step's FLOPs from a dense-attention twin of
+            # the same config (identical math) so MFU is not undercounted
+            dense_tr, _ = _build(arch, list(
+                ["--max-source-positions", str(frames)]
+                if frames > 2048 else []
+            ) + ["--no-pallas-attention"])
+            dense_flops = _flops_per_step(dense_tr, host)
+            del dense_tr
+            if dense_flops:
+                out["flops_per_step_pallas_uncounted"] = flops
+                flops = dense_flops
         if flops and peak:
             out["flops_per_step"] = flops
             out["mfu"] = round(flops / step_time / (peak * n_chips), 4)
@@ -396,6 +414,11 @@ def _measure_ctc_flagship():
         ),
         "step_time_ms": round(dt * 1e3, 2),
     }
+    flops = _flops_per_step(trainer, host)
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    if flops and peak:
+        out["flops_per_step"] = flops
+        out["mfu"] = round(flops / dt / (peak * jax.device_count()), 4)
     del trainer
     return out
 
@@ -461,6 +484,13 @@ def main() -> None:
     big = _measure_train("conv_transformer_big")
     realistic = _measure_train("conv_transformer", realistic=True)
     ctc_flagship = _measure_ctc_flagship()
+    # long-context TRAIN config: same token budget as base (8x8192 vs
+    # 128x512) but the conv-compressed encoder runs self-attention at
+    # S=2048 >= FLASH_MIN_KEY_LEN, so the Pallas flash kernel carries the
+    # attention — the regime where the dense formulation scales
+    # quadratically toward OOM (PERF.md section 3). MFU counts the
+    # kernel's FLOPs via a dense twin (XLA cannot cost custom calls).
+    longcontext = _measure_train("conv_transformer", batch=8, frames=8192)
     decode_rtf = _measure_decode()
     decode_rtf_big = _measure_decode("conv_transformer_big")
     decode_rtf_twophase = _measure_decode(
@@ -481,6 +511,7 @@ def main() -> None:
                     "big": big,
                     "realistic": realistic,
                     "ctc_flagship": ctc_flagship,
+                    "flash_longcontext_train": longcontext,
                     "decode_rtf": decode_rtf,
                     "decode_rtf_big": decode_rtf_big,
                     "decode_rtf_twophase": decode_rtf_twophase,
@@ -496,9 +527,10 @@ def main() -> None:
                     "transfer with prefetch depth 2, and reports "
                     "bytes_per_step / link bandwidth / pipeline_efficiency "
                     "(= max(compute,transfer) bound over measured step); "
-                    "flash attention auto-enables at key_len>=512 (bench "
-                    "train shapes are shorter, so XLA's fused attention "
-                    "runs there - measured faster, PERF.md)",
+                    "flash attention auto-enables at key_len>=2048 "
+                    "(round-4 (bh,S) re-sweep, PERF.md s3; the "
+                    "flash_longcontext_train entry runs it in a REAL "
+                    "train step at S=2048)",
                 },
             }
         )

@@ -48,13 +48,16 @@ class MHAConfig(NamedTuple):
 # --use-pallas-attention / --no-pallas-attention (options.py) force it.
 _FLASH_ATTENTION: Optional[bool] = None
 
-# Shape gate for the AUTO mode, from v5e measurements (PERF.md): XLA's own
-# fused attention wins below ~512 keys (flash's per-grid-step overhead
-# dominates tiny tiles — FBK's conv-compressed encoder is T<=512/4 and
-# decoders are ~50 tokens), flash is at parity ~512-1024 and the ONLY
-# option at >=2048 where the materialized (T,S) batch OOMs HBM. Forcing
-# via set_flash_attention(True) / --use-pallas-attention bypasses the gate.
-FLASH_MIN_KEY_LEN = 512
+# Shape gate for the AUTO mode, from v5e measurements (PERF.md §3): XLA's
+# own fused attention wins below ~2048 keys (flash's per-grid-step
+# overhead dominates smaller tiles — FBK's conv-compressed encoder is
+# T<=512/4 and decoders are ~50 tokens), while from S=2048 the flash
+# fwd+bwd wins at every measured batch*heads (and is the only option once
+# the materialized (T,S) batch approaches HBM capacity). The round-3 gate
+# sat at 512 from a bh=512-only sweep; the round-4 full (bh, S) sweep
+# moved the crossover — see PERF.md §3 for both tables. Forcing via
+# set_flash_attention(True) / --use-pallas-attention bypasses the gate.
+FLASH_MIN_KEY_LEN = 2048
 
 
 def set_flash_attention(enabled: Optional[bool]) -> None:
@@ -258,7 +261,16 @@ def mha(
             key_padding_mask[:, None, None, :], NEG_INF, logits
         )
 
-    weights_f32 = jax.nn.softmax(logits, axis=-1)
+    if q.dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        # bf16 softmax BACKWARD (forward stays fp32): the f32 softmax-bwd
+        # output fusions were ~1.1 ms of the big step (PERF.md §4, the
+        # "compiler-pinned" cost); halving their HBM bytes measured
+        # 41.1 -> 38.6 ms on the big config. The incoming gradient already
+        # passed through the bf16 P@V matmul, so bwd precision past bf16
+        # buys nothing. fp32/CPU runs keep the exact fp32 VJP.
+        weights_f32 = _softmax_bf16_bwd(logits)
+    else:
+        weights_f32 = jax.nn.softmax(logits, axis=-1)
     weights = weights_f32.astype(q.dtype)
     if rng is not None:
         weights = dropout(weights, cfg.dropout, rng, deterministic)
@@ -270,6 +282,28 @@ def mha(
     # multihead_attention.py need_weights path)
     attn = weights_f32.mean(axis=1) if need_weights else None
     return out, attn, new_cache
+
+
+@jax.custom_vjp
+def _softmax_bf16_bwd(logits):
+    """fp32 softmax with a bf16 residual + backward (see the mha call
+    site). The VJP math is the standard p * (g - sum(p*g)) in bf16, cast
+    back to the primal's fp32 for the logits einsum."""
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def _softmax_bf16_bwd_fwd(logits):
+    p = jax.nn.softmax(logits, axis=-1)
+    return p, p.astype(jnp.bfloat16)
+
+
+def _softmax_bf16_bwd_bwd(p16, g):
+    g16 = g.astype(jnp.bfloat16)
+    dot = jnp.sum(p16 * g16, axis=-1, keepdims=True)
+    return ((p16 * (g16 - dot)).astype(jnp.float32),)
+
+
+_softmax_bf16_bwd.defvjp(_softmax_bf16_bwd_fwd, _softmax_bf16_bwd_bwd)
 
 
 def precompute_cross_cache(params, cfg: MHAConfig, encoder_out) -> Dict[str, Any]:
