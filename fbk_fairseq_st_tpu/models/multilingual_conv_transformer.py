@@ -191,7 +191,9 @@ class MultilingualConvolutionalTransformerModel(Model):
                             help="share decoder embeddings across languages")
         parser.add_argument("--pretrained-encoder", type=str, default=None)
         parser.add_argument("--pretrained-decoder", type=str, default=None)
-        parser.add_argument("--allow-partial-restore", action="store_true")
+        # --allow-partial-restore is a checkpoint-group flag (options.py);
+        # the reference model reads args.allow_partial_restore without
+        # re-registering it (multilingual_conv_transformer.py:93,136)
 
     @classmethod
     def build_model(cls, args, task):

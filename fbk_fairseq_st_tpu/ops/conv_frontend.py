@@ -26,6 +26,7 @@ from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .attention import _flash_eligible_shape, _softmax_bf16_bwd
 from .core import (
     NEG_INF,
     RngStream,
@@ -38,6 +39,18 @@ from .core import (
 )
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _attn_softmax(logits, out_dtype):
+    """fp32 softmax; when the surrounding compute is bf16 on TPU, the
+    backward runs in bf16 via the shared custom_vjp (same gate and
+    rationale as mha() — PERF.md §4: the incoming cotangent has already
+    passed through a bf16 matmul, so an fp32 VJP buys nothing but HBM
+    bytes; at long context these (T, T) softmax-bwd fusions are ~5 ms of
+    the step)."""
+    if out_dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        return _softmax_bf16_bwd(logits)
+    return jax.nn.softmax(logits, axis=-1)
 
 
 class ConvFrontendConfig(NamedTuple):
@@ -246,17 +259,61 @@ def conv_attention_2d(
     k = outs["bn_k"].transpose(0, 3, 1, 2)
     v = outs["bn_v"].transpose(0, 3, 1, 2)
 
-    # time attention: contract over frequency -> (B, H, T, T)
-    wt = jnp.einsum("bhtf,bhsf->bhts", q, k, preferred_element_type=jnp.float32)
-    if key_padding_mask is not None:
-        wt = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, wt)
-    wt = jax.nn.softmax(wt, axis=-1).astype(x.dtype)
-    wt = dropout(wt, dropout_p, rng, deterministic)
-    attn_t = jnp.einsum("bhts,bhsf->bhtf", wt, v)
+    # time attention: contract over frequency -> (B, H, T, T). At long
+    # context this dense (T, T) batch is the step's largest tensor (e.g.
+    # the 8x8192-frame bench config materializes f32(8, 4, 2048, 2048) =
+    # 537 MB per block, profiled at ~25 ms/step of bandwidth-bound
+    # traffic), so eligible shapes ride the same fused Pallas flash
+    # kernel as mha() — F' acts as the head dim, zero-padded to the
+    # kernel's 64-lane minimum (zero q/k columns add nothing to QK^T;
+    # zero v columns are sliced off the output).
+    dropout_active = (
+        not deterministic and dropout_p > 0.0 and rng._key is not None
+    )
+    if (
+        _flash_eligible_shape(t)
+        and (not dropout_active or jax.default_backend() == "tpu")
+    ):
+        from .pallas.attention_kernel import NEG_INF as FLASH_NEG_INF
+        from .pallas.attention_kernel import flash_attention
+
+        f_pad = max(64, -(-f // 64) * 64)
+        qf = q.reshape(b * num_heads, t, f)
+        kf = k.reshape(b * num_heads, t, f)
+        vf = v.reshape(b * num_heads, t, f)
+        if f_pad != f:
+            pad = ((0, 0), (0, 0), (0, f_pad - f))
+            qf, kf, vf = jnp.pad(qf, pad), jnp.pad(kf, pad), jnp.pad(vf, pad)
+        if key_padding_mask is not None:
+            bias = jnp.where(key_padding_mask, FLASH_NEG_INF, 0.0).astype(
+                jnp.float32
+            )
+        else:
+            bias = jnp.zeros((b, t), jnp.float32)
+        bias = jnp.repeat(bias, num_heads, axis=0)
+        seed = None
+        rate = 0.0
+        if dropout_active:
+            rate = dropout_p
+            data = jax.random.key_data(rng.next()).reshape(-1)
+            seed = (data[:1] ^ data[-1:]).astype(jnp.int32)
+        attn_t = flash_attention(
+            qf, kf, vf, bias, 1.0, causal=False,
+            dropout_rate=rate, dropout_seed=seed,
+        )[:, :, :f].reshape(b, num_heads, t, f)
+    else:
+        wt = jnp.einsum(
+            "bhtf,bhsf->bhts", q, k, preferred_element_type=jnp.float32
+        )
+        if key_padding_mask is not None:
+            wt = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, wt)
+        wt = _attn_softmax(wt, x.dtype).astype(x.dtype)
+        wt = dropout(wt, dropout_p, rng, deterministic)
+        attn_t = jnp.einsum("bhts,bhsf->bhtf", wt, v)
 
     # frequency attention: contract over time -> (B, H, F, F)
     wf = jnp.einsum("bhtf,bhtg->bhfg", q, k, preferred_element_type=jnp.float32)
-    wf = jax.nn.softmax(wf, axis=-1).astype(x.dtype)
+    wf = _attn_softmax(wf, x.dtype).astype(x.dtype)
     wf = dropout(wf, dropout_p, rng, deterministic)
     attn_f = jnp.einsum("bhfg,bhtg->bhtf", wf, v)
 

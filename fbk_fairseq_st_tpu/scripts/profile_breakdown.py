@@ -22,15 +22,21 @@ import sys
 import tempfile
 
 
-def capture_trace(arch: str, steps: int, trace_dir: str) -> None:
+def capture_trace(arch: str, steps: int, trace_dir: str,
+                  batch: int = None, frames: int = None) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))))
     import bench as B
     import jax
     import numpy as np
 
-    trainer, d = B._build(arch)
-    host = B._host_sample(d, np.random.RandomState(0))
+    batch = batch or B.BATCH
+    frames = frames or B.FRAMES
+    extra = (["--max-source-positions", str(frames)]
+             if frames > 2048 else [])
+    trainer, d = B._build(arch, extra)
+    host = B._host_sample(d, np.random.RandomState(0), batch=batch,
+                          frames=frames)
     staged = trainer.stage_sample(host)
     for _ in range(3):
         trainer.train_step([staged])
@@ -104,6 +110,11 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--arch", default="conv_transformer_big")
     parser.add_argument("--steps", type=int, default=5)
+    parser.add_argument("--batch", type=int, default=None,
+                        help="override bench batch (e.g. 8 for the "
+                             "flash_longcontext_train config)")
+    parser.add_argument("--frames", type=int, default=None,
+                        help="override bench input frames (e.g. 8192)")
     parser.add_argument("--peak-tflops", type=float, default=197.0,
                         help="chip peak bf16 TFLOP/s (v5e: 197)")
     parser.add_argument("--trace-dir", default=None,
@@ -115,7 +126,8 @@ def main(argv=None) -> None:
     trace_dir = args.trace_dir
     if trace_dir is None:
         trace_dir = tempfile.mkdtemp(prefix="profile_breakdown_")
-        capture_trace(args.arch, args.steps, trace_dir)
+        capture_trace(args.arch, args.steps, trace_dir,
+                      batch=args.batch, frames=args.frames)
     summary = summarize(trace_dir, args.steps, args.peak_tflops)
     if args.json:
         print(json.dumps(summary))

@@ -310,3 +310,55 @@ def test_flash_pad_cross_attention_unaligned():
     want = _xla_reference(q, k, v, bias, 0.6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_conv_attention_2d_flash_path_matches_dense():
+    """The ConvAttention2D frontend's time-attention rides the flash kernel
+    at long context (conv_frontend.py conv_attention_2d): forced flash ==
+    dense softmax path, forward and parameter gradients, with a padded
+    head dim (F zero-padded to the kernel's 64-lane minimum)."""
+    from fbk_fairseq_st_tpu.ops.conv_frontend import (
+        conv_attention_2d,
+        init_conv_attention_2d,
+        init_conv_attention_2d_state,
+    )
+
+    H, C = 4, 16
+    params = init_conv_attention_2d(jax.random.PRNGKey(0), C, H)
+    state = init_conv_attention_2d_state(H, C)
+    B, T, F = 2, 64, 10
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, F, C), jnp.float32)
+    kpm = jnp.arange(T)[None, :] >= jnp.array([T, T - 17])[:, None]
+
+    def run(training):
+        def loss(p):
+            out, _ = conv_attention_2d(
+                p, state, H, x, key_padding_mask=kpm,
+                deterministic=True, training=training,
+            )
+            return (out ** 2).sum(), out
+
+        (_, out), g = jax.value_and_grad(loss, has_aux=True)(params)
+        return out, g
+
+    for training in (False, True):
+        set_flash_attention(False)
+        try:
+            out_d, g_d = run(training)
+            set_flash_attention(True)
+            out_f, g_f = run(training)
+        finally:
+            set_flash_attention(None)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_d), rtol=2e-4, atol=2e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_d)
+        ):
+            # leaf-scale tolerance: batch norm makes the output invariant
+            # to the conv input bias, so those leaves' true gradients are
+            # ~0 and both paths return fp32 noise — elementwise rtol would
+            # compare noise against noise
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, float(np.abs(b).max()))
+            assert float(np.abs(a - b).max()) <= 1e-3 * scale

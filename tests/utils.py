@@ -32,6 +32,13 @@ class DummyTask:
     def prepare_sample(self, sample, num_updates):
         return sample
 
+    def valid_step_extra(self, sample, trainer):
+        return {}
+
+    def reduce_metrics(self, logging_outputs, criterion, metrics):
+        if hasattr(criterion, "reduce_metrics"):
+            criterion.reduce_metrics(logging_outputs, metrics)
+
 
 def model_args(arch: str = "conv_transformer", **overrides) -> argparse.Namespace:
     """Minimal args namespace; arch presets fill the rest."""
