@@ -8,20 +8,29 @@ NOTE: the environment exports JAX_PLATFORMS=axon (a tunneled real TPU), so
 we must override — not setdefault — before jax initializes, and pin fp32
 matmul precision so numerical-equivalence tests are not subject to bf16
 MXU rounding.
+
+Set FBK_TPU_TESTS=1 to SKIP the CPU pin and run against the real backend —
+this is how the on-chip modules (tests/test_flash_attention_tpu.py) are
+meant to be invoked; without it their `default_backend() == "tpu"` guard
+can never pass because this file pins CPU before they import jax.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_ON_TPU = os.environ.get("FBK_TPU_TESTS") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" not in flags and not _ON_TPU:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 # NOTE on the persistent XLA compilation cache: deliberately NOT enabled
