@@ -166,9 +166,14 @@ def _my_training_run(batches):
                 model, variables, batch, rng=rng, training=False
             )
 
-    class MT:
+    from .utils import DummyTask
+
+    class MT(DummyTask):
         target_dictionary = d_my
         source_dictionary = None
+
+        def __init__(self):
+            pass
 
         @staticmethod
         def augment_batch(batch, rng):

@@ -7,9 +7,9 @@ behavior, and above all the TPU PRNG that the interpreter stubs to zeros
 checks, persisted so a TPU-backed run catches regressions.
 
 Run with the default (axon/TPU) backend:
-    JAX_PLATFORMS='' python -m pytest tests/test_flash_attention_tpu.py -q
-(the suite's conftest pins CPU; this module overrides it back when a TPU
-is actually present).
+    FBK_TPU_TESTS=1 python -m pytest tests/test_flash_attention_tpu.py -q
+(the suite's conftest pins CPU unless FBK_TPU_TESTS=1 is set; without it
+this module's backend guard can never pass and everything skips).
 """
 
 import numpy as np
