@@ -192,6 +192,42 @@ def mha(
     dropout_active = (
         not deterministic and cfg.dropout > 0.0 and rng is not None
     )
+    from .ring_attention import ring_attention, ring_eligible, ring_scope
+
+    ring = ring_scope()
+    if (
+        ring is not None
+        and cache is None
+        and (attn_mask is None or causal)
+        and cfg.penalty is None
+        and not need_weights
+        and ring_eligible(q, k, ring[0].shape[ring[1]])
+    ):
+        # context-parallel self-attention: the sequence stays sharded over
+        # the mesh's seq axis and K/V blocks ride the ring (ppermute) —
+        # the full-length (T, S) scores / K/V never materialize per device
+        mesh, seq_axis, b_axis = ring
+        b, h, tq, hd = q.shape
+        s = k.shape[2]
+        if key_padding_mask is not None:
+            bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(
+                jnp.float32
+            )
+        else:
+            bias = jnp.zeros((b, s), jnp.float32)
+        bias = jnp.repeat(bias, h, axis=0)
+        out = ring_attention(
+            q.reshape(b * h, tq, hd),
+            k.reshape(b * h, s, hd),
+            v.reshape(b * h, s, hd),
+            bias,
+            1.0,  # q is pre-scaled above
+            mesh, axis=seq_axis, batch_axis=b_axis, causal=causal,
+            dropout_rate=cfg.dropout if dropout_active else 0.0,
+            dropout_key=rng.next() if dropout_active else None,
+        ).reshape(b, h, tq, hd)
+        out = linear(params["out"], _merge_heads(out))
+        return out, None, new_cache
     if (
         _flash_eligible_shape(int(k.shape[2]))
         and cache is None

@@ -282,6 +282,17 @@ def add_distributed_training_args(parser):
                        "mesh axis (activation memory / TP-degree; the "
                        "boundary all-reduces become reduce-scatter + "
                        "all-gather pairs, same volume)")
+    group.add_argument("--ring-attention", default=False,
+                       action="store_true",
+                       help="context parallelism: with --model-parallel-"
+                       "size > 1, run self-attention sequence-sharded "
+                       "over the 'model' mesh axis with K/V blocks "
+                       "rotating via ppermute (ring attention, "
+                       "arXiv:2310.01889) — no device materializes the "
+                       "full (T, S) scores or full-length K/V, extending "
+                       "trainable context past one chip's HBM; composes "
+                       "with --sequence-parallel, whose time-sharded "
+                       "layout the attention then consumes directly")
     group.add_argument("--ddp-backend", default="pjit", help="parity flag; always pjit")
     # torch-DDP machinery parity flags (reference options.py:361-424):
     # accepted so fork launch commands run unmodified; they configure

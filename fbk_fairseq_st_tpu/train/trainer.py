@@ -117,6 +117,13 @@ class Trainer:
         self._seq_parallel = bool(
             getattr(args, "sequence_parallel", False)
         ) and self.mesh.shape.get("model", 1) > 1
+        # context parallelism: self-attention runs sequence-sharded over
+        # the 'model' axis with K/V rotating via ppermute (ring attention,
+        # ops/ring_attention.py) — the full-length scores/K/V never
+        # materialize on any device
+        self._ring_attention = bool(
+            getattr(args, "ring_attention", False)
+        ) and self.mesh.shape.get("model", 1) > 1
         from ..parallel.mesh import param_sharding
 
         self._param_shard = param_sharding(
@@ -303,12 +310,18 @@ class Trainer:
         return loss, (sample_size, logging_output, new_state)
 
     def _compute_grads(self, train_state, batch, rng_key):
-        from ..parallel.mesh import set_sequence_parallel
+        from ..ops.ring_attention import set_ring_attention
+        from ..parallel.mesh import batch_axes, set_sequence_parallel
 
         # activate the sequence-parallel scope only while THIS trainer's
         # graph traces (jitted bodies run once per shape signature), so
         # other trainers / generators in the same process are untouched
         set_sequence_parallel(self.mesh if self._seq_parallel else None)
+        set_ring_attention(
+            self.mesh if self._ring_attention else None,
+            batch_axis=batch_axes(self.mesh) if self._ring_attention
+            else None,
+        )
         try:
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (loss, (sample_size, logging_output, new_model_state)), grads = (
@@ -322,6 +335,7 @@ class Trainer:
             )
         finally:
             set_sequence_parallel(None)
+            set_ring_attention(None)
         return grads, loss, sample_size, logging_output, new_model_state
 
     def _apply_grads(self, train_state, grads, sample_size, lr, new_model_state):
@@ -410,7 +424,8 @@ class Trainer:
         return new_state, gnorms, logs
 
     def _valid_impl(self, train_state, batch, rng_key):
-        from ..parallel.mesh import set_sequence_parallel
+        from ..ops.ring_attention import set_ring_attention
+        from ..parallel.mesh import batch_axes, set_sequence_parallel
 
         rng = RngStream(rng_key)
         batch = self._cast_batch(batch)
@@ -419,12 +434,18 @@ class Trainer:
             "state": train_state["model_state"],
         }
         set_sequence_parallel(self.mesh if self._seq_parallel else None)
+        set_ring_attention(
+            self.mesh if self._ring_attention else None,
+            batch_axis=batch_axes(self.mesh) if self._ring_attention
+            else None,
+        )
         try:
             loss, sample_size, logging_output, _ = self.criterion(
                 self.model, variables, batch, rng=rng, training=False
             )
         finally:
             set_sequence_parallel(None)
+            set_ring_attention(None)
         return loss, sample_size, logging_output
 
     # ------------------------------------------------------------------
