@@ -472,70 +472,192 @@ def _measure_flash_longcontext():
     }
 
 
-def main() -> None:
-    # persistent XLA cache, OPT-IN via env only (timing is post-warmup so
-    # measurements are unaffected; not defaulted on because some CPU
-    # executables in this XLA build abort when replayed from cache — see
-    # tests/conftest.py)
-    from fbk_fairseq_st_tpu.options import enable_compilation_cache
+def _preflight():
+    """A bare matmul: proves the backend can compile+execute ANYTHING.
+    Round 4's driver run died here-equivalent (FAILED_PRECONDITION from a
+    wedged tunneled TPU, independent of repo code — VERDICT r4); the
+    harness below turns that failure mode into a parseable JSON record
+    instead of a crash."""
+    import jax
+    import jax.numpy as jnp
 
-    enable_compilation_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR"))
-    base = _measure_train("conv_transformer")
-    big = _measure_train("conv_transformer_big")
-    realistic = _measure_train("conv_transformer", realistic=True)
-    ctc_flagship = _measure_ctc_flagship()
+    x = jnp.ones((256, 256))
+    jax.block_until_ready(x @ x)
+    return {"backend": jax.default_backend(),
+            "device": jax.devices()[0].device_kind}
+
+
+# Section registry: every measurement the bench captures, each runnable in
+# an isolated child process (fresh PJRT client) so a hung/crashed backend
+# costs one section + its retry, never the whole bench.
+SECTIONS = {
+    "preflight": _preflight,
+    "base": lambda: _measure_train("conv_transformer"),
+    "big": lambda: _measure_train("conv_transformer_big"),
+    "realistic": lambda: _measure_train("conv_transformer", realistic=True),
+    "ctc_flagship": _measure_ctc_flagship,
     # long-context TRAIN config: same token budget as base (8x8192 vs
     # 128x512) but the conv-compressed encoder runs self-attention at
     # S=2048 >= FLASH_MIN_KEY_LEN, so the Pallas flash kernel carries the
     # attention — the regime where the dense formulation scales
     # quadratically toward OOM (PERF.md section 3). MFU counts the
     # kernel's FLOPs via a dense twin (XLA cannot cost custom calls).
-    longcontext = _measure_train("conv_transformer", batch=8, frames=8192)
-    decode_rtf = _measure_decode()
-    decode_rtf_big = _measure_decode("conv_transformer_big")
-    decode_rtf_twophase = _measure_decode(
+    "flash_longcontext_train": lambda: _measure_train(
+        "conv_transformer", batch=8, frames=8192
+    ),
+    "decode_rtf": _measure_decode,
+    "decode_rtf_big": lambda: _measure_decode("conv_transformer_big"),
+    "decode_rtf_twophase": lambda: _measure_decode(
         "conv_transformer_dualdecoder", twophase=True
-    )
-    flash_longcontext = _measure_flash_longcontext()
+    ),
+    "flash_longcontext": _measure_flash_longcontext,
+}
 
-    per_chip = base["frames_per_sec_per_chip"]
+_RESULT_TAG = "BENCH_SECTION_RESULT "
+
+
+def _child_main(name: str) -> None:
+    """--section NAME entry: run one measurement, print a tagged JSON."""
+    from fbk_fairseq_st_tpu.options import enable_compilation_cache
+
+    enable_compilation_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR"))
+    try:
+        res = SECTIONS[name]()
+    except Exception as e:  # noqa: BLE001 - the whole point is to report
+        msg = f"{type(e).__name__}: {e}"
+        print("\n" + _RESULT_TAG + json.dumps({"ok": False, "error": msg[:2000]}))
+        sys.exit(3)
+    print("\n" + _RESULT_TAG + json.dumps({"ok": True, "result": res}))
+
+
+def _spawn_section(name: str, timeout_s: float, use_cache: bool = True):
+    """Run one section in a subprocess. Returns (result, error_str)."""
+    import subprocess
+
+    argv = [sys.executable, os.path.abspath(__file__), "--section", name]
+    # forward bench-level mode flags (e.g. --use-pallas-attention)
+    argv += [a for a in sys.argv[1:] if a not in ("--section", name)]
+    env = os.environ.copy()
+    if use_cache and not env.get("BENCH_NO_XLA_CACHE"):
+        # share compiles across sections/reruns (timing is post-warmup so
+        # measurements are unaffected); retries run cache-less in case a
+        # deserialized executable itself is what crashed (conftest note)
+        env.setdefault(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/fbk_bench_xla_cache"
+        )
+    else:
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    try:
+        proc = subprocess.run(
+            argv, capture_output=True, text=True, timeout=timeout_s,
+            env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {int(timeout_s)}s (backend hang?)"
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_RESULT_TAG):
+            try:
+                payload = json.loads(line[len(_RESULT_TAG):])
+            except json.JSONDecodeError:
+                break
+            if payload.get("ok"):
+                return payload["result"], None
+            return None, payload.get("error", "unknown section error")
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-8:]
+    return None, f"rc={proc.returncode}: " + " | ".join(tail)[:2000]
+
+
+def main() -> None:
+    """Orchestrate all sections with per-section subprocess isolation,
+    one fresh-client retry each, and a global deadline — ALWAYS prints one
+    valid JSON line, however broken the backend is (VERDICT r4 item 2)."""
+    t_start = time.monotonic()
+    global_budget = float(os.environ.get("BENCH_GLOBAL_TIMEOUT", 4800))
+    section_timeout = float(os.environ.get("BENCH_SECTION_TIMEOUT", 1500))
+    deadline = t_start + global_budget
+
+    results: dict = {}
+    errors: dict = {}
+
+    # Preflight: if a bare matmul can't run, skip straight to the report.
+    pre, err = _spawn_section("preflight", min(300.0, global_budget))
+    if pre is None:
+        pre, err = _spawn_section("preflight", 300.0)  # one clean retry
+    if pre is None:
+        errors["preflight"] = err
+    order = [n for n in SECTIONS if n != "preflight"]
+    only = os.environ.get("BENCH_SECTIONS")
+    if only:
+        wanted = [s.strip() for s in only.split(",") if s.strip()]
+        order = [n for n in order if n in wanted]
+    for name in order:
+        if pre is None:
+            errors[name] = "skipped: preflight failed (backend down)"
+            continue
+        remaining = deadline - time.monotonic()
+        if remaining < 120:
+            errors[name] = "skipped: global deadline"
+            continue
+        res, err = _spawn_section(name, min(section_timeout, remaining))
+        if res is None:
+            remaining = deadline - time.monotonic()
+            if remaining >= 120:
+                # retry in a fresh process = full backend/client reinit
+                res, err = _spawn_section(
+                    name, min(section_timeout, remaining), use_cache=False
+                )
+        if res is None:
+            errors[name] = err
+        else:
+            results[name] = res
+
+    base = results.get("base")
+    per_chip = base["frames_per_sec_per_chip"] if base else None
+    extra = {
+        **results,
+        "decode_rtf_target": 0.05,
+        "assumed_a100_frames_per_sec": A100_FAIRSEQ_FRAMES_PER_SEC,
+        "preflight": pre,
+        "wall_s": round(time.monotonic() - t_start, 1),
+        "note": "vs_baseline divides by an ASSUMED fork "
+        "throughput (the fork publishes none); mfu is "
+        "XLA-counted FLOPs / WALL step time / chip bf16 peak "
+        "(device-time MFU is higher; the tunneled host adds "
+        "~5ms dispatch per step — see PERF.md); realistic "
+        "includes SpecAugment + per-step host batching/"
+        "transfer with prefetch depth 2, and reports "
+        "bytes_per_step / link bandwidth / pipeline_efficiency "
+        "(= max(compute,transfer) bound over measured step); "
+        "flash attention auto-enables at key_len>=2048 "
+        "(round-4 (bh,S) re-sweep, PERF.md s3; the "
+        "flash_longcontext_train entry runs it in a REAL "
+        "train step at S=2048); sections run in isolated "
+        "subprocesses with one fresh-client retry — on backend "
+        "failure the failing sections land in extra.errors and "
+        "the rest still report",
+    }
+    if errors:
+        extra["errors"] = errors
     print(
         json.dumps(
             {
                 "metric": "train_frames_per_sec_per_chip",
-                "value": per_chip,
+                "value": per_chip if per_chip is not None else 0.0,
                 "unit": "frames/s/chip",
-                "vs_baseline": round(per_chip / A100_FAIRSEQ_FRAMES_PER_SEC, 3),
-                "extra": {
-                    "base": base,
-                    "big": big,
-                    "realistic": realistic,
-                    "ctc_flagship": ctc_flagship,
-                    "flash_longcontext_train": longcontext,
-                    "decode_rtf": decode_rtf,
-                    "decode_rtf_big": decode_rtf_big,
-                    "decode_rtf_twophase": decode_rtf_twophase,
-                    "decode_rtf_target": 0.05,
-                    "flash_longcontext": flash_longcontext,
-                    "assumed_a100_frames_per_sec": A100_FAIRSEQ_FRAMES_PER_SEC,
-                    "note": "vs_baseline divides by an ASSUMED fork "
-                    "throughput (the fork publishes none); mfu is "
-                    "XLA-counted FLOPs / WALL step time / chip bf16 peak "
-                    "(device-time MFU is higher; the tunneled host adds "
-                    "~5ms dispatch per step — see PERF.md); realistic "
-                    "includes SpecAugment + per-step host batching/"
-                    "transfer with prefetch depth 2, and reports "
-                    "bytes_per_step / link bandwidth / pipeline_efficiency "
-                    "(= max(compute,transfer) bound over measured step); "
-                    "flash attention auto-enables at key_len>=2048 "
-                    "(round-4 (bh,S) re-sweep, PERF.md s3; the "
-                    "flash_longcontext_train entry runs it in a REAL "
-                    "train step at S=2048)",
-                },
+                "vs_baseline": (
+                    round(per_chip / A100_FAIRSEQ_FRAMES_PER_SEC, 3)
+                    if per_chip is not None else 0.0
+                ),
+                **({"error": "one or more sections failed; see extra.errors"}
+                   if errors else {}),
+                "extra": extra,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--section" in sys.argv:
+        _child_main(sys.argv[sys.argv.index("--section") + 1])
+    else:
+        main()

@@ -82,7 +82,8 @@ def _block(q, k_blk, v_blk, bias_blk, q_off, k_off, causal: bool,
 def ring_attention_local(q, k, v, bias, scale: float, axis_name: str,
                          causal: bool = False,
                          dropout_rate: float = 0.0,
-                         dropout_key=None):
+                         dropout_key=None,
+                         batch_axes: tuple = ()):
     """The per-shard body, to be called INSIDE `jax.shard_map`.
 
     q: (BH, T_loc, D) local query shard; k/v: (BH, S_loc, D) local K/V
@@ -96,9 +97,22 @@ def ring_attention_local(q, k, v, bias, scale: float, axis_name: str,
     t_loc, s_loc = q.shape[1], k.shape[1]
     qf = (q * scale).astype(q.dtype)
 
-    acc = jnp.zeros(q.shape[:2] + (v.shape[-1],), jnp.float32)
-    m = jnp.full(q.shape[:2], NEG_INF, jnp.float32)
-    l = jnp.zeros(q.shape[:2], jnp.float32)
+    # The running accumulators start as constants, but every scan step
+    # folds in data from the K/V block, which is varying along the ring
+    # axis (it travels the ring) AND along any batch axes the inputs are
+    # sharded over — mark the initializers varying on the same set, or the
+    # scan carry's in/out types disagree (shard_map's vma check rejects
+    # the trace with "carry input and carry output must have equal types").
+    vary = tuple(batch_axes) + (axis_name,)
+    acc, m, l = jax.lax.pcast(
+        (
+            jnp.zeros(q.shape[:2] + (v.shape[-1],), jnp.float32),
+            jnp.full(q.shape[:2], NEG_INF, jnp.float32),
+            jnp.zeros(q.shape[:2], jnp.float32),
+        ),
+        vary,
+        to="varying",
+    )
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     drop = (dropout_rate,) if dropout_rate > 0.0 else None
@@ -143,6 +157,12 @@ def ring_attention(q, k, v, bias, scale: float, mesh: Mesh,
     kwargs = {}
     in_specs = (qspec, qspec, qspec, bspec)
     args = (q, k, v, bias)
+    if batch_axis is None:
+        b_axes: tuple = ()
+    elif isinstance(batch_axis, (tuple, list)):
+        b_axes = tuple(batch_axis)
+    else:
+        b_axes = (batch_axis,)
     if dropout_rate > 0.0:
         in_specs = in_specs + (P(),)
         args = args + (dropout_key,)
@@ -151,11 +171,13 @@ def ring_attention(q, k, v, bias, scale: float, mesh: Mesh,
             return ring_attention_local(
                 q, k, v, bias, scale, axis, causal=causal,
                 dropout_rate=dropout_rate, dropout_key=key,
+                batch_axes=b_axes,
             )
     else:
         def fn(q, k, v, bias):
             return ring_attention_local(
                 q, k, v, bias, scale, axis, causal=causal,
+                batch_axes=b_axes,
             )
     return jax.shard_map(
         fn, mesh=mesh, in_specs=in_specs, out_specs=qspec, **kwargs

@@ -18,6 +18,12 @@ from .base import Task
 
 logger = logging.getLogger(__name__)
 
+# The three optional prediction streams a decoder-only LM can be trained
+# on (reference's self/future/past targets): flag suffix -> stream name.
+# "future" (the ordinary next-token objective) is the fallback when no
+# flag is given.
+_TARGET_FLAGS = (("self", "self"), ("future", "future"), ("past", "past"))
+
 
 @register_task("language_modeling")
 class LanguageModelingTask(Task):
@@ -29,47 +35,55 @@ class LanguageModelingTask(Task):
 
     @staticmethod
     def add_args(parser):
-        # reference language_modeling.py:65-93
+        # flag names/choices/defaults are the CLI-compat surface
+        # (reference language_modeling.py:65-93, enforced by
+        # tests/test_cli_flag_parity.py); the prose is ours
         parser.add_argument("data", help="path to data directory")
         parser.add_argument(
             "--sample-break-mode", default="none",
             choices=["none", "complete", "complete_doc", "eos"],
-            help='If omitted or "none", fills each sample with '
-                 "tokens-per-sample tokens. If set to \"complete\", splits "
-                 "samples only at the end of sentence, but may include "
-                 'multiple sentences per sample. "complete_doc" is similar '
-                 'but respects doc boundaries. If set to "eos", includes '
-                 "only one sentence per sample.")
+            help="how the token stream is chunked into training samples: "
+                 "'none' packs exactly tokens-per-sample tokens per chunk "
+                 "regardless of sentence boundaries; 'complete' never cuts "
+                 "a sentence in half (a chunk holds as many whole "
+                 "sentences as fit); 'complete_doc' additionally refuses "
+                 "to mix documents within a chunk; 'eos' makes every "
+                 "sentence its own sample")
         parser.add_argument("--tokens-per-sample", default=1024, type=int,
-                            help="max number of tokens per sample for LM "
-                                 "dataset")
+                            help="chunk length the monolingual stream is "
+                                 "cut into (upper bound per sample)")
         parser.add_argument("--output-dictionary-size", default=-1,
                             type=int,
-                            help="limit the size of output dictionary")
+                            help="predict only the first N vocabulary "
+                                 "entries (softmax truncation; -1 keeps "
+                                 "the full vocabulary)")
         parser.add_argument("--self-target", action="store_true",
-                            help="include self target")
+                            help="also train on the 'self' prediction "
+                                 "stream")
         parser.add_argument("--future-target", action="store_true",
-                            help="include future target")
+                            help="also train on the 'future' (next-token) "
+                                 "prediction stream")
         parser.add_argument("--past-target", action="store_true",
-                            help="include past target")
+                            help="also train on the 'past' prediction "
+                                 "stream")
         parser.add_argument("--add-bos-token", action="store_true",
-                            help="prepend beginning of sentence token (<s>)")
+                            help="start every sample with the <s> symbol")
         parser.add_argument("--max-target-positions", type=int, metavar="N",
                             default=None,
-                            help="max number of tokens in the target "
-                                 "sequence")
+                            help="model-side cap on sample length "
+                                 "(defaults to --tokens-per-sample)")
         parser.add_argument("--truncate-sequence", action="store_true",
                             default=False,
-                            help="truncate sequences to --tokens-per-sample")
+                            help="clip over-long source sentences to "
+                                 "--tokens-per-sample instead of "
+                                 "erroring/filtering them")
 
     def __init__(self, args, dictionary, output_dictionary=None,
                  targets=None):
         super().__init__(args)
         self.dictionary = dictionary
         self.output_dictionary = output_dictionary or dictionary
-        if targets is None:
-            targets = ["future"]
-        self.targets = targets
+        self.targets = targets if targets is not None else ["future"]
         if getattr(args, "max_target_positions", None) is None:
             args.max_target_positions = args.tokens_per_sample
 
@@ -83,25 +97,22 @@ class LanguageModelingTask(Task):
             output_dictionary = TruncatedDictionary(
                 dictionary, args.output_dictionary_size
             )
-
-        targets = []
-        if getattr(args, "self_target", False):
-            targets.append("self")
-        if getattr(args, "future_target", False):
-            targets.append("future")
-        if getattr(args, "past_target", False):
-            targets.append("past")
-        if len(targets) == 0:
-            targets = ["future"]  # standard language modeling
+        targets = [
+            stream
+            for suffix, stream in _TARGET_FLAGS
+            if getattr(args, f"{suffix}_target", False)
+        ] or ["future"]  # plain next-token LM when no stream flag given
         return cls(args, dictionary, output_dictionary, targets=targets)
 
     def build_model(self, args):
         model = super().build_model(args)
-        for target in self.targets:
-            if target not in model.supported_targets:
-                raise ValueError(
-                    "Unsupported language modeling target: {}".format(target)
-                )
+        unsupported = [
+            t for t in self.targets if t not in model.supported_targets
+        ]
+        if unsupported:
+            raise ValueError(
+                f"Unsupported language modeling target: {unsupported[0]}"
+            )
         return model
 
     def load_dataset(self, split, combine=False, epoch=1, **kwargs):
@@ -127,13 +138,12 @@ class LanguageModelingTask(Task):
             break_mode=self.args.sample_break_mode,
             include_targets=True,
         )
-        add_eos_for_other_targets = (
-            self.args.sample_break_mode is not None
-            and self.args.sample_break_mode != "none"
-        )
+        # boundary-respecting modes carry an eos the extra target streams
+        # must account for
+        break_mode = self.args.sample_break_mode
         self.datasets[split] = MonolingualDataset(
             block, block.sizes, self.dictionary, self.output_dictionary,
-            add_eos_for_other_targets=add_eos_for_other_targets,
+            add_eos_for_other_targets=bool(break_mode) and break_mode != "none",
             shuffle=(split == "train"),
             targets=self.targets,
             add_bos_token=getattr(self.args, "add_bos_token", False),

@@ -171,40 +171,56 @@ def load_langpair_dataset(
 class TranslationTask(Task):
     @staticmethod
     def add_args(parser):
-        parser.add_argument("data", help="colon separated path(s) to data directorie(s)")
+        # flag names/defaults are the CLI-compat surface (reference
+        # translation.py:74-103 and :181-199, pinned by
+        # tests/test_cli_flag_parity.py); help prose is ours
+        parser.add_argument("data", help="binarized corpus director(ies), "
+                                         "os.pathsep-joined for round-robin "
+                                         "over epochs")
         parser.add_argument("-s", "--source-lang", default=None, metavar="SRC",
-                            help="source language")
+                            help="language code of the input side "
+                                 "(inferred from dict.*.txt when omitted)")
         parser.add_argument("-t", "--target-lang", default=None, metavar="TARGET",
-                            help="target language")
+                            help="language code of the output side "
+                                 "(inferred from dict.*.txt when omitted)")
         parser.add_argument("--left-pad-source", default="True", type=str, metavar="BOOL",
-                            help="pad the source on the left")
+                            help="put source padding before the tokens "
+                                 "rather than after")
         parser.add_argument("--left-pad-target", default="False", type=str, metavar="BOOL",
-                            help="pad the target on the left")
+                            help="put target padding before the tokens "
+                                 "rather than after")
         parser.add_argument("--max-source-positions", default=1024, type=int, metavar="N")
         parser.add_argument("--max-target-positions", default=1024, type=int, metavar="N")
         parser.add_argument("--upsample-primary", default=1, type=int)
         parser.add_argument("--load-alignments", action="store_true")
         parser.add_argument("--truncate-source", action="store_true", default=False,
-                            help="truncate source to max-source-positions")
+                            help="clip over-long sources at "
+                                 "max-source-positions instead of "
+                                 "filtering them out")
 
-        # options for reporting BLEU during validation
-        # (reference translation.py:181-199)
+        # validation-time BLEU reporting (reference translation.py:181-199)
         parser.add_argument("--eval-bleu", action="store_true",
-                            help="evaluation with BLEU scores")
+                            help="score each validation pass with BLEU "
+                                 "(drives --best-checkpoint-metric bleu)")
         parser.add_argument("--eval-bleu-detok", type=str, default="space",
-                            help='detokenize before computing BLEU (e.g. "moses"); '
-                                 'use "space" to disable detokenization')
+                            help="detokenizer applied before scoring "
+                                 "('moses', ...); 'space' means score the "
+                                 "raw space-split tokens")
         parser.add_argument("--eval-bleu-detok-args", type=str, metavar="JSON",
-                            help="args for building the tokenizer, if needed")
+                            help="JSON kwargs forwarded to the detokenizer "
+                                 "constructor")
         parser.add_argument("--eval-tokenized-bleu", action="store_true", default=False,
-                            help="compute tokenized BLEU instead of sacrebleu")
+                            help="score pre-tokenized text directly rather "
+                                 "than through sacrebleu's tokenizer")
         parser.add_argument("--eval-bleu-remove-bpe", nargs="?", const="@@ ", default=None,
-                            help="remove BPE before computing BLEU")
+                            help="strip this BPE continuation marker "
+                                 "before scoring")
         parser.add_argument("--eval-bleu-args", type=str, metavar="JSON",
-                            help="generation args for BLEU scoring, e.g. "
-                                 '\'{"beam": 4, "lenpen": 0.6}\'')
+                            help="JSON of generation settings used for the "
+                                 "validation decode (beam, lenpen, ...)")
         parser.add_argument("--eval-bleu-print-samples", action="store_true",
-                            help="print sample generations during validation")
+                            help="log one hypothesis/reference pair per "
+                                 "validation batch")
 
     def __init__(self, args, src_dict, tgt_dict):
         super().__init__(args)
