@@ -251,6 +251,131 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
 
 # ---------------------------------------------------------------------------
+# backward (fused): dQ + dK/dV partials in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The split kernels below each recompute the score tile (QK^T) and the
+# dP tile (dO V^T) — 7 matmuls and 2 exp per (i, j) tile pair across the
+# two launches. This kernel does the whole tile once: scores, w = exp,
+# dp, ds, then dQ += ds K (accumulated in VMEM scratch across the inner
+# kv loop, exactly like the forward accumulator) and dK/dV written as
+# PER-Q-BLOCK PARTIALS (each output block written exactly once, no
+# cross-step accumulation) that a trailing XLA sum over the n_i axis
+# reduces — 5 matmuls + 1 exp per tile, one kernel launch, at the cost
+# of an (n_i - 1)-times-dK/dV HBM spill (n_i is 2-4 at real shapes;
+# ~30 MB at the longcontext-train config, ~40 us of bandwidth).
+# Benchmarked against the split pair at the real dispatch shapes by
+# scripts/bench_flash_sweep.py; PERF.md records the measurements. The
+# split kernels are kept for comparison and as the fallback when the
+# partial buffer would be large (n_i > 8).
+
+
+def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                      lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, dq_acc, *,
+                      causal: bool, scale: float, rate: float, n_i: int,
+                      n_j: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)  # q block (outer)
+    j = pl.program_id(2)  # kv block (inner, dq accumulated across it)
+    n_j = pl.num_programs(2)
+    t_block = q_ref.shape[1]
+    s_block = k_ref.shape[1]
+    q0 = i * t_block
+    s0 = j * s_block
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    needed = True if not causal else s0 <= q0 + t_block - 1
+
+    @pl.when(needed)
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        bias = bias_ref[0, 0].astype(jnp.float32)
+        scores = _block_scores(q, k, bias, causal, q0, s0, scale)
+        w = jnp.exp(scores - lse_ref[0, 0][:, None])
+        keep = None
+        if rate > 0.0:
+            block_id = (b * n_i + i) * n_j + j
+            keep = _dropout_keep(seed_ref[0], block_id, rate, w.shape)
+        w_v = w if keep is None else w * keep / (1.0 - rate)
+        dv_ref[0, 0] = _dot(
+            w_v.astype(do_ref.dtype), do_ref[0], ((0,), (0,))
+        ).astype(dv_ref.dtype)
+        dp = _dot(do_ref[0], v_ref[0], ((1,), (1,)))
+        if keep is not None:
+            dp = dp * keep / (1.0 - rate)
+        ds = w * (dp - delta_ref[0, 0][:, None])
+        dk_ref[0, 0] = (
+            _dot(ds.astype(q.dtype), q, ((0,), (0,))) * scale
+        ).astype(dk_ref.dtype)
+        dq_acc[:] += _dot(ds.astype(k.dtype), k, ((1,), (0,))) * scale
+
+    @pl.when(jnp.logical_not(needed))
+    def _skip():
+        # partial outputs are written exactly once per grid step — blocks
+        # above the causal diagonal still need their zeros
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    @pl.when(j == n_j - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_fused_impl(q, k, v, bias, seed, out, lse, g, *, causal, scale,
+                    rate, t_block, s_block, interpret):
+    bh, t, d = q.shape
+    s = k.shape[1]
+    n_i, n_j = t // t_block, s // s_block
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, None, :]
+
+    dq, dk_part, dv_part = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel, causal=causal, scale=scale, rate=rate,
+            n_i=n_i, n_j=n_j,
+        ),
+        grid=(bh, n_i, n_j),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, t_block, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, s_block, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, s_block, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, s_block), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, t_block, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, t_block), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, t_block), lambda b, i, j: (b, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t_block, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec(
+                (1, 1, s_block, d), lambda b, i, j: (b, i, j, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, s_block, d), lambda b, i, j: (b, i, j, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_i, s, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_i, s, d), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((t_block, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ) if not interpret else None,
+        interpret=interpret,
+    )(seed, q, k, v, bias[:, None, :], g, lse, delta)
+    dk = dk_part.sum(axis=1).astype(k.dtype)
+    dv = dv_part.sum(axis=1).astype(v.dtype)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
 # backward: dK/dV (grid over kv blocks, accumulate over q blocks)
 # ---------------------------------------------------------------------------
 
@@ -395,11 +520,23 @@ def _vjp_fwd(q, k, v, bias, seed, causal, scale, rate):
     return out, (q, k, v, bias, seed, out, lse)
 
 
+# Fused-backward gate (sweep evidence: scripts/bench_flash_sweep.py +
+# PERF.md). The n_i cap bounds the dK/dV partial spill buffer; above it
+# (S ~ 16k+ at 1024 tiles) the split kernels take over.
+FUSED_BWD = True
+_FUSED_BWD_MAX_NI = 8
+
+
 def _vjp_bwd(causal, scale, rate, residuals, g):
     q, k, v, bias, seed, out, lse = residuals
     t_block = _pick_block(q.shape[1])
     s_block = _pick_block(k.shape[1])
-    dq, dk, dv = _bwd_impl(
+    impl = (
+        _bwd_fused_impl
+        if FUSED_BWD and q.shape[1] // t_block <= _FUSED_BWD_MAX_NI
+        else _bwd_impl
+    )
+    dq, dk, dv = impl(
         q, k, v, bias, seed, out, lse, g, causal=causal, scale=scale,
         rate=rate, t_block=t_block, s_block=s_block,
         interpret=not _on_tpu(),

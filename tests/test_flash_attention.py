@@ -362,3 +362,37 @@ def test_conv_attention_2d_flash_path_matches_dense():
             a, b = np.asarray(a), np.asarray(b)
             scale = max(1.0, float(np.abs(b).max()))
             assert float(np.abs(a - b).max()) <= 1e-3 * scale
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_bwd_matches_split(causal):
+    """The fused one-launch backward (_bwd_fused_impl: dQ accumulated in
+    VMEM, dK/dV as per-q-block partials reduced outside) must produce the
+    same gradients as the split dQ/dKV kernel pair on a multi-block grid
+    (both tile axes > 1 so partial summation and causal zero-blocks are
+    exercised)."""
+    from fbk_fairseq_st_tpu.ops.pallas.attention_kernel import (
+        _bwd_fused_impl,
+        _bwd_impl,
+        _fwd_impl,
+    )
+
+    rng = np.random.RandomState(11)
+    bh, t, s, d = 2, 256, 256, 8
+    q = jnp.asarray(rng.randn(bh, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, s, d).astype(np.float32))
+    bias = np.zeros((bh, s), np.float32)
+    bias[:, -9:] = -1e9
+    bias = jnp.asarray(bias)
+    seed = jnp.zeros((1,), jnp.int32)
+    kw = dict(causal=causal, scale=0.35, rate=0.0, t_block=128,
+              s_block=128, interpret=True)
+
+    out, lse = _fwd_impl(q, k, v, bias, seed, **kw)
+    g = jnp.asarray(rng.randn(bh, t, d).astype(np.float32))
+    split = _bwd_impl(q, k, v, bias, seed, out, lse, g, **kw)
+    fused = _bwd_fused_impl(q, k, v, bias, seed, out, lse, g, **kw)
+    for a, b in zip(fused, split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
