@@ -114,6 +114,102 @@ def init_conv_frontend(key, cfg: ConvFrontendConfig):
     return params, state
 
 
+# Batch-time rechunking of the conv pipeline for long-context inputs.
+# At the longcontext-train shapes (B=8, T=8192) the frontend tensors put
+# the tiny batch dim where the (8, 128) vector tiling wants a big one —
+# profiled 18.5 ms fwd+bwd vs 13.8 ms for the SAME ops at (128, 520)
+# (PERF.md r5). Folding haloed time chunks into the batch axis runs every
+# conv/BN/dropout at the lane-friendly shape; the transform is exact:
+#   * halo = stride^n input frames per side gives every center output row
+#     its full receptive field (radius 2^n - 1 for n stride-2 k=3 convs);
+#   * BN statistics come from the center slice only (each logical position
+#     exactly once — batch_norm(stats_from=...));
+#   * the first/last chunk's halo rows are re-zeroed before each later
+#     conv to reproduce the unchunked conv's output-level zero padding at
+#     the global sequence edges;
+#   * interior-chunk level-l halo rows recompute real neighbor values, so
+#     no cross-chunk masking is needed there.
+# Only dropout differs (halo rows draw independent masks — random either
+# way); eval/deterministic outputs are bit-comparable to the unchunked
+# path (tests/test_conv_frontend_chunked.py).
+_CHUNK_LEN = 512
+_CHUNK_MIN_T = 2048
+
+
+def _chunk_eligible(cfg: ConvFrontendConfig, t: int) -> bool:
+    return (
+        t >= _CHUNK_MIN_T
+        and t % _CHUNK_LEN == 0
+        and cfg.stride == 2
+        and all(k_t == 3 for _, k_t, _ in cfg.convolutions)
+        and 2 ** len(cfg.convolutions) <= _CHUNK_LEN
+    )
+
+
+def _conv_pipeline_chunked(params, state, cfg, x, rng, deterministic,
+                           training, act):
+    """x: (B, T, F, 1), T % _CHUNK_LEN == 0. Returns (y (B, T', F', C),
+    bn_states) with y identical (up to dropout draws) to the unchunked
+    loop in conv_frontend."""
+    b, t, f, _ = x.shape
+    n = len(cfg.convolutions)
+    L = _CHUNK_LEN
+    H = 2 ** n  # input-level halo per side (receptive radius 2^n - 1)
+    n_chunks = t // L
+
+    xp = jnp.pad(x, ((0, 0), (H, H), (0, 0), (0, 0)))
+    chunks = jnp.stack(
+        [xp[:, c * L: c * L + L + 2 * H] for c in range(n_chunks)], axis=1
+    )  # (B, n_chunks, L + 2H, F, 1)
+    y = chunks.reshape(b * n_chunks, L + 2 * H, f, 1)
+
+    bn_states = []
+    for i, (c_out, k_t, k_f) in enumerate(cfg.convolutions):
+        h_l = H >> i       # halo rows at this level
+        if i > 0:
+            # zero the first/last chunk's out-of-range halo rows: the
+            # unchunked conv sees output-level zero padding at the global
+            # sequence edges, not values computed from padded inputs
+            rows = jnp.arange(y.shape[1])
+            first = (jnp.arange(b * n_chunks) % n_chunks) == 0
+            last = (jnp.arange(b * n_chunks) % n_chunks) == n_chunks - 1
+            kill = (
+                (first[:, None] & (rows[None, :] < h_l))
+                | (last[:, None] & (rows[None, :] >= y.shape[1] - h_l))
+            )
+            y = jnp.where(kill[:, :, None, None], 0.0, y).astype(y.dtype)
+        pad_f = (
+            (k_f // 2, k_f // 2) if k_f % 2 == 1
+            else ((k_f - 1) // 2, k_f // 2)
+        )
+        p = params["convs"][i]
+        y = jax.lax.conv_general_dilated(
+            y,
+            p["w"].astype(y.dtype),
+            window_strides=(cfg.stride, cfg.stride),
+            padding=((k_t // 2, k_t // 2), pad_f),
+            dimension_numbers=_DIMNUMS,
+        ) + p["b"].astype(y.dtype)
+        y = act(y)
+        h_next = H >> (i + 1)
+        core = L >> (i + 1)
+        y, bn_state = batch_norm(
+            params["bns"][i], state["bns"][i], y, axis=(0, 1, 2),
+            training=training,
+            stats_from=y[:, h_next: h_next + core],
+        )
+        bn_states.append(bn_state)
+        y = dropout(y, max(cfg.dropout, 0.1), rng, deterministic)
+
+    h_n = H >> n
+    core = L >> n
+    y = y[:, h_n: h_n + core]  # (B*n_chunks, L/2^n, F', C)
+    return (
+        y.reshape(b, n_chunks * core, y.shape[2], y.shape[3]),
+        bn_states,
+    )
+
+
 def conv_frontend(
     params,
     state,
@@ -134,7 +230,17 @@ def conv_frontend(
     new_state: Dict[str, Any] = {"bns": []}
 
     x = x[..., None]  # (B, T, F, 1)
-    for i, (c_out, k_t, k_f) in enumerate(cfg.convolutions):
+    if _chunk_eligible(cfg, x.shape[1]):
+        x, bn_states = _conv_pipeline_chunked(
+            params, state, cfg, x, rng, deterministic, training, act
+        )
+        new_state["bns"] = bn_states
+        for _ in cfg.convolutions:
+            lengths = jnp.ceil(
+                lengths.astype(jnp.float32) / cfg.stride
+            ).astype(jnp.int32)
+    else:
+      for i, (c_out, k_t, k_f) in enumerate(cfg.convolutions):
         if k_t % 2 == 1:
             pad_t = (k_t // 2, k_t // 2)
         else:

@@ -235,20 +235,28 @@ def batch_norm(
     training: bool,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    stats_from=None,
 ):
     """BatchNorm over *axis* (channel axis excluded). Returns (y, new_state).
 
     Matches torch.nn.BatchNorm2d semantics: biased variance for
     normalization, unbiased for the running estimate, running stats updated
     with ``(1-momentum)*old + momentum*batch``.
+
+    ``stats_from``: optional tensor to compute the batch statistics from
+    instead of ``x`` (same rank/axis convention). Used by the chunked conv
+    frontend, where ``x`` carries duplicated halo rows that must be
+    normalized but must not bias the statistics — stats come from the
+    center slice, which holds every logical position exactly once.
     """
     xf = x.astype(jnp.float32)
     if training:
-        mean = jnp.mean(xf, axis=axis)
-        var = jnp.mean(jnp.square(xf - jnp.expand_dims(mean, axis)), axis=axis)
+        sf = xf if stats_from is None else stats_from.astype(jnp.float32)
+        mean = jnp.mean(sf, axis=axis)
+        var = jnp.mean(jnp.square(sf - jnp.expand_dims(mean, axis)), axis=axis)
         n = 1
         for a in axis:
-            n *= x.shape[a]
+            n *= sf.shape[a]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
