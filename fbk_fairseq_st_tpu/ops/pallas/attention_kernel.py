@@ -17,11 +17,15 @@ score matrix in HBM (Dao et al. 2022), mapped onto the TPU:
     ever materializing (T, S) dropout bits in HBM. (The CPU interpreter
     stubs the TPU PRNG, so the dispatch layer only takes the dropout path
     on real TPU backends.)
-  * backward follows the standard flash decomposition: the forward saves
-    only out + per-row logsumexp; ``delta = rowsum(dO * O)`` is a cheap
-    XLA preprocess; one kernel accumulates dQ over kv blocks, a second
-    accumulates dK/dV over q blocks. The delta trick survives dropout:
-    with dropped weights a = m.w/keep, sum_j w_j dw_j = dO.O = delta.
+  * backward follows the flash decomposition: the forward saves only
+    out + per-row logsumexp; ``delta = rowsum(dO * O)`` is a cheap XLA
+    preprocess. The default backward is ONE fused kernel
+    (``_bwd_fused_impl``): dQ accumulates in VMEM scratch across the
+    inner kv loop while dK/dV are emitted as per-q-block partials that a
+    trailing XLA sum reduces — 5 matmuls + 1 exp per tile vs the 7 + 2
+    of the split dQ/dKV kernel pair, which remains as the fallback for
+    very large q-block counts. The delta trick survives dropout: with
+    dropped weights a = m.w/keep, sum_j w_j dw_j = dO.O = delta.
 
 Replaces the round-2 version whose backward fell back to an XLA
 recomputation (so training never benefited) and whose eligibility excluded
