@@ -103,3 +103,67 @@ def test_chunked_full_frontend_with_attn2d_eval():
     got, ln_got, _ = _run(cfg, x, lengths, chunked=True, training=False)
     np.testing.assert_array_equal(ln_got, ln_ref)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_chunked_frontend_composes_with_ring_attention():
+    """Interaction check: the chunked frontend's batch-time reshapes of a
+    pjit-sharded batch must compose with --ring-attention's sequence
+    sharding (ppermute inside shard_map) in one fused train step on the
+    8-device CPU mesh. T=2048 activates BOTH paths (the ring test module
+    itself runs at T=64, below the chunk gate)."""
+    import importlib
+
+    from fbk_fairseq_st_tpu import registry
+    from fbk_fairseq_st_tpu.parallel.mesh import make_mesh
+    from fbk_fairseq_st_tpu.train.trainer import Trainer
+
+    from .utils import DummyTask, dummy_dictionary, model_args
+
+    task = DummyTask(dummy_dictionary(20))
+    args = model_args(
+        "conv_transformer", input_feat_per_channel=8,
+        encoder_convolutions="[(4,3,3)]*2", encoder_layers=1,
+        decoder_layers=1, encoder_embed_dim=16, decoder_embed_dim=16,
+        encoder_ffn_embed_dim=32, decoder_ffn_embed_dim=32,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        max_source_positions=2048, max_target_positions=32,
+        criterion="label_smoothed_cross_entropy", label_smoothing=0.1,
+        optimizer="adam", lr=[0.01], lr_scheduler="fixed", seed=3,
+        dropout=0.0, attention_dropout=0.0, model_parallel_size=2,
+        ring_attention=True,
+    )
+    registry.apply_architecture(args)
+    args.dropout = 0.0
+    model = registry.build_model(args, task)
+    criterion = registry.CRITERIONS[args.criterion].build_criterion(
+        args, task
+    )
+    trainer = Trainer(args, task, model, criterion, mesh=make_mesh(model=2))
+    assert trainer._ring_attention
+    CF2 = importlib.import_module("fbk_fairseq_st_tpu.ops.conv_frontend")
+    assert CF2._chunk_eligible(
+        CF2.ConvFrontendConfig(
+            convolutions=((4, 3, 3),) * 2, audio_features=8
+        ),
+        2048,
+    )
+
+    B, T = 4, 2048
+    rng = np.random.RandomState(0)
+    prev = rng.randint(4, 19, size=(B, 16)).astype(np.int32)
+    sample = {
+        "net_input": {
+            "src_tokens": rng.randn(B, T, 8).astype(np.float32),
+            "src_lengths": np.full((B,), T, np.int64),
+            "prev_output_tokens": prev,
+        },
+        "target": np.concatenate(
+            [prev[:, 1:], np.full((B, 1), 2)], 1
+        ).astype(np.int32),
+        "ntokens": B * 16,
+        "nsentences": B,
+    }
+    trainer.train_step([sample])
+    jax.block_until_ready(trainer.train_state["params"])
+    # reaching here means the composed program compiled and executed
