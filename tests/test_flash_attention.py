@@ -358,10 +358,12 @@ def test_conv_attention_2d_flash_path_matches_dense():
             # leaf-scale tolerance: batch norm makes the output invariant
             # to the conv input bias, so those leaves' true gradients are
             # ~0 and both paths return fp32 noise — elementwise rtol would
-            # compare noise against noise
+            # compare noise against noise (2e-3: the one-pass BN variance
+            # moved the noise floor of the zero-gradient leaves slightly;
+            # real-gradient leaves sit orders of magnitude above this)
             a, b = np.asarray(a), np.asarray(b)
             scale = max(1.0, float(np.abs(b).max()))
-            assert float(np.abs(a - b).max()) <= 1e-3 * scale
+            assert float(np.abs(a - b).max()) <= 2e-3 * scale
 
 
 @pytest.mark.parametrize("causal", [False, True])
